@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Throughput benchmark: 2D elasto-visco-plastic (EVP) rifting-style box.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no absolute numbers (BASELINE.md); its own
+throughput metric is s/step.  We report element-steps/second (elements *
+steps / wall-second) on the flagship 2D EVP workload, and compare against an
+estimated 64-core OpenMP reference throughput of the same workload
+(REF_BASELINE_ELEMSTEPS_PER_S below; measured reference numbers to replace
+the estimate when a reference build is available).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# the step-scan XLA program is large; cache it across runs/rounds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+import dynearthsol_tpu as des
+
+# Estimated reference (DES3D, 64-core OpenMP) throughput on a ~260k-element
+# 2D EVP model: ~10 element passes + ~6 node passes per step, memory bound.
+# This stands in for the unpublished baseline until a reference measurement
+# exists (BASELINE.md: "publishes no absolute throughput numbers").
+REF_BASELINE_ELEMSTEPS_PER_S = 2.0e8
+
+
+def flagship_param(nx_cells=512, nz_cells=256, dtype="float32"):
+    xlength, zlength = 100e3, 50e3
+    resolution = xlength / nx_cells
+    return des.param_from_dict({
+        "sim": {"max_steps": 10**9, "ndims": 2, "float_dtype": dtype},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": xlength, "ylength": 0.0, "zlength": zlength,
+                 "resolution": resolution,
+                 "quality_check_step_interval": 10**8},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "has_thermal_diffusion": True,
+                    "damping_option": 1},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": -1e-9,
+               "vbc_x1": 1, "vbc_val_x1": 1e-9,
+               "vbc_z0": 0, "vbc_z1": 0,
+               "has_winkler_foundation": False,
+               "has_water_loading": False,
+               "surface_temperature": 273.0,
+               "mantle_temperature": 1600.0},
+        "ic": {"weakzone_option": 2, "weakzone_plstrain": 0.5,
+               "weakzone_xcenter": 0.5, "weakzone_zcenter": 0.2,
+               "weakzone_xsemi_axis": 3e3, "weakzone_zsemi_axis": 3e3},
+        "mat": {"rheology_type": "elasto-visco-plastic",
+                "is_plane_strain": True,
+                "rho0": [2800.0], "bulk_modulus": [50e9],
+                "shear_modulus": [30e9],
+                "visc_max": 1e24, "visc_min": 1e19},
+    })
+
+
+def main():
+    chunk = 250
+    bench_steps = 500
+    param = flagship_param()
+    sim = des.Simulation(param)
+    nelem = sim.topo.nelem
+
+    # warmup run uses the SAME chunk length: exactly one scan compile
+    sim.run_steps(chunk, chunk=chunk)
+    jax.block_until_ready(sim.state.coord)
+
+    t0 = time.perf_counter()
+    sim.run_steps(bench_steps, chunk=chunk)
+    jax.block_until_ready(sim.state.coord)
+    elapsed = time.perf_counter() - t0
+
+    elemsteps_per_s = nelem * bench_steps / elapsed
+    print(json.dumps({
+        "metric": "evp2d_element_steps_per_sec",
+        "value": round(elemsteps_per_s, 1),
+        "unit": "elem*steps/s",
+        "vs_baseline": round(elemsteps_per_s / REF_BASELINE_ELEMSTEPS_PER_S,
+                             4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,240 @@
+"""Host-side mesh generation for box domains.
+
+The reference dispatches on ``meshing_option`` (mesh.cxx:3407-3453): 1 =
+uniform-resolution box, 2 = refined-zone box, 90/91 = .poly file, 95 = Exodus;
+and on ``meshing_elem_shape``: 0 = unstructured (Triangle/TetGen), 1 =
+structured regular grid split into simplices, 2 = structured equilateral grid.
+
+TPU-native design note: mesh generation is a rare host-side event (init and
+remeshing), so it stays in numpy/scipy.  We do NOT bundle Shewchuk's Triangle
+or TetGen; unstructured meshes are produced by Delaunay triangulation
+(scipy.spatial, Qhull) of boundary points plus deterministically-jittered
+interior points, which yields the same statistical element quality that the
+hot loop and remesher care about.  Domain convention matches the reference:
+x in [0, xlength], y in [0, ylength] (3D), z in [-zlength, 0] with the free
+surface at z = 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class MeshData:
+    """A simplicial mesh: coords (nnode, ndims) f64, connectivity
+    (nelem, ndims+1) int32, with positively-oriented elements."""
+
+    ndims: int
+    coord: np.ndarray
+    connectivity: np.ndarray
+
+    @property
+    def nnode(self) -> int:
+        return self.coord.shape[0]
+
+    @property
+    def nelem(self) -> int:
+        return self.connectivity.shape[0]
+
+
+def _orient_2d(coord: np.ndarray, conn: np.ndarray) -> np.ndarray:
+    """Flip triangles to counter-clockwise (positive area)."""
+    a, b, c = coord[conn[:, 0]], coord[conn[:, 1]], coord[conn[:, 2]]
+    area2 = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - \
+            (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    flip = area2 < 0
+    conn = conn.copy()
+    conn[flip, 1], conn[flip, 2] = conn[flip, 2].copy(), conn[flip, 1].copy()
+    return conn
+
+
+def _orient_3d(coord: np.ndarray, conn: np.ndarray) -> np.ndarray:
+    """Flip tets to positive volume (same sign convention as
+    geometry.cxx:35-106 tetrahedron_volume)."""
+    a = coord[conn[:, 0]]
+    d1 = coord[conn[:, 1]] - a
+    d2 = coord[conn[:, 2]] - a
+    d3 = coord[conn[:, 3]] - a
+    vol6 = np.einsum("ij,ij->i", d1, np.cross(d2, d3))
+    flip = vol6 < 0
+    conn = conn.copy()
+    conn[flip, 2], conn[flip, 3] = conn[flip, 3].copy(), conn[flip, 2].copy()
+    return conn
+
+
+def _drop_degenerate_2d(coord, conn, tol_rel=1e-12):
+    a, b, c = coord[conn[:, 0]], coord[conn[:, 1]], coord[conn[:, 2]]
+    area2 = np.abs((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) -
+                   (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+    keep = area2 > tol_rel * max(area2.max(), 1.0)
+    return conn[keep]
+
+
+def regular_grid_2d(xlength: float, zlength: float, resolution: float,
+                    equilateral: bool = False) -> MeshData:
+    """Structured box mesh (meshing_elem_shape 1/2; cf. mesh.cxx regular /
+    equilateral grid generators at mesh.cxx:120-744)."""
+    nx = int(round(xlength / resolution)) + 1
+    nz = int(round(zlength / resolution)) + 1
+    xs = np.linspace(0.0, xlength, nx)
+    zs = np.linspace(-zlength, 0.0, nz)
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    if equilateral:
+        # offset alternate rows by half a spacing for near-equilateral cells
+        dx = xs[1] - xs[0]
+        X = X + 0.25 * dx * (1 - 2 * (np.arange(nz)[None, :] % 2))
+        X[0, :] = 0.0
+        X[-1, :] = xlength
+    coord = np.stack([X.ravel(), Z.ravel()], axis=1)
+
+    def nid(i, j):
+        return i * nz + j
+
+    tris = []
+    for i in range(nx - 1):
+        for j in range(nz - 1):
+            n00, n10 = nid(i, j), nid(i + 1, j)
+            n01, n11 = nid(i, j + 1), nid(i + 1, j + 1)
+            if (i + j) % 2 == 0:  # alternate diagonals for isotropy
+                tris.append((n00, n10, n11))
+                tris.append((n00, n11, n01))
+            else:
+                tris.append((n00, n10, n01))
+                tris.append((n10, n11, n01))
+    conn = np.asarray(tris, dtype=np.int32)
+    return MeshData(2, coord, _orient_2d(coord, conn))
+
+
+def unstructured_box_2d(xlength: float, zlength: float, resolution: float,
+                        jitter: float = 0.35, seed: int = 12345) -> MeshData:
+    """Quasi-uniform unstructured triangulation of a box (replaces the
+    Triangle path of mesh.cxx:1437-1616 ``new_mesh_uniform_resolution``).
+
+    Boundary points lie exactly on the box edges with spacing = resolution;
+    interior grid points get a deterministic jitter so Delaunay produces an
+    irregular, good-quality mesh.
+    """
+    rng = np.random.default_rng(seed)
+    nx = max(2, int(round(xlength / resolution)) + 1)
+    nz = max(2, int(round(zlength / resolution)) + 1)
+    xs = np.linspace(0.0, xlength, nx)
+    zs = np.linspace(-zlength, 0.0, nz)
+
+    pts = []
+    # boundary loop (corners included once)
+    for x in xs:
+        pts.append((x, -zlength))
+        pts.append((x, 0.0))
+    for z in zs[1:-1]:
+        pts.append((0.0, z))
+        pts.append((xlength, z))
+    # jittered interior
+    dx = xs[1] - xs[0]
+    dz = zs[1] - zs[0]
+    for x in xs[1:-1]:
+        for z in zs[1:-1]:
+            jx = jitter * dx * (rng.random() - 0.5)
+            jz = jitter * dz * (rng.random() - 0.5)
+            pts.append((x + jx, z + jz))
+    coord = np.asarray(pts, dtype=np.float64)
+
+    from scipy.spatial import Delaunay
+
+    tri = Delaunay(coord, qhull_options="Qbb Qc Qz")
+    conn = _drop_degenerate_2d(coord, tri.simplices.astype(np.int32))
+    return MeshData(2, coord, _orient_2d(coord, conn))
+
+
+def regular_grid_3d(xlength: float, ylength: float, zlength: float,
+                    resolution: float) -> MeshData:
+    """Structured 3D box split into 5 tets per cell (mesh.cxx structured
+    path; ELEMS_PER_CELL = 5 in 3D, constants.hpp:21)."""
+    nx = int(round(xlength / resolution)) + 1
+    ny = int(round(ylength / resolution)) + 1
+    nz = int(round(zlength / resolution)) + 1
+    xs = np.linspace(0.0, xlength, nx)
+    ys = np.linspace(0.0, ylength, ny)
+    zs = np.linspace(-zlength, 0.0, nz)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    coord = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    def nid(i, j, k):
+        return (i * ny + j) * nz + k
+
+    tets = []
+    # 5-tet decomposition, mirrored on parity so faces match between cells
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            for k in range(nz - 1):
+                c = [nid(i + a, j + b, k + d)
+                     for a in (0, 1) for b in (0, 1) for d in (0, 1)]
+                # c index = a*4 + b*2 + d
+                if (i + j + k) % 2 == 0:
+                    tets += [(c[0], c[1], c[2], c[4]),
+                             (c[1], c[2], c[3], c[7]),
+                             (c[1], c[4], c[5], c[7]),
+                             (c[2], c[4], c[6], c[7]),
+                             (c[1], c[2], c[4], c[7])]
+                else:
+                    tets += [(c[0], c[1], c[3], c[5]),
+                             (c[0], c[2], c[3], c[6]),
+                             (c[0], c[4], c[5], c[6]),
+                             (c[3], c[5], c[6], c[7]),
+                             (c[0], c[3], c[5], c[6])]
+    conn = np.asarray(tets, dtype=np.int32)
+    return MeshData(3, coord, _orient_3d(coord, conn))
+
+
+def unstructured_box_3d(xlength: float, ylength: float, zlength: float,
+                        resolution: float, jitter: float = 0.25,
+                        seed: int = 12345) -> MeshData:
+    """Unstructured 3D box via Delaunay of boundary + jittered interior
+    points (replaces the TetGen path, mesh.cxx:2586)."""
+    rng = np.random.default_rng(seed)
+    nx = max(2, int(round(xlength / resolution)) + 1)
+    ny = max(2, int(round(ylength / resolution)) + 1)
+    nz = max(2, int(round(zlength / resolution)) + 1)
+    xs = np.linspace(0.0, xlength, nx)
+    ys = np.linspace(0.0, ylength, ny)
+    zs = np.linspace(-zlength, 0.0, nz)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    coord = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+    interior = ((X > xs[0]) & (X < xs[-1]) & (Y > ys[0]) & (Y < ys[-1]) &
+                (Z > zs[0]) & (Z < zs[-1])).ravel()
+    d = np.array([xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0]])
+    coord[interior] += jitter * d * (rng.random((interior.sum(), 3)) - 0.5)
+
+    from scipy.spatial import Delaunay
+
+    tet = Delaunay(coord, qhull_options="Qbb Qc Qz")
+    conn = tet.simplices.astype(np.int32)
+    # drop near-degenerate slivers on the hull
+    a = coord[conn[:, 0]]
+    vol6 = np.abs(np.einsum(
+        "ij,ij->i", coord[conn[:, 1]] - a,
+        np.cross(coord[conn[:, 2]] - a, coord[conn[:, 3]] - a)))
+    conn = conn[vol6 > 1e-12 * vol6.max()]
+    return MeshData(3, coord, _orient_3d(coord, conn))
+
+
+def create_new_mesh(param) -> MeshData:
+    """Dispatch like mesh.cxx:3407-3453 ``create_new_mesh``."""
+    m = param.mesh
+    ndims = param.sim.ndims
+    if m.meshing_option not in (1, 2):
+        raise NotImplementedError(
+            f"meshing_option {m.meshing_option} not implemented yet "
+            "(supported: 1 uniform box, 2 refined-zone box[=uniform for now])")
+    if ndims == 2:
+        if m.meshing_elem_shape == 1:
+            return regular_grid_2d(m.xlength, m.zlength, m.resolution)
+        if m.meshing_elem_shape == 2:
+            return regular_grid_2d(m.xlength, m.zlength, m.resolution,
+                                   equilateral=True)
+        return unstructured_box_2d(m.xlength, m.zlength, m.resolution)
+    if m.meshing_elem_shape in (1, 2):
+        return regular_grid_3d(m.xlength, m.ylength, m.zlength, m.resolution)
+    return unstructured_box_3d(m.xlength, m.ylength, m.zlength, m.resolution)

@@ -1,0 +1,266 @@
+"""Constitutive stress updates, vectorized over all elements.
+
+Reference: rheology.cxx.  Every function here is the branch-free (masked)
+re-expression of the per-element switch in ``update_stress``
+(rheology.cxx:676-991): elastic (235), maxwell (264), viscous (284),
+Mohr-Coulomb return map ``elasto_plastic`` (298-457) and the geoFLAC
+plane-strain variant ``elasto_plastic2d`` (459-674), and the EVP selection
+rule (min of viscoelastic vs elastoplastic deviatoric magnitude, 869-879).
+
+All element-level control flow becomes jnp.where masks so the whole update
+compiles to a single fused elementwise XLA kernel (VPU-bound on TPU).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .tensor import second_invariant2, trace
+
+_EPS = 1e-15
+
+
+def elastic(bulkm, shearm, de, s, dpp=None):
+    """Incremental linear elasticity (rheology.cxx:235-246); with the
+    effective-stress pore-pressure increment on the diagonal when dpp is
+    given (rheology.cxx:250-261)."""
+    ndims = 2 if s.shape[-1] == 3 else 3
+    lam = bulkm - 2.0 / 3.0 * shearm
+    dev = trace(de)
+    diag_inc = lam * dev + (0.0 if dpp is None else dpp)
+    inc = 2.0 * shearm[:, None] * de
+    inc = inc.at[:, :ndims].add(diag_inc[:, None])
+    return s + inc
+
+
+def maxwell(bulkm, shearm, viscosity, dt, dv, de, s):
+    """Maxwell viscoelasticity (rheology.cxx:264-281)."""
+    ndims = 2 if s.shape[-1] == 3 else 3
+    tmp = 0.5 * dt * shearm / viscosity
+    f1 = 1.0 - tmp
+    f2 = 1.0 / (1.0 + tmp)
+    dev = trace(de) / ndims
+    s0 = trace(s) / ndims
+    out_iso = ((s[:, :ndims] - s0[:, None]) * f1[:, None]
+               + 2.0 * shearm[:, None] * (de[:, :ndims] - dev[:, None])
+               ) * f2[:, None] + s0[:, None] + (bulkm * dv)[:, None]
+    out_dev = (s[:, ndims:] * f1[:, None]
+               + 2.0 * shearm[:, None] * de[:, ndims:]) * f2[:, None]
+    return jnp.concatenate([out_iso, out_dev], axis=1)
+
+
+def viscous(bulkm, viscosity, total_dv, edot, s):
+    """Pure viscous with bulk-modulus incompressibility penalty
+    (rheology.cxx:284-296)."""
+    ndims = 2 if s.shape[-1] == 3 else 3
+    dev = trace(edot) / ndims
+    out_iso = (2.0 * viscosity[:, None] * (edot[:, :ndims] - dev[:, None])
+               + (bulkm * total_dv)[:, None])
+    out_dev = 2.0 * viscosity[:, None] * edot[:, ndims:]
+    return jnp.concatenate([out_iso, out_dev], axis=1)
+
+
+def principal_stresses2(s):
+    """2D principal stresses from the Mohr circle (rheology.cxx:72-105).
+    Returns p0 <= p1 and (cos2t, sin2t)."""
+    s0 = 0.5 * (s[:, 0] + s[:, 1])
+    rad = jnp.sqrt(0.25 * (s[:, 0] - s[:, 1]) ** 2 + s[:, 2] ** 2)
+    p0 = s0 - rad
+    p1 = s0 + rad
+    a = 0.5 * (s[:, 0] - s[:, 1])
+    b = -rad
+    ok = b < -_EPS
+    safe_b = jnp.where(ok, b, 1.0)
+    cos2t = jnp.where(ok, a / safe_b, 1.0)
+    sin2t = jnp.where(ok, s[:, 2] / safe_b, 0.0)
+    return p0, p1, cos2t, sin2t
+
+
+def principal_stresses3(s):
+    """3D principal stresses and directions via symmetric eigendecomposition
+    (rheology.cxx:13-70 uses Kopp's dsyevh3; here batched jnp.linalg.eigh,
+    which XLA lowers natively; eigenvalues ascend as required)."""
+    n = s.shape[0]
+    a = jnp.empty((n, 3, 3), dtype=s.dtype)
+    a = a.at[:, 0, 0].set(s[:, 0])
+    a = a.at[:, 1, 1].set(s[:, 1])
+    a = a.at[:, 2, 2].set(s[:, 2])
+    a = a.at[:, 0, 1].set(s[:, 3])
+    a = a.at[:, 1, 0].set(s[:, 3])
+    a = a.at[:, 0, 2].set(s[:, 4])
+    a = a.at[:, 2, 0].set(s[:, 4])
+    a = a.at[:, 1, 2].set(s[:, 5])
+    a = a.at[:, 2, 1].set(s[:, 5])
+    p, v = jnp.linalg.eigh(a)
+    return p, v
+
+
+def elasto_plastic(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+                   de, s, dpp=None):
+    """Mohr-Coulomb return map in principal axes (rheology.cxx:298-457).
+
+    Works for 2D (NSTR=3) and 3D (NSTR=6).  Returns (s_new, depls,
+    failure_mode).
+    """
+    nstr = s.shape[-1]
+    ndims = 2 if nstr == 3 else 3
+    s_trial = elastic(bulkm, shearm, de, s, dpp)
+
+    a1 = bulkm + 4.0 / 3.0 * shearm
+    a2 = bulkm - 2.0 / 3.0 * shearm
+
+    if ndims == 2:
+        p0, p1, cos2t, sin2t = principal_stresses2(s_trial)
+        pmin, pmax = p0, p1
+    else:
+        p, v = principal_stresses3(s_trial)
+        p0, p1_mid, p2 = p[:, 0], p[:, 1], p[:, 2]
+        pmin, pmax = p0, p2
+
+    fs = pmin - pmax * anphi + amc
+    ft = pmax - ten_max
+    no_fail = (fs > 0.0) & (ft < 0.0)
+
+    pa = jnp.sqrt(1.0 + anphi * anphi) + anphi
+    ps = ten_max * anphi - amc
+    h = pmax - ten_max + pa * (pmin - ps)
+    shear_fail = h < 0.0
+
+    alam_s = fs / (a1 - a2 * anpsi + a1 * anphi * anpsi - a2 * anphi
+                   + 2.0 * jnp.sqrt(anphi) * hardn)
+    alam_t = ft / a1
+    alam = jnp.where(shear_fail, alam_s, alam_t)
+
+    if ndims == 2:
+        dpls_shear = jnp.abs(alam) * jnp.sqrt((3.0 + 2.0 * anpsi
+                                               + 3.0 * anpsi * anpsi) / 8.0)
+        dpls_tens = jnp.abs(alam) * jnp.sqrt(3.0 / 8.0)
+    else:
+        dpls_shear = jnp.abs(alam) * jnp.sqrt((7.0 + 4.0 * anpsi
+                                               + 7.0 * anpsi * anpsi) / 18.0)
+        dpls_tens = jnp.abs(alam) * jnp.sqrt(7.0 / 18.0)
+    depls = jnp.where(no_fail, 0.0,
+                      jnp.where(shear_fail, dpls_shear, dpls_tens))
+
+    d_min = jnp.where(shear_fail, alam * (a1 - a2 * anpsi), alam * a2)
+    d_max = jnp.where(shear_fail, alam * (a2 - a1 * anpsi), alam * a1)
+    pmin_new = pmin - d_min
+    pmax_new = pmax - d_max
+
+    if ndims == 2:
+        dc2 = (pmin_new - pmax_new) * cos2t
+        dss = pmin_new + pmax_new
+        s_ret = jnp.stack([0.5 * (dss + dc2),
+                           0.5 * (dss - dc2),
+                           0.5 * (pmin_new - pmax_new) * sin2t], axis=1)
+    else:
+        d_mid = jnp.where(shear_fail, alam * (a2 - a2 * anpsi), alam * a2)
+        p_new = jnp.stack([pmin_new, p1_mid - d_mid, pmax_new], axis=1)
+        ss = jnp.einsum("nik,njk,nk->nij", v, v, p_new)
+        s_ret = jnp.stack([ss[:, 0, 0], ss[:, 1, 1], ss[:, 2, 2],
+                           ss[:, 0, 1], ss[:, 0, 2], ss[:, 1, 2]], axis=1)
+
+    s_new = jnp.where(no_fail[:, None], s_trial, s_ret)
+    failure_mode = jnp.where(no_fail, 0, jnp.where(shear_fail, 10, 1))
+    return s_new, depls, failure_mode
+
+
+def elasto_plastic2d(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+                     de, s, syy, dpp=None):
+    """geoFLAC plane-strain Mohr-Coulomb return map (rheology.cxx:459-674).
+
+    Three principal stresses; syy (out-of-plane) carried separately.
+    Returns (s_new (N,3), syy_new, depls, failure_mode).
+    """
+    a1 = bulkm + 4.0 / 3.0 * shearm
+    a2 = bulkm - 2.0 / 3.0 * shearm
+    sxx = s[:, 0] + de[:, 1] * a2 + de[:, 0] * a1
+    szz = s[:, 1] + de[:, 0] * a2 + de[:, 1] * a1
+    sxz = s[:, 2] + de[:, 2] * 2.0 * shearm
+    syy_t = syy + (de[:, 0] + de[:, 1]) * a2
+    if dpp is not None:
+        sxx = sxx + dpp
+        syy_t = syy_t + dpp
+        szz = szz + dpp
+
+    s0 = 0.5 * (sxx + szz)
+    rad = 0.5 * jnp.sqrt((sxx - szz) ** 2 + 4.0 * sxz * sxz)
+    si = s0 - rad
+    sii = s0 + rad
+    ok = rad > _EPS
+    safe_rad = jnp.where(ok, rad, 1.0)
+    cos2t = jnp.where(ok, 0.5 * (szz - sxx) / safe_rad, 1.0)
+    sin2t = jnp.where(ok, -sxz / safe_rad, 0.0)
+
+    # sort syy into the (si, sii) pair -> sorted p[0..2] and the positions of
+    # the in-plane pair and syy within it (rheology.cxx:537-568)
+    caseA = syy_t > sii  # syy is largest
+    caseB = syy_t < si   # syy is smallest
+    p0 = jnp.where(caseA, si, jnp.where(caseB, syy_t, si))
+    p1 = jnp.where(caseA, sii, jnp.where(caseB, si, syy_t))
+    p2 = jnp.where(caseA, syy_t, jnp.where(caseB, sii, sii))
+    # sorted-slot indices of si / sii / syy:
+    idx_si = jnp.where(caseA, 0, jnp.where(caseB, 1, 0))
+    idx_sii = jnp.where(caseA, 1, jnp.where(caseB, 2, 2))
+    idx_syy = jnp.where(caseA, 2, jnp.where(caseB, 0, 1))
+
+    fmode = jnp.zeros(s.shape[0], dtype=jnp.int32)
+
+    # tensile scenario 1: p0 >= ten_max -> everything capped, done
+    # (rheology.cxx:587-592)
+    t1 = p0 >= ten_max
+
+    # tensile scenarios 2/3 (rheology.cxx:597-608)
+    t2 = (~t1) & (p1 >= ten_max)
+    t3 = (~t1) & (~t2) & (p2 >= ten_max)
+    p1 = jnp.where(t2, ten_max, p1)
+    p2 = jnp.where(t2 | t3, ten_max, p2)
+    fmode = fmode + jnp.where(t1, 1, 0) + jnp.where(t2, 2, 0) \
+        + jnp.where(t3, 3, 0)
+
+    # shear yield (rheology.cxx:611-631)
+    fs = p0 - p2 * anphi + amc
+    elastic_out = (~t1) & (fs >= 0.0)  # keep trial stress
+
+    shear = (~t1) & (fs < 0.0)
+    alams = fs / (a1 - a2 * anpsi + a1 * anphi * anpsi - a2 * anphi + hardn)
+    p0s = p0 - alams * (a1 - a2 * anpsi)
+    p1s = p1 - alams * (a2 - a2 * anpsi)
+    p2s = p2 - alams * (a2 - a1 * anpsi)
+    depls = jnp.where(shear, 0.5 * jnp.abs(alams + alams * anpsi), 0.0)
+    fmode = fmode + jnp.where(shear, 10, 0)
+
+    # post-shear tensile recheck (rheology.cxx:640-661)
+    u1 = shear & (p0s >= ten_max)
+    u2 = shear & (~u1) & (p1s >= ten_max)
+    u3 = shear & (~u1) & (~u2) & (p2s >= ten_max)
+    p1s = jnp.where(u2, ten_max, p1s)
+    p2s = jnp.where(u2 | u3, ten_max, p2s)
+    fmode = fmode + jnp.where(u1 | u2 | u3, 20, 0)
+
+    # rotate principal stresses back (rheology.cxx:665-673)
+    p_stack = jnp.stack([p0s, p1s, p2s], axis=1)
+
+    def pick(idx):
+        return jnp.take_along_axis(p_stack, idx[:, None], axis=1)[:, 0]
+
+    pn1 = pick(idx_si)
+    pn2 = pick(idx_sii)
+    pn3 = pick(idx_syy)
+    dc2 = (pn1 - pn2) * cos2t
+    dss = pn1 + pn2
+    sxx_r = 0.5 * (dss + dc2)
+    szz_r = 0.5 * (dss - dc2)
+    sxz_r = 0.5 * (pn1 - pn2) * sin2t
+    syy_r = pn3
+
+    # full-cap outcome (t1 before shear, u1 after)
+    cap = t1 | u1
+    sxx_n = jnp.where(cap, ten_max, jnp.where(elastic_out, sxx, sxx_r))
+    szz_n = jnp.where(cap, ten_max, jnp.where(elastic_out, szz, szz_r))
+    sxz_n = jnp.where(cap, 0.0, jnp.where(elastic_out, sxz, sxz_r))
+    syy_n = jnp.where(cap, ten_max, jnp.where(elastic_out, syy_t, syy_r))
+    depls = jnp.where(cap & t1, 0.0, depls)
+
+    s_new = jnp.stack([sxx_n, szz_n, sxz_n], axis=1)
+    return s_new, syy_n, depls, fmode

@@ -1,0 +1,441 @@
+"""Simulation driver: init + the jitted time-step loop.
+
+The reference integrates with an explicit do-while loop calling ~12 kernels
+per step (dynearthsol.cxx:746-956).  Here the WHOLE step is one traced
+function; the driver runs it inside ``lax.scan`` chunks so that thousands of
+steps execute on-device per host round-trip — the single most important
+performance decision for TPU (step count is 1e4-1e7, SURVEY §3.2).
+
+Step sequence (matching dynearthsol.cxx:746-956):
+  update_temperature -> [update_old_mean_stress] -> update_strain_rate ->
+  compute_dvoldt/edvoldt -> update_stress -> [NMD_stress] -> update_force
+  (+stress bcs, damping) -> update_velocity -> residual -> [pore pressure]
+  -> apply_vbcs -> update_mesh (coord, volume swap, mass) -> rotate_stress
+  -> every-10-step dt refresh.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bc as bc_mod
+from . import ic as ic_mod
+from .config import (RH_ELASTIC, RH_EP, RH_EVP, RH_EP_RSF, RH_EVP_RSF,
+                     RH_MAXWELL, RH_VISCOUS, Param)
+from .constants import BOUNDZ1
+from .mesh import build_topology, create_new_mesh
+from .ops import fields as F
+from .ops import geometry as G
+from .ops import matprops as M
+from .ops import rheology as R
+from .ops.assembly import node_sum
+from .ops.shapefn import compute_volume, shape_fn_gradients
+from .ops.tensor import second_invariant2, trace
+from .state import State, allocate_state
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["conn", "gather_idx", "gather_mask", "top_mask", "vbc",
+                 "mat"],
+    meta_fields=["ndims", "nnode", "nelem", "max_vbc_val"])
+@dataclass(frozen=True)
+class StepCtx:
+    """Per-mesh context for the step function.
+
+    The large topology arrays are pytree *data* so they are passed as jit
+    arguments (device-resident buffers) rather than baked into the XLA
+    program as constants — embedding 1M-element index arrays as literals
+    makes compilation pathologically slow.  Everything hashable stays
+    static metadata.
+    """
+
+    ndims: int
+    nnode: int
+    nelem: int
+    conn: jnp.ndarray
+    gather_idx: jnp.ndarray
+    gather_mask: jnp.ndarray
+    top_mask: jnp.ndarray  # BOUNDZ1 nodes (Dirichlet T)
+    vbc: bc_mod.VBCSpec
+    mat: M.MatTables
+    max_vbc_val: float
+
+
+def _elem_props(ctx: StepCtx, s: State):
+    """Per-element material properties from the (marker) weights."""
+    bulkm = M.bulkm(ctx.mat, s.emw)
+    shearm = M.shearm(ctx.mat, s.emw)
+    rho = M.rho(ctx.mat, s.emw, s.temperature, ctx.conn)
+    return bulkm, shearm, rho
+
+
+def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
+                   strain_rate):
+    """Anti-locking fix + constitutive switch (rheology.cxx:676-991).
+
+    Returns (stress, stressyy, strain, strain_rate_mod, plstrain,
+    delta_plstrain, viscosity, dpressure).
+    """
+    ndims = ctx.ndims
+    rheol = param.mat.rheol_type
+    dt = s.dt
+
+    # anti-mesh-locking correction on strain rate (rheology.cxx:755-763)
+    div = trace(strain_rate)
+    edot = strain_rate.at[:, :ndims].add(
+        ((s.edvoldt - div) / ndims)[:, None])
+
+    strain = s.strain + edot * dt
+    de = edot * dt
+
+    old_tr = trace(s.stress)
+    stress, stressyy = s.stress, s.stressyy
+    plstrain, delta_plstrain = s.plstrain, s.delta_plstrain
+    viscosity = s.viscosity
+
+    dpp = None  # hydraulic effective-stress increment; wired in later
+
+    if rheol == RH_ELASTIC:
+        stress = R.elastic(bulkm, shearm, de, s.stress, dpp)
+    elif rheol == RH_VISCOUS:
+        viscosity = M.visc(ctx.mat, s.emw, s.temperature, ctx.conn,
+                           s.stress, strain_rate)
+        total_dv = trace(strain)
+        stress = R.viscous(bulkm, viscosity, total_dv, edot, s.stress)
+    elif rheol == RH_MAXWELL:
+        viscosity = M.visc(ctx.mat, s.emw, s.temperature, ctx.conn,
+                           s.stress, strain_rate)
+        dv = s.volume / s.volume_old - 1.0
+        stress = R.maxwell(bulkm, shearm, viscosity, dt, dv, de, s.stress)
+    elif rheol in (RH_EP, RH_EP_RSF):
+        amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
+            ctx.mat, s.emw, s.plstrain)
+        if param.mat.is_plane_strain and ndims == 2:
+            stress, stressyy, depls, _ = R.elasto_plastic2d(
+                bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+                de, s.stress, s.stressyy, dpp)
+        else:
+            stress, depls, _ = R.elasto_plastic(
+                bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+                de, s.stress, dpp)
+        plstrain = s.plstrain + depls
+        delta_plstrain = depls
+    elif rheol in (RH_EVP, RH_EVP_RSF):
+        viscosity = M.visc(ctx.mat, s.emw, s.temperature, ctx.conn,
+                           s.stress, strain_rate)
+        dv = s.volume / s.volume_old - 1.0
+        sv = R.maxwell(bulkm, shearm, viscosity, dt, dv, de, s.stress)
+        svII = second_invariant2(sv)
+        amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
+            ctx.mat, s.emw, s.plstrain)
+        if param.mat.is_plane_strain and ndims == 2:
+            sp, spyy, depls, _ = R.elasto_plastic2d(
+                bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+                de, s.stress, s.stressyy, dpp)
+        else:
+            sp, depls, _ = R.elasto_plastic(
+                bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+                de, s.stress, dpp)
+            spyy = s.stressyy
+        spII = second_invariant2(sp)
+        # min-magnitude selection (rheology.cxx:869-879)
+        use_v = svII < spII
+        stress = jnp.where(use_v[:, None], sv, sp)
+        stressyy = jnp.where(use_v, s.stressyy, spyy)
+        plstrain = jnp.where(use_v, s.plstrain, s.plstrain + depls)
+        delta_plstrain = jnp.where(use_v, s.delta_plstrain, depls)
+    else:
+        raise ValueError(f"unknown rheol_type {rheol}")
+
+    if param.control.is_using_mixed_stress:
+        dpressure = trace(stress) - old_tr
+    else:
+        dpressure = s.dpressure
+    return (stress, stressyy, strain, edot, plstrain, delta_plstrain,
+            viscosity, dpressure)
+
+
+def make_step_fn(param: Param):
+    """Build the single-time-step transition function step(ctx, state).
+
+    ``ctx`` is a pytree argument (not a closure) so its large index arrays
+    stay device buffers instead of XLA constants.
+    """
+    ctrl = param.control
+
+    def step(ctx: StepCtx, s: State) -> State:
+        ndims = ctx.ndims
+        npe = ndims + 1
+        pseudo_speed = ctx.max_vbc_val * ctrl.inertial_scaling
+        steps = s.steps + 1
+        time = s.time + s.dt
+
+        dnd = shape_fn_gradients(s.coord, ctx.conn, s.volume)
+        bulkm, shearm, rho_e = _elem_props(ctx, s)
+
+        temperature = s.temperature
+        if ctrl.has_thermal_diffusion:
+            kappa = M.therm_cond(ctx.mat, s.emw)
+            source = s.radiogenic_source * s.volume * rho_e / npe
+            temperature = F.update_temperature(
+                s.temperature, ctx.conn, dnd, s.volume, kappa, source,
+                s.tmass, s.dt, ctx.top_mask, param.bc.surface_temperature,
+                ctx.gather_idx, ctx.gather_mask)
+
+        old_mean_stress = s.old_mean_stress
+        if ctrl.has_hydraulic_diffusion:
+            old_mean_stress = trace(s.stress) / ndims
+
+        strain_rate = F.update_strain_rate(s.vel, ctx.conn, dnd)
+        dvoldt = G.compute_dvoldt(strain_rate, s.volume, s.volume_n,
+                                  ctx.conn, ctx.gather_idx,
+                                  ctx.gather_mask)
+        edvoldt = G.compute_edvoldt(dvoldt, ctx.conn)
+        s1 = State(**{**s.__dict__, "edvoldt": edvoldt, "dt": s.dt,
+                      "temperature": temperature,
+                      "old_mean_stress": old_mean_stress})
+
+        (stress, stressyy, strain, strain_rate, plstrain, delta_plstrain,
+         viscosity, dpressure) = _update_stress(param, ctx, s1, bulkm,
+                                                shearm, strain_rate)
+
+        if ctrl.is_using_mixed_stress:
+            stress = G.nmd_stress(stress, dpressure, s.volume, s.volume_n,
+                                  ctx.conn, ctx.gather_idx,
+                                  ctx.gather_mask)
+
+        # force assembly (fields.cxx:612-703)
+        if ctrl.gravity != 0:
+            phi_e = M.phi_porosity(ctx.mat, s.emw)
+            buoy = (rho_e * (1.0 - phi_e) + 1000.0 * phi_e) \
+                * ctrl.gravity / npe
+        else:
+            buoy = jnp.zeros_like(s.volume)
+        contrib = F.internal_force_contrib(stress, s.volume, dnd, buoy)
+        force = F.assemble_force(contrib, ctx.gather_idx, ctx.gather_mask)
+        l2_res = F.residual_l2(force)
+        # boundary tractions (winkler/water/lithostatic) — only with gravity
+        # (bc.cxx:632-638 early-outs at gravity == 0); wired in with the
+        # gravity models.
+        force = F.apply_damping(force, s.vel, s.mass, s.ymass,
+                                ctrl.damping_option, ctrl.damping_factor)
+
+        vel = F.update_velocity(s.vel, force, s.mass, s.dt)
+        vel = bc_mod.apply_vbcs(ctx.vbc, vel, s.coord, time)
+
+        # update_mesh (dynearthsol.cxx:431-473)
+        if ctrl.has_moving_mesh:
+            coord = F.update_coordinate(s.coord, vel, s.dt)
+            volume_old = s.volume
+            volume = compute_volume(coord, ctx.conn)
+        else:
+            coord, volume_old, volume = s.coord, s.volume_old, s.volume
+
+        # CFL dt (geometry.cxx:756-923), refreshed every 10 steps
+        # (dynearthsol.cxx:861-871)
+        dt_new, vmax, gdtmin = G.compute_dt(
+            coord, ctx.conn, volume, vel, shearm, rho_e,
+            ctx.mat.visc_min, ctx.mat.therm_diff_max, s.hydro_diff_max,
+            ctx.max_vbc_val,
+            fixed_dt=ctrl.fixed_dt, dt_fraction=ctrl.dt_fraction,
+            inertial_scaling=ctrl.inertial_scaling,
+            is_quasi_static=ctrl.is_quasi_static,
+            has_thermal_diffusion=ctrl.has_thermal_diffusion,
+            has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
+            use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
+            bulk_modulus_ref=param.mat.bulk_modulus[param.mat.mattype_ref],
+            rho0_ref=param.mat.rho0[param.mat.mattype_ref])
+        refresh = (steps % 10 == 0) | ctrl.use_global_velocity_scaling
+        dt = jnp.where(refresh, dt_new, s.dt)
+
+        if ctrl.has_moving_mesh:
+            pseudo_atp = vmax * ctrl.inertial_scaling
+            phi_e = M.phi_porosity(ctx.mat, s.emw)
+            ab_e = M.alpha_biot(ctx.mat, s.emw)
+            bf_e = M.beta_fluid(ctx.mat, s.emw)
+            cp_e = M.cp(ctx.mat, s.emw)
+            volume_n, mass, tmass, hmass, ymass = G.compute_mass(
+                volume, ctx.conn, bulkm, shearm, rho_e, cp_e, phi_e, ab_e,
+                bf_e, ctx.gather_idx, ctx.gather_mask,
+                pseudo_speed=pseudo_speed, pseudo_speed_atp=pseudo_atp,
+                is_quasi_static=ctrl.is_quasi_static,
+                use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
+                has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
+                has_thermal_diffusion=ctrl.has_thermal_diffusion,
+                ndims=ndims)
+        else:
+            volume_n, mass, tmass, hmass, ymass = (
+                s.volume_n, s.mass, s.tmass, s.hmass, s.ymass)
+
+        # Jaumann rotation with post-move geometry (dynearthsol.cxx:853-855)
+        if param.mat.rheol_type & RH_ELASTIC:
+            dnd2 = shape_fn_gradients(coord, ctx.conn, volume)
+            stress, strain = F.rotate_stress(stress, strain, vel, ctx.conn,
+                                             dnd2, s.dt)
+
+        return State(
+            coord=coord, coord0=s.coord0, vel=vel, temperature=temperature,
+            ppressure=s.ppressure, dppressure=s.dppressure,
+            volume_n=volume_n, mass=mass, tmass=tmass, hmass=hmass,
+            ymass=ymass, force=force, volume=volume, volume_old=volume_old,
+            stress=stress, stressyy=stressyy,
+            old_mean_stress=old_mean_stress, strain=strain,
+            strain_rate=strain_rate, plstrain=plstrain,
+            delta_plstrain=delta_plstrain, viscosity=viscosity,
+            dpressure=dpressure, edvoldt=edvoldt,
+            radiogenic_source=s.radiogenic_source,
+            dyn_fric_coeff=s.dyn_fric_coeff,
+            state_variable=s.state_variable, emw=s.emw,
+            time=time, dt=dt, steps=steps, max_global_vel_mag=vmax,
+            global_dt_min=gdtmin, l2_residual=l2_res,
+            hydro_diff_max=s.hydro_diff_max)
+
+    return step
+
+
+class Simulation:
+    """End-to-end simulation: mesh/topology/IC on host, stepping on device."""
+
+    def __init__(self, param: Param):
+        self.param = param
+        ndims = param.sim.ndims
+        self.dtype = jnp.float64 if param.sim.float_dtype == "float64" \
+            else jnp.float32
+
+        mesh = create_new_mesh(param)
+        topo = build_topology(mesh, param.mesh.xlength, param.mesh.ylength,
+                              param.mesh.zlength)
+        self.mesh = mesh
+        self.topo = topo
+
+        mat_tables = M.MatTables.from_param(param.mat, dtype=self.dtype)
+        max_vbc_val = (param.control.characteristic_speed
+                       if param.control.characteristic_speed != 0
+                       else bc_mod.find_max_vbc(param.bc, ndims))
+
+        self.ctx = StepCtx(
+            ndims=ndims, nnode=topo.nnode, nelem=topo.nelem,
+            conn=jnp.asarray(topo.connectivity),
+            gather_idx=jnp.asarray(topo.gather_idx),
+            gather_mask=jnp.asarray(topo.gather_mask),
+            top_mask=jnp.asarray((topo.bcflag & BOUNDZ1) != 0),
+            vbc=bc_mod.VBCSpec.from_param(param, topo.bcflag),
+            mat=mat_tables, max_vbc_val=max_vbc_val)
+
+        self.state = self._init_state()
+        self._step_fn = make_step_fn(param)
+        self._chunk_fns = {}
+
+    # ---- init (dynearthsol.cxx:158-225) ----
+    def _init_state(self) -> State:
+        param, topo, ctx = self.param, self.topo, self.ctx
+        ndims = ctx.ndims
+        s = allocate_state(topo.nnode, topo.nelem, ndims, param.mat.nmat,
+                           dtype=self.dtype)
+        coord = jnp.asarray(self.mesh.coord, dtype=self.dtype)
+        volume = compute_volume(coord, ctx.conn)
+
+        temperature = jnp.asarray(
+            ic_mod.initial_temperature(param, self.mesh.coord),
+            dtype=self.dtype)
+        stress, stressyy, old_mean, strain, self.compensation_pressure = \
+            ic_mod.initial_stress_state(param, self.mesh.coord,
+                                        topo.connectivity)
+        plstrain = ic_mod.initial_weak_zone(param, self.mesh.coord,
+                                            topo.connectivity)
+        emw = jnp.asarray(
+            ic_mod.initial_material_weights(param, self.mesh.coord,
+                                            topo.connectivity),
+            dtype=self.dtype)
+
+        s = State(**{**s.__dict__,
+                     "coord": coord, "coord0": coord, "volume": volume,
+                     "volume_old": volume,
+                     "temperature": temperature,
+                     "stress": jnp.asarray(stress, dtype=self.dtype),
+                     "stressyy": jnp.asarray(stressyy, dtype=self.dtype),
+                     "old_mean_stress": jnp.asarray(old_mean,
+                                                    dtype=self.dtype),
+                     "strain": jnp.asarray(strain, dtype=self.dtype),
+                     "plstrain": jnp.asarray(plstrain, dtype=self.dtype),
+                     "emw": emw,
+                     "hydro_diff_max": jnp.asarray(1e-1, dtype=self.dtype)})
+
+        # apply vbcs + initial dt + mass (dynearthsol.cxx:186-190)
+        vel = bc_mod.apply_vbcs(ctx.vbc, s.vel, coord, s.time)
+        bulkm, shearm, rho_e = _elem_props(ctx, State(**{**s.__dict__,
+                                                         "vel": vel}))
+        ctrl = param.control
+        dt, vmax, gdtmin = G.compute_dt(
+            coord, ctx.conn, volume, vel, shearm, rho_e,
+            ctx.mat.visc_min, ctx.mat.therm_diff_max, s.hydro_diff_max,
+            ctx.max_vbc_val,
+            fixed_dt=ctrl.fixed_dt, dt_fraction=ctrl.dt_fraction,
+            inertial_scaling=ctrl.inertial_scaling,
+            is_quasi_static=ctrl.is_quasi_static,
+            has_thermal_diffusion=ctrl.has_thermal_diffusion,
+            has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
+            use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
+            bulk_modulus_ref=param.mat.bulk_modulus[param.mat.mattype_ref],
+            rho0_ref=param.mat.rho0[param.mat.mattype_ref])
+
+        pseudo_speed = ctx.max_vbc_val * ctrl.inertial_scaling
+        phi_e = M.phi_porosity(ctx.mat, s.emw)
+        ab_e = M.alpha_biot(ctx.mat, s.emw)
+        bf_e = M.beta_fluid(ctx.mat, s.emw)
+        cp_e = M.cp(ctx.mat, s.emw)
+        volume_n, mass, tmass, hmass, ymass = G.compute_mass(
+            volume, ctx.conn, bulkm, shearm, rho_e, cp_e, phi_e, ab_e, bf_e,
+            ctx.gather_idx, ctx.gather_mask,
+            pseudo_speed=pseudo_speed,
+            pseudo_speed_atp=vmax * ctrl.inertial_scaling,
+            is_quasi_static=ctrl.is_quasi_static,
+            use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
+            has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
+            has_thermal_diffusion=ctrl.has_thermal_diffusion,
+            ndims=ndims)
+
+        viscosity = M.visc(ctx.mat, s.emw, temperature, ctx.conn,
+                           s.stress, s.strain_rate)
+
+        return State(**{**s.__dict__, "vel": vel, "dt": dt,
+                        "max_global_vel_mag": vmax, "global_dt_min": gdtmin,
+                        "volume_n": volume_n, "mass": mass, "tmass": tmass,
+                        "hmass": hmass, "ymass": ymass,
+                        "viscosity": viscosity})
+
+    # ---- stepping ----
+    def _chunk_fn(self, n: int):
+        if n not in self._chunk_fns:
+            step = self._step_fn
+
+            @jax.jit
+            def run_chunk(ctx, state):
+                def body(s, _):
+                    return step(ctx, s), None
+                out, _ = jax.lax.scan(body, state, length=n)
+                return out
+
+            self._chunk_fns[n] = run_chunk
+        return self._chunk_fns[n]
+
+    def run_steps(self, n: int, chunk: Optional[int] = None):
+        """Advance n steps, scanning `chunk` steps per device launch."""
+        chunk = chunk or min(n, self.param.sim.scan_chunk_steps or 100)
+        done = 0
+        while done < n:
+            c = min(chunk, n - done)
+            self.state = self._chunk_fn(c)(self.ctx, self.state)
+            done += c
+        return self.state
+
+    def step_once(self):
+        self.state = self._chunk_fn(1)(self.ctx, self.state)
+        return self.state

@@ -1,0 +1,88 @@
+"""Simulation state pytree.
+
+Mirrors the reference's ``Variables`` struct (parameters.hpp:646-791) but as
+an immutable JAX pytree threaded through a ``lax.scan`` step loop.  Static
+topology (connectivity, assembly permutation, boundary masks) lives in
+``StepCtx`` (simulation.py), not here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class State:
+    # nodal fields
+    coord: jnp.ndarray          # (nnode, ndims)
+    coord0: jnp.ndarray         # initial coordinates (nnode, ndims)
+    vel: jnp.ndarray            # (nnode, ndims)
+    temperature: jnp.ndarray    # (nnode,)
+    ppressure: jnp.ndarray      # (nnode,)
+    dppressure: jnp.ndarray     # (nnode,)
+    volume_n: jnp.ndarray       # (nnode,) lumped volume
+    mass: jnp.ndarray           # (nnode,)
+    tmass: jnp.ndarray          # (nnode,) thermal mass
+    hmass: jnp.ndarray          # (nnode,) hydraulic mass
+    ymass: jnp.ndarray          # (nnode,) Young's-modulus mass
+    force: jnp.ndarray          # (nnode, ndims) last assembled force
+    # element fields
+    volume: jnp.ndarray         # (nelem,)
+    volume_old: jnp.ndarray     # (nelem,)
+    stress: jnp.ndarray         # (nelem, NSTR)
+    stressyy: jnp.ndarray       # (nelem,) plane-strain out-of-plane stress
+    old_mean_stress: jnp.ndarray  # (nelem,)
+    strain: jnp.ndarray         # (nelem, NSTR)
+    strain_rate: jnp.ndarray    # (nelem, NSTR)
+    plstrain: jnp.ndarray       # (nelem,)
+    delta_plstrain: jnp.ndarray  # (nelem,)
+    viscosity: jnp.ndarray      # (nelem,)
+    dpressure: jnp.ndarray      # (nelem,) pressure change for NMD
+    edvoldt: jnp.ndarray        # (nelem,) smoothed volumetric strain rate
+    radiogenic_source: jnp.ndarray  # (nelem,)
+    dyn_fric_coeff: jnp.ndarray  # (nelem,) RSF
+    state_variable: jnp.ndarray  # (nelem,) RSF
+    emw: jnp.ndarray            # (nelem, nmat) element material weights
+    # scalars
+    time: jnp.ndarray
+    dt: jnp.ndarray
+    steps: jnp.ndarray          # int64
+    max_global_vel_mag: jnp.ndarray
+    global_dt_min: jnp.ndarray
+    l2_residual: jnp.ndarray
+    hydro_diff_max: jnp.ndarray
+
+
+def allocate_state(nnode: int, nelem: int, ndims: int, nmat: int,
+                   dtype=jnp.float64) -> State:
+    """Zero-initialised state (cf. allocate_variables, fields.cxx:56-122)."""
+    nstr = ndims * (ndims + 1) // 2
+
+    def nvec(*shape):
+        return jnp.zeros(shape, dtype=dtype)
+
+    return State(
+        coord=nvec(nnode, ndims), coord0=nvec(nnode, ndims),
+        vel=nvec(nnode, ndims), temperature=nvec(nnode),
+        ppressure=nvec(nnode), dppressure=nvec(nnode),
+        volume_n=nvec(nnode), mass=nvec(nnode), tmass=nvec(nnode),
+        hmass=nvec(nnode), ymass=nvec(nnode), force=nvec(nnode, ndims),
+        volume=nvec(nelem), volume_old=nvec(nelem),
+        stress=nvec(nelem, nstr), stressyy=nvec(nelem),
+        old_mean_stress=nvec(nelem), strain=nvec(nelem, nstr),
+        strain_rate=nvec(nelem, nstr), plstrain=nvec(nelem),
+        delta_plstrain=nvec(nelem), viscosity=nvec(nelem),
+        dpressure=nvec(nelem), edvoldt=nvec(nelem),
+        radiogenic_source=nvec(nelem), dyn_fric_coeff=nvec(nelem),
+        state_variable=nvec(nelem), emw=jnp.ones((nelem, nmat), dtype=dtype),
+        time=jnp.zeros((), dtype=dtype), dt=jnp.zeros((), dtype=dtype),
+        steps=jnp.zeros((), dtype=jnp.int64),
+        max_global_vel_mag=jnp.zeros((), dtype=dtype),
+        global_dt_min=jnp.zeros((), dtype=dtype),
+        l2_residual=jnp.zeros((), dtype=dtype),
+        hydro_diff_max=jnp.zeros((), dtype=dtype),
+    )

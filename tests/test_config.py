@@ -1,0 +1,58 @@
+"""Config parser tests against the reference's cfg dialect
+(input.cxx:16-901, examples/defaults.cfg)."""
+
+import os
+
+import pytest
+
+from dynearthsol_tpu.config import (RH_EP, RH_MAXWELL, load_config,
+                                    param_from_dict)
+
+REF = "/root/reference"
+
+
+def test_defaults():
+    p = param_from_dict({"mat": {"rheology_type": "maxwell"},
+                         "mesh": {"resolution": 1.0}})
+    assert p.control.gravity == 10.0
+    assert p.control.inertial_scaling == 1e5
+    assert p.control.damping_option == 1
+    assert p.control.damping_factor == 0.8
+    assert p.bc.vbc_x0 == 1
+    assert p.mat.visc_max == 1e24
+    assert p.mat.rheol_type == RH_MAXWELL
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_parse_maxwell_cfg():
+    p = load_config(f"{REF}/benchmarks/maxwell.cfg")
+    assert p.sim.max_steps == 10000000
+    assert p.mesh.resolution == 0.05
+    assert p.control.gravity == 0.0
+    assert p.control.characteristic_speed == 1e-14
+    assert p.control.inertial_scaling == 1e6
+    assert p.control.has_thermal_diffusion is False
+    assert p.bc.vbc_x1 == 100 and p.bc.vbc_val_x1 == -1e-14
+    assert p.mat.rheol_type == RH_MAXWELL
+    assert p.mat.bulk_modulus == [1e12]
+    assert p.mat.visc_min == p.mat.visc_max == 1e22
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_parse_oedometer_cfg():
+    p = load_config(f"{REF}/benchmarks/oedometer-2d.cfg")
+    assert p.mat.rheol_type == RH_EP
+    assert p.mat.is_plane_strain is True
+    assert p.control.fixed_dt == 1.0
+    assert p.mat.friction_angle0 == [10.0]
+    assert p.mat.tension_max == 5.67e6
+    # repeated [sim] sections merge
+    assert p.sim.max_steps == 2000
+
+
+def test_broadcast_per_material():
+    p = param_from_dict({
+        "mat": {"rheology_type": "elastic", "nmat": 3, "rho0": [2800.0]},
+        "mesh": {"resolution": 1.0}})
+    assert p.mat.rho0 == [2800.0] * 3
+    assert len(p.mat.bulk_modulus) == 3
