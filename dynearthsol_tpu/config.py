@@ -572,6 +572,12 @@ def param_from_dict(d: dict) -> Param:
     for section, kv in d.items():
         sec_obj = getattr(param, section)
         for key, val in kv.items():
+            if section == "mat":
+                key = {"num_materials": "nmat", "max_viscosity": "visc_max",
+                       "min_viscosity": "visc_min",
+                       "max_tension": "tension_max",
+                       "max_thermal_diffusivity": "therm_diff_max",
+                       }.get(key, key)
             if not hasattr(sec_obj, key):
                 raise KeyError(f"unknown option [{section}] {key}")
             setattr(sec_obj, key, val)

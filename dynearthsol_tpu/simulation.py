@@ -26,6 +26,7 @@ import numpy as np
 
 from . import bc as bc_mod
 from . import ic as ic_mod
+from . import markers as mk
 from .config import (RH_ELASTIC, RH_EP, RH_EVP, RH_EP_RSF, RH_EVP_RSF,
                      RH_MAXWELL, RH_VISCOUS, Param)
 from .constants import BOUNDZ1
@@ -350,10 +351,19 @@ class Simulation:
                                         topo.connectivity)
         plstrain = ic_mod.initial_weak_zone(param, self.mesh.coord,
                                             topo.connectivity)
-        emw = jnp.asarray(
-            ic_mod.initial_material_weights(param, self.mesh.coord,
-                                            topo.connectivity),
-            dtype=self.dtype)
+        if param.markers.markers_per_element > 0:
+            self.markers = mk.create_markers(param, self.mesh.coord,
+                                             topo.connectivity)
+            emw = jnp.asarray(
+                mk.emw_from_markers(self.markers, topo.nelem,
+                                    param.mat.nmat),
+                dtype=self.dtype)
+        else:
+            self.markers = None
+            emw = jnp.asarray(
+                ic_mod.initial_material_weights(param, self.mesh.coord,
+                                                topo.connectivity),
+                dtype=self.dtype)
 
         s = State(**{**s.__dict__,
                      "coord": coord, "coord0": coord, "volume": volume,
