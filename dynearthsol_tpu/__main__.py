@@ -1,0 +1,156 @@
+"""CLI driver: ``python -m dynearthsol_tpu model.cfg``.
+
+Mirrors the reference's main/time-loop (dynearthsol.cxx:573-1002): init or
+restart, frame-0 output, the step loop with output/checkpoint scheduling,
+periodic quality checks with remeshing, progress lines, and the end-of-run
+timing summary (Execute/Compute/Output splits and s/step).
+
+TPU-native difference: steps run in jitted ``lax.scan`` chunks; the host
+wakes only at scheduling boundaries (the reference pays per-step kernel
+launches instead, SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+import sys
+import time as _time
+
+import numpy as np
+
+from . import load_config
+from .constants import YEAR2SEC
+from .io import Output, restart
+from .simulation import Simulation
+
+INT_MAX = 2**31 - 1
+
+
+def _next_event_step(sim, next_regular_frame, starting_step):
+    """Smallest future step at which the host must wake: output frame,
+    quality check, or info display (dynearthsol.cxx:879-951)."""
+    p = sim.param
+    steps = int(sim.state.steps)
+    candidates = [steps + (p.mesh.quality_check_step_interval
+                           - steps % p.mesh.quality_check_step_interval
+                           or p.mesh.quality_check_step_interval)]
+    if p.sim.output_step_interval != INT_MAX:
+        target = starting_step + next_regular_frame * p.sim.output_step_interval
+        if target > steps:
+            candidates.append(target)
+    candidates.append(p.sim.max_steps)
+    return max(min(candidates), steps + 1)
+
+
+def run(param, argv_echo: str = ""):
+    t_start = _time.monotonic_ns()
+    p = param
+
+    if p.sim.is_restarting:
+        sim, start_frame = restart(p)
+        out = Output(p, start_frame=start_frame + 1, start_time_ns=t_start)
+        starting_step = int(sim.state.steps)
+        starting_time = float(sim.state.time)
+        print(f"Restarted from frame {start_frame} "
+              f"(step {starting_step}).")
+    else:
+        sim = Simulation(p)
+        out = Output(p, start_frame=0, start_time_ns=t_start)
+        starting_step = 0
+        starting_time = 0.0
+        if p.sim.has_initial_checkpoint:
+            out.write_checkpoint(sim)
+        out.write_exact(sim)
+
+    print(f"# mesh: {sim.topo.nnode} nodes, {sim.topo.nelem} elements, "
+          f"{sim.topo.nseg} segments")
+
+    next_regular_frame = 1
+    max_time = p.sim.max_time_in_yr * YEAR2SEC
+    t_compute_ns = 0
+    t_output_ns = 0
+    t_remesh_ns = 0
+    nsteps0 = int(sim.state.steps)
+
+    while (int(sim.state.steps) < p.sim.max_steps
+           and float(sim.state.time) <= max_time):
+        target = _next_event_step(sim, next_regular_frame, starting_step)
+        n = target - int(sim.state.steps)
+        t0 = _time.monotonic_ns()
+        sim.run_steps(n)
+        import jax
+        jax.block_until_ready(sim.state.coord)
+        t_compute_ns += _time.monotonic_ns() - t0
+
+        steps = int(sim.state.steps)
+        now = float(sim.state.time)
+
+        # output scheduling (dynearthsol.cxx:887-911)
+        step_due = (p.sim.output_step_interval != INT_MAX and
+                    (steps - starting_step)
+                    == next_regular_frame * p.sim.output_step_interval)
+        time_due = (p.sim.output_time_interval_in_yr != float("inf") and
+                    (now - starting_time) > next_regular_frame
+                    * p.sim.output_time_interval_in_yr * YEAR2SEC)
+        avg_ok = (not p.sim.is_outputting_averaged_fields
+                  or steps % p.mesh.quality_check_step_interval == 0)
+        if (step_due or time_due) and avg_ok:
+            t0 = _time.monotonic_ns()
+            if next_regular_frame % p.sim.checkpoint_frame_interval == 0:
+                out.write_checkpoint(sim)
+            out.write(sim)
+            t_output_ns += _time.monotonic_ns() - t0
+            next_regular_frame += 1
+            sim.reference_frame_time = (
+                starting_time + next_regular_frame
+                * p.sim.output_time_interval_in_yr * YEAR2SEC)
+
+        # quality check + remeshing (dynearthsol.cxx:914-934)
+        min_quality = 1.0
+        if (steps % p.mesh.quality_check_step_interval == 0
+                and p.control.has_moving_mesh):
+            from .remeshing import bad_mesh_quality, remesh
+            bad, min_quality = bad_mesh_quality(sim)
+            if bad:
+                t0 = _time.monotonic_ns()
+                if p.sim.has_output_during_remeshing:
+                    out.write_exact(sim)
+                remesh(sim, bad)
+                if p.sim.has_output_during_remeshing:
+                    out.write_exact(sim)
+                t_remesh_ns += _time.monotonic_ns() - t0
+
+        # progress line (dynearthsol.cxx:936-950)
+        if steps >= sim.info_display_next_step:
+            wt = (_time.monotonic_ns() - t_start) * 1e-9
+            q = f", min_q = {min_quality:.4f}" if min_quality < 1.0 else ""
+            print(f"              Step = {steps}, time = "
+                  f"{now / YEAR2SEC:.5e} yr, vmax = "
+                  f"{float(sim.state.max_global_vel_mag):.3e} m/s{q}, "
+                  f"wt = {wt:.1f} s")
+            sim.info_display_next_step = (
+                steps + p.sim.info_display_step_interval)
+
+    # final timing summary (dynearthsol.cxx:963-1002)
+    t_total = (_time.monotonic_ns() - t_start) * 1e-9
+    nsteps = int(sim.state.steps) - nsteps0
+    print(f"Execute:  {t_total:.2f} s")
+    if nsteps:
+        print(f"Compute:  {t_compute_ns * 1e-9:.2f} s / {nsteps} steps = "
+              f"{t_compute_ns * 1e-9 / nsteps:.3e} s/step")
+    print(f"Output:   {t_output_ns * 1e-9:.2f} s")
+    print(f"Remesh:   {t_remesh_ns * 1e-9:.2f} s")
+    return sim
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 1 or argv[0] in ("-h", "--help"):
+        print("usage: python -m dynearthsol_tpu <model.cfg>")
+        return 0 if argv and argv[0] in ("-h", "--help") else 1
+    param = load_config(argv[0])
+    run(param)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

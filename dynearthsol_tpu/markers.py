@@ -37,11 +37,12 @@ class MarkerSet:
     eta: np.ndarray       # (cap, npe) barycentric coords in owner element
     elem: np.ndarray      # (cap,) int32 owner element
     mattype: np.ndarray   # (cap,) int32
-    id: np.ndarray        # (cap,) int64 unique id
+    id: np.ndarray        # (cap,) int32 unique id
     time: np.ndarray      # (cap,) creation time
     z: np.ndarray         # (cap,) creation depth
     distance: np.ndarray  # (cap,) horizontal distance at creation
     slope: np.ndarray     # (cap,) surface slope at creation
+    genesis: np.ndarray   # (cap,) int32 creation mechanism code
     n: int = 0
     last_id: int = 0
     name: str = "markerset"
@@ -56,11 +57,12 @@ class MarkerSet:
             eta=np.zeros((cap, npe)),
             elem=np.zeros(cap, dtype=np.int32),
             mattype=np.zeros(cap, dtype=np.int32),
-            id=np.zeros(cap, dtype=np.int64),
+            id=np.zeros(cap, dtype=np.int32),
             time=np.zeros(cap),
             z=np.zeros(cap),
             distance=np.zeros(cap),
             slope=np.zeros(cap),
+            genesis=np.zeros(cap, dtype=np.int32),
             name=name)
 
     @property
@@ -73,7 +75,7 @@ class MarkerSet:
             return
         new_cap = max(need, int(self.cap * 1.6) + 64)
         for nm in ("eta", "elem", "mattype", "id", "time", "z", "distance",
-                   "slope"):
+                   "slope", "genesis"):
             old = getattr(self, nm)
             shape = (new_cap,) + old.shape[1:]
             new = np.zeros(shape, dtype=old.dtype)
@@ -81,7 +83,7 @@ class MarkerSet:
             setattr(self, nm, new)
 
     def append(self, eta, elem, mattype, time=0.0, z=0.0, distance=0.0,
-               slope=0.0) -> np.ndarray:
+               slope=0.0, genesis=0) -> np.ndarray:
         """Append markers; returns their indices
         (markerset.cxx:196-258 append_marker)."""
         eta = np.atleast_2d(eta)
@@ -96,6 +98,7 @@ class MarkerSet:
         self.z[sl] = z
         self.distance[sl] = distance
         self.slope[sl] = slope
+        self.genesis[sl] = genesis
         self.last_id += k
         self.n += k
         return np.arange(sl.start, sl.stop)
@@ -109,7 +112,7 @@ class MarkerSet:
             last = self.n - 1
             if i != last:
                 for nm in ("eta", "elem", "mattype", "id", "time", "z",
-                           "distance", "slope"):
+                           "distance", "slope", "genesis"):
                     a = getattr(self, nm)
                     a[i] = a[last]
             self.n = last
@@ -130,12 +133,16 @@ class MarkerSet:
         return h
 
     # ---- checkpoint I/O ----
-    def save_arrays(self) -> dict:
-        """Arrays for the checkpoint writer (markerset.cxx:855-914)."""
+    def save_arrays(self, coord=None, conn=None) -> dict:
+        """Save-file arrays with the reference names
+        (markerset.cxx:926-950 write_save_file): "<name> size" int[1],
+        then <name>.{coord,eta,elem,mattype,id,time,z,distance,slope,
+        genesis}."""
         pre = self.name
-        return {
-            f"{pre}.size": np.array([self.n], dtype=np.int64),
-            f"{pre}.last_id": np.array([self.last_id], dtype=np.int64),
+        out = {f"{pre} size": np.array([self.n], dtype=np.int32)}
+        if coord is not None:
+            out[f"{pre}.coord"] = self.coords(coord, conn)
+        out.update({
             f"{pre}.eta": self.live("eta").copy(),
             f"{pre}.elem": self.live("elem").copy(),
             f"{pre}.mattype": self.live("mattype").copy(),
@@ -144,24 +151,40 @@ class MarkerSet:
             f"{pre}.z": self.live("z").copy(),
             f"{pre}.distance": self.live("distance").copy(),
             f"{pre}.slope": self.live("slope").copy(),
+            f"{pre}.genesis": self.live("genesis").copy(),
+        })
+        return out
+
+    def chkpt_arrays(self) -> dict:
+        """Checkpoint extras (markerset.cxx:864-877 write_chkpt_file):
+        "<name> size" int[3] = (nmarkers, last_id, reserved)."""
+        pre = self.name
+        return {
+            f"{pre} size": np.array([self.n, self.last_id, self.cap],
+                                    dtype=np.int32),
+            f"{pre}.genesis": self.live("genesis").copy(),
         }
 
     @staticmethod
-    def from_arrays(ndims: int, arrays: dict, name: str = "markerset"
-                    ) -> "MarkerSet":
+    def from_arrays(ndims: int, save: dict, chkpt: dict,
+                    name: str = "markerset") -> "MarkerSet":
+        """Rebuild from save+chkpt arrays (markerset.cxx:888-916
+        read_chkpt_file)."""
         pre = name
-        n = int(arrays[f"{pre}.size"][0])
-        ms = MarkerSet.empty(ndims, cap=max(n, 64), name=name)
+        n, last_id, reserved = (int(x) for x in chkpt[f"{pre} size"][:3])
+        ms = MarkerSet.empty(ndims, cap=max(reserved, n, 64), name=name)
         ms.n = n
-        ms.last_id = int(arrays[f"{pre}.last_id"][0])
-        ms.eta[:n] = arrays[f"{pre}.eta"].reshape(n, ndims + 1)
-        ms.elem[:n] = arrays[f"{pre}.elem"].ravel()
-        ms.mattype[:n] = arrays[f"{pre}.mattype"].ravel()
-        ms.id[:n] = arrays[f"{pre}.id"].ravel()
-        ms.time[:n] = arrays[f"{pre}.time"].ravel()
-        ms.z[:n] = arrays[f"{pre}.z"].ravel()
-        ms.distance[:n] = arrays[f"{pre}.distance"].ravel()
-        ms.slope[:n] = arrays[f"{pre}.slope"].ravel()
+        ms.last_id = last_id
+        if n:
+            ms.eta[:n] = save[f"{pre}.eta"].reshape(n, ndims + 1)
+            ms.elem[:n] = save[f"{pre}.elem"].ravel()[:n]
+            ms.mattype[:n] = save[f"{pre}.mattype"].ravel()[:n]
+            ms.id[:n] = save[f"{pre}.id"].ravel()[:n]
+            ms.time[:n] = save[f"{pre}.time"].ravel()[:n]
+            ms.z[:n] = save[f"{pre}.z"].ravel()[:n]
+            ms.distance[:n] = save[f"{pre}.distance"].ravel()[:n]
+            ms.slope[:n] = save[f"{pre}.slope"].ravel()[:n]
+            ms.genesis[:n] = chkpt[f"{pre}.genesis"].ravel()[:n]
         return ms
 
 

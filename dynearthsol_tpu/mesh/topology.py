@@ -55,7 +55,13 @@ class Topology:
     asm_node_ids: np.ndarray  # (nelem*npe,) int32, sorted
     gather_idx: np.ndarray  # (nnode, max_degree) int32
     gather_mask: np.ndarray  # (nnode, max_degree) bool
+    segment: np.ndarray = None  # (nseg, ndims) int32 boundary facet nodes
+    segflag: np.ndarray = None  # (nseg,) int32 boundary bit of each segment
     support: Dict[int, List[int]] = field(default_factory=dict)
+
+    @property
+    def nseg(self) -> int:
+        return 0 if self.segment is None else self.segment.shape[0]
 
 
 def _boundary_facets(conn: np.ndarray, npe: int) -> np.ndarray:
@@ -126,6 +132,24 @@ def build_topology(mesh: MeshData, xlength: float, ylength: float,
                if pairs else np.zeros((0, 2), dtype=np.int32))
         bfacets.append(arr)
 
+    # boundary segments (2D: edges, 3D: tri facets) with flags, the
+    # equivalent of the mesher's segment/segflag output (mesh.cxx:2811)
+    seen = set()
+    segs: List[tuple] = []
+    segflags: List[int] = []
+    for i in range(NBDRYTYPES):
+        for e, f in bfacets[i]:
+            nodes = tuple(conn[e, list(nof[f])])
+            key = tuple(sorted(nodes))
+            if key in seen:
+                continue
+            seen.add(key)
+            segs.append(nodes)
+            segflags.append(1 << i)
+    segment = (np.asarray(segs, dtype=np.int32) if segs
+               else np.zeros((0, ndims), dtype=np.int32))
+    segflag = np.asarray(segflags, dtype=np.int32)
+
     flat = conn.ravel().astype(np.int32)
     asm_perm = np.argsort(flat, kind="stable").astype(np.int32)
     asm_node_ids = flat[asm_perm]
@@ -145,4 +169,56 @@ def build_topology(mesh: MeshData, xlength: float, ylength: float,
                     connectivity=conn.astype(np.int32), bcflag=bcflag,
                     bnodes=bnodes, bfacets=bfacets,
                     asm_perm=asm_perm, asm_node_ids=asm_node_ids,
-                    gather_idx=gather_idx, gather_mask=gather_mask)
+                    gather_idx=gather_idx, gather_mask=gather_mask,
+                    segment=segment, segflag=segflag)
+
+
+def build_topology_from_arrays(ndims: int, conn: np.ndarray,
+                               bcflag: np.ndarray, segment: np.ndarray,
+                               segflag: np.ndarray) -> Topology:
+    """Rebuild topology from checkpointed arrays (restart path,
+    dynearthsol.cxx:284-306): node flags and segments come from the files —
+    the mesh has deformed, so coordinate tests would mislabel boundaries."""
+    nnode = bcflag.shape[0]
+    nelem = conn.shape[0]
+    d = dim(ndims)
+    nof = d.node_of_facet
+
+    bnodes = [np.nonzero(bcflag & (1 << i))[0].astype(np.int32)
+              for i in range(NBDRYTYPES)]
+
+    # map facet node-sets -> (elem, facet)
+    owner = {}
+    for f, locs in enumerate(nof):
+        fac = np.sort(conn[:, list(locs)], axis=1)
+        for e in range(nelem):
+            owner[tuple(fac[e])] = (e, f)
+    bfacets: List[np.ndarray] = []
+    for i in range(NBDRYTYPES):
+        sel = np.nonzero(segflag == (1 << i))[0]
+        pairs = sorted(owner[tuple(sorted(segment[s]))] for s in sel
+                       if tuple(sorted(segment[s])) in owner)
+        arr = (np.asarray(pairs, dtype=np.int32).reshape(-1, 2)
+               if pairs else np.zeros((0, 2), dtype=np.int32))
+        bfacets.append(arr)
+
+    flat = conn.ravel().astype(np.int32)
+    asm_perm = np.argsort(flat, kind="stable").astype(np.int32)
+    asm_node_ids = flat[asm_perm]
+    counts = np.bincount(flat, minlength=nnode)
+    max_deg = int(counts.max())
+    gather_idx = np.zeros((nnode, max_deg), dtype=np.int32)
+    gather_mask = np.zeros((nnode, max_deg), dtype=bool)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos_in_run = np.arange(flat.size) - starts[asm_node_ids]
+    gather_idx[asm_node_ids, pos_in_run] = asm_perm
+    gather_mask[asm_node_ids, pos_in_run] = True
+
+    return Topology(ndims=ndims, nnode=nnode, nelem=nelem,
+                    connectivity=conn.astype(np.int32),
+                    bcflag=bcflag.astype(np.uint32),
+                    bnodes=bnodes, bfacets=bfacets,
+                    asm_perm=asm_perm, asm_node_ids=asm_node_ids,
+                    gather_idx=gather_idx, gather_mask=gather_mask,
+                    segment=segment.astype(np.int32),
+                    segflag=segflag.astype(np.int32))

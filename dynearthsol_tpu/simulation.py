@@ -281,7 +281,26 @@ def make_step_fn(param: Param):
             stress, strain = F.rotate_stress(stress, strain, vel, ctx.conn,
                                              dnd2, s.dt)
 
+        # averaged-output accumulators (output.cxx:300-340 average_fields):
+        # reset at steps % interval == 1, accumulate otherwise
+        if param.sim.is_outputting_averaged_fields:
+            interval = param.mesh.quality_check_step_interval
+            reset = (steps % interval) == 1
+            stress_avg = jnp.where(reset, stress, s.stress_avg + stress)
+            dpls_avg = jnp.where(reset, delta_plstrain,
+                                 s.delta_plstrain_avg + delta_plstrain)
+            coord_avg0 = jnp.where(reset, coord, s.coord_avg0)
+            strain_avg0 = jnp.where(reset, strain, s.strain_avg0)
+            time_avg0 = jnp.where(reset, time, s.time_avg0)
+        else:
+            stress_avg, dpls_avg = s.stress_avg, s.delta_plstrain_avg
+            coord_avg0, strain_avg0 = s.coord_avg0, s.strain_avg0
+            time_avg0 = s.time_avg0
+
         return State(
+            stress_avg=stress_avg, delta_plstrain_avg=dpls_avg,
+            coord_avg0=coord_avg0, strain_avg0=strain_avg0,
+            time_avg0=time_avg0,
             coord=coord, coord0=s.coord0, vel=vel, temperature=temperature,
             ppressure=s.ppressure, dppressure=s.dppressure,
             volume_n=volume_n, mass=mass, tmass=tmass, hmass=hmass,
@@ -304,15 +323,20 @@ def make_step_fn(param: Param):
 class Simulation:
     """End-to-end simulation: mesh/topology/IC on host, stepping on device."""
 
-    def __init__(self, param: Param):
+    def __init__(self, param: Param, _restart: Optional[dict] = None):
         self.param = param
         ndims = param.sim.ndims
         self.dtype = jnp.float64 if param.sim.float_dtype == "float64" \
             else jnp.float32
 
-        mesh = create_new_mesh(param)
-        topo = build_topology(mesh, param.mesh.xlength, param.mesh.ylength,
-                              param.mesh.zlength)
+        if _restart is None:
+            mesh = create_new_mesh(param)
+            topo = build_topology(mesh, param.mesh.xlength,
+                                  param.mesh.ylength, param.mesh.zlength)
+        else:
+            from .mesh.generate import MeshData
+            mesh = MeshData(ndims, _restart["coord"], _restart["conn"])
+            topo = _restart["topo"]
         self.mesh = mesh
         self.topo = topo
 
@@ -330,7 +354,23 @@ class Simulation:
             vbc=bc_mod.VBCSpec.from_param(param, topo.bcflag),
             mat=mat_tables, max_vbc_val=max_vbc_val)
 
-        self.state = self._init_state()
+        # driver/aux bookkeeping (parameters.hpp Variables scalars)
+        from .constants import IBOUNDZ0, IBOUNDZ1
+        self.info_display_next_step = param.sim.info_display_step_interval
+        self.reference_frame_time = 0.0
+        self.compensation_pressure = 0.0
+        self.bottom_temperature = param.bc.mantle_temperature
+        # surface accumulators (SurfaceInfo, parameters.hpp:576-630)
+        self.dhacc = np.zeros(len(topo.bnodes[IBOUNDZ1]))
+        self.edvacc_surf = np.zeros(max(len(topo.bfacets[IBOUNDZ1]), 0))
+
+        if _restart is None:
+            self.state = self._init_state()
+            bot = topo.bnodes[IBOUNDZ0]
+            if len(bot):
+                self.bottom_temperature = float(self.state.temperature[bot[0]])
+        else:
+            self.state = self._restart_state(_restart)
         self._step_fn = make_step_fn(param)
         self._chunk_fns = {}
 
@@ -420,6 +460,112 @@ class Simulation:
                         "volume_n": volume_n, "mass": mass, "tmass": tmass,
                         "hmass": hmass, "ymass": ymass,
                         "viscosity": viscosity})
+
+    # ---- restart (dynearthsol.cxx:227-420) ----
+    def _restart_state(self, r: dict) -> State:
+        param, topo, ctx = self.param, self.topo, self.ctx
+        ndims = ctx.ndims
+        dt = self.dtype
+        s = allocate_state(topo.nnode, topo.nelem, ndims, param.mat.nmat,
+                           dtype=dt)
+        coord = jnp.asarray(r["coord"], dtype=dt)
+        if "volume" in r:  # exact-restart extras present
+            volume = jnp.asarray(r["volume"], dtype=dt)
+        else:
+            volume = compute_volume(coord, ctx.conn)
+        self.markers = r.get("markers")
+        if self.markers is not None:
+            emw = jnp.asarray(
+                mk.emw_from_markers(self.markers, topo.nelem,
+                                    param.mat.nmat), dtype=dt)
+        else:
+            emw = s.emw
+        scal = r["scalars"]
+        self.info_display_next_step = scal[1]
+        self.compensation_pressure = scal[2]
+        self.bottom_temperature = scal[3]
+        self.reference_frame_time = scal[6]
+        if "dhacc" in r:
+            self.dhacc = r["dhacc"]
+        if "edvacc_surf" in r:
+            self.edvacc_surf = r["edvacc_surf"]
+
+        def a(name, default=None):
+            if name in r:
+                return jnp.asarray(r[name], dtype=dt)
+            return default
+
+        s = State(**{**s.__dict__,
+                     "coord": coord, "coord0": a("coord0", coord),
+                     "vel": a("vel", s.vel),
+                     "temperature": a("temperature", s.temperature),
+                     "ppressure": a("ppressure", s.ppressure),
+                     "volume": volume,
+                     "volume_old": a("volume_old", volume),
+                     "stress": a("stress", s.stress),
+                     "stressyy": a("stressyy", s.stressyy),
+                     "strain": a("strain", s.strain),
+                     "plstrain": a("plstrain", s.plstrain),
+                     "state_variable": a("state_variable", s.state_variable),
+                     "emw": emw,
+                     "time": jnp.asarray(scal[0], dtype=dt),
+                     "dt": jnp.asarray(scal[4], dtype=dt),
+                     "steps": jnp.asarray(r["steps"], dtype=jnp.int64),
+                     "max_global_vel_mag": jnp.asarray(scal[5], dtype=dt),
+                     "hydro_diff_max": jnp.asarray(1e-1, dtype=dt)})
+        if "old_mean_stress" in r:
+            s = State(**{**s.__dict__,
+                         "old_mean_stress": jnp.asarray(r["old_mean_stress"],
+                                                        dtype=dt)})
+        elif param.control.has_hydraulic_diffusion:
+            s = State(**{**s.__dict__,
+                         "old_mean_stress": trace(s.stress) / ndims})
+
+        # recompute mass/normals, re-apply vbcs (dynearthsol.cxx:411-420)
+        vel = bc_mod.apply_vbcs(ctx.vbc, s.vel, coord, s.time)
+        s = State(**{**s.__dict__, "vel": vel})
+        if "mass" in r:  # exact-restart extras present
+            volume_n, mass, tmass, hmass, ymass = (
+                jnp.asarray(r["volume_n"], dtype=dt),
+                jnp.asarray(r["mass"], dtype=dt),
+                jnp.asarray(r["tmass"], dtype=dt),
+                jnp.asarray(r["hmass"], dtype=dt),
+                jnp.asarray(r["ymass"], dtype=dt))
+        else:
+            bulkm, shearm, rho_e = _elem_props(ctx, s)
+            ctrl = param.control
+            pseudo_speed = ctx.max_vbc_val * ctrl.inertial_scaling
+            phi_e = M.phi_porosity(ctx.mat, s.emw)
+            ab_e = M.alpha_biot(ctx.mat, s.emw)
+            bf_e = M.beta_fluid(ctx.mat, s.emw)
+            cp_e = M.cp(ctx.mat, s.emw)
+            volume_n, mass, tmass, hmass, ymass = G.compute_mass(
+                volume, ctx.conn, bulkm, shearm, rho_e, cp_e, phi_e, ab_e,
+                bf_e, ctx.gather_idx, ctx.gather_mask,
+                pseudo_speed=pseudo_speed,
+                pseudo_speed_atp=s.max_global_vel_mag
+                * ctrl.inertial_scaling,
+                is_quasi_static=ctrl.is_quasi_static,
+                use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
+                has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
+                has_thermal_diffusion=ctrl.has_thermal_diffusion,
+                ndims=ndims)
+        viscosity = M.visc(ctx.mat, s.emw, s.temperature, ctx.conn,
+                           s.stress, s.strain_rate)
+        return State(**{**s.__dict__, "volume_n": volume_n, "mass": mass,
+                        "tmass": tmass, "hmass": hmass, "ymass": ymass,
+                        "viscosity": viscosity})
+
+    # ---- derived element fields for output (output.cxx:213-233) ----
+    def elem_density(self) -> np.ndarray:
+        return np.asarray(M.rho(self.ctx.mat, self.state.emw,
+                                self.state.temperature, self.ctx.conn),
+                          dtype=np.float64)
+
+    def elem_quality(self) -> np.ndarray:
+        return np.asarray(G.elem_quality(self.state.coord, self.ctx.conn,
+                                         self.state.volume),
+                          dtype=np.float64)
 
     # ---- stepping ----
     def _chunk_fn(self, n: int):

@@ -47,6 +47,13 @@ class State:
     dyn_fric_coeff: jnp.ndarray  # (nelem,) RSF
     state_variable: jnp.ndarray  # (nelem,) RSF
     emw: jnp.ndarray            # (nelem, nmat) element material weights
+    # averaged-output accumulators (output.cxx:300-340 average_fields);
+    # zero-size placeholders when is_outputting_averaged_fields is off
+    stress_avg: jnp.ndarray         # (nelem, NSTR) running sum
+    delta_plstrain_avg: jnp.ndarray  # (nelem,) running sum
+    coord_avg0: jnp.ndarray         # (nnode, ndims) coord at interval start
+    strain_avg0: jnp.ndarray        # (nelem, NSTR) strain at interval start
+    time_avg0: jnp.ndarray          # scalar, time at interval start
     # scalars
     time: jnp.ndarray
     dt: jnp.ndarray
@@ -79,6 +86,9 @@ def allocate_state(nnode: int, nelem: int, ndims: int, nmat: int,
         dpressure=nvec(nelem), edvoldt=nvec(nelem),
         radiogenic_source=nvec(nelem), dyn_fric_coeff=nvec(nelem),
         state_variable=nvec(nelem), emw=jnp.ones((nelem, nmat), dtype=dtype),
+        stress_avg=nvec(nelem, nstr), delta_plstrain_avg=nvec(nelem),
+        coord_avg0=nvec(nnode, ndims), strain_avg0=nvec(nelem, nstr),
+        time_avg0=jnp.zeros((), dtype=dtype),
         time=jnp.zeros((), dtype=dtype), dt=jnp.zeros((), dtype=dtype),
         steps=jnp.zeros((), dtype=jnp.int64),
         max_global_vel_mag=jnp.zeros((), dtype=dtype),

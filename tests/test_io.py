@@ -1,0 +1,143 @@
+"""Output format + checkpoint/restart tests.
+
+The gold standard: files we write must be readable by the REFERENCE's own
+Dynearthsol.py reader (format parity), and a restarted run must reproduce
+the continuous run bit-for-bit (benchmarks-cores fresh-restart-cmp
+contract)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import dynearthsol_tpu as des
+from dynearthsol_tpu.io import Output, TaggedReader, restart
+
+
+def small_param(tmpdir, name="iotest", **over):
+    d = {
+        "sim": {"modelname": os.path.join(str(tmpdir), name),
+                "max_steps": 100, "ndims": 2, "float_dtype": "float64",
+                "is_outputting_averaged_fields": False},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 10e3, "ylength": 0.0, "zlength": 5e3,
+                 "resolution": 1e3,
+                 "quality_check_step_interval": 10},
+        "markers": {"markers_per_element": 4, "random_seed": 3},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "damping_option": 1},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": -1e-9,
+               "vbc_x1": 1, "vbc_val_x1": 1e-9,
+               "vbc_z0": 0, "vbc_z1": 0,
+               "has_winkler_foundation": False,
+               "has_water_loading": False},
+        "mat": {"rheology_type": "elasto-plastic", "is_plane_strain": True,
+                "rho0": [2800.0], "bulk_modulus": [50e9],
+                "shear_modulus": [30e9]},
+    }
+    for sec, kv in over.items():
+        d.setdefault(sec, {}).update(kv)
+    return des.param_from_dict(d)
+
+
+def test_tagged_roundtrip(tmp_path):
+    from dynearthsol_tpu.io.tagged import TaggedWriter
+
+    path = str(tmp_path / "t.bin")
+    a = np.arange(12, dtype=np.float64).reshape(4, 3)
+    b = np.arange(5, dtype=np.int32)
+    with TaggedWriter(path, 2) as w:
+        w.write_array(a, "alpha")
+        w.write_array(b, "beta idx")
+    r = TaggedReader(path)
+    assert r.ndims == 2 and r.revision == 3
+    assert np.array_equal(r.read_array("alpha", np.float64, 12).reshape(4, 3),
+                          a)
+    assert np.array_equal(r.read_array("beta idx", np.int32, 5), b)
+    r.close()
+
+
+def test_output_frame_and_reference_reader(tmp_path):
+    param = small_param(tmp_path)
+    sim = des.Simulation(param)
+    sim.run_steps(5, chunk=5)
+    out = Output(param)
+    out.write_exact(sim)
+
+    # our own reader
+    r = TaggedReader(param.sim.modelname + ".save.000000")
+    for name in ("coordinate", "connectivity", "velocity", "temperature",
+                 "stress", "strain", "plastic strain", "viscosity",
+                 "density", "mesh quality", "material", "force", "coord0",
+                 "bcflag", "markerset.eta"):
+        assert r.has_array(name), name
+    r.close()
+
+    # the REFERENCE's reader must parse our files unchanged
+    sys.path.insert(0, "/root/reference")
+    try:
+        from Dynearthsol import Dynearthsol
+        d = Dynearthsol(param.sim.modelname)
+        assert d.ndims == 2
+        assert d.steps == [5]
+        coord = d.read_field(0, "coordinate")
+        assert coord.shape == (sim.topo.nnode, 2)
+        stress = d.read_field(0, "stress")
+        assert stress.shape == (sim.topo.nelem, 3)
+        assert np.allclose(stress, np.asarray(sim.state.stress))
+        mfields = d.read_markers(0, "markerset")
+        assert mfields["markerset.mattype"].shape == (sim.markers.n,)
+    finally:
+        sys.path.remove("/root/reference")
+
+
+def test_fresh_restart_bitexact(tmp_path):
+    # continuous run: 20 steps, output at 10 (frame 1) and 20
+    p1 = small_param(tmp_path, name="cont",
+                     sim={"output_step_interval": 10,
+                          "checkpoint_frame_interval": 1})
+    sim = des.Simulation(p1)
+    out = Output(p1)
+    out.write_checkpoint(sim)
+    out.write_exact(sim)
+    sim.run_steps(10, chunk=5)
+    out.write_checkpoint(sim)
+    out.write(sim)
+    mid_coord = np.asarray(sim.state.coord).copy()
+    sim.run_steps(10, chunk=5)
+    cont = sim.state
+
+    # restart from frame 1 (step 10), run 10 more
+    p2 = small_param(tmp_path, name="cont",
+                     sim={"output_step_interval": 10,
+                          "checkpoint_frame_interval": 1,
+                          "is_restarting": True,
+                          "restarting_from_frame": 1})
+    p2.sim.restarting_from_modelname = p2.sim.modelname
+    sim2, frame = restart(p2)
+    assert frame == 1
+    assert int(sim2.state.steps) == 10
+    np.testing.assert_array_equal(np.asarray(sim2.state.coord),
+                                  np.asarray(mid_coord))
+    sim2.run_steps(10, chunk=5)
+    rest = sim2.state
+
+    for name in ("coord", "vel", "stress", "stressyy", "strain", "plstrain",
+                 "temperature", "volume", "mass", "dt", "time"):
+        a = np.asarray(getattr(cont, name))
+        b = np.asarray(getattr(rest, name))
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_info_file_format(tmp_path):
+    param = small_param(tmp_path, name="info")
+    sim = des.Simulation(param)
+    out = Output(param)
+    out.write_exact(sim)
+    info = np.loadtxt(param.sim.modelname + ".info", ndmin=2)
+    assert info.shape == (1, 8)
+    assert info[0, 0] == 0  # frame
+    assert info[0, 5] == sim.topo.nnode
+    assert info[0, 6] == sim.topo.nelem
+    assert info[0, 7] == sim.topo.nseg
