@@ -111,6 +111,18 @@ def build_topology(mesh: MeshData, xlength: float, ylength: float,
     bcflag[np.abs(z + zlength) < tolz] |= BOUNDZ0
     bcflag[np.abs(z - 0.0) < tolz] |= BOUNDZ1
 
+    return finish_topology(ndims, conn, bcflag)
+
+
+def finish_topology(ndims: int, conn: np.ndarray, bcflag: np.ndarray
+                    ) -> Topology:
+    """Derive everything downstream of (conn, bcflag): boundary node lists,
+    boundary facets, segments, and the assembly gather tables.  Shared by
+    initial meshing, remeshing, and the restart path."""
+    nnode = bcflag.shape[0]
+    nelem = conn.shape[0]
+    d = dim(ndims)
+
     bnodes = [np.nonzero(bcflag & (1 << i))[0].astype(np.int32)
               for i in range(NBDRYTYPES)]
 

@@ -1,0 +1,564 @@
+"""Remesh pipeline: regenerate the mesh, remap fields/markers, rebuild the
+device state.
+
+Reference: remesh() (remeshing.cxx:2855-3135) with
+  - mesh regeneration on the deformed boundary, bottom/side flattening per
+    remeshing_option (remeshing.cxx:110-505, 1109-1363),
+  - SPR stress recovery elem->node on the old mesh and node->elem on the new
+    (geometry.cxx:629-754) with pressure centering,
+  - nearest-centroid element-field remap (nn-interpolation.cxx:16-75),
+  - barycentric nodal-field remap (brc-interpolation.cxx:101-404),
+  - marker remap + replenishment (markerset.cxx:1738-1863, 1148-1475).
+
+All host-side (numpy/scipy): remeshing is a rare O(seconds) event between
+long on-device scan segments (SURVEY §3.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.spatial import Delaunay, cKDTree
+
+from . import markers as mk
+from .barycentric import bary_coords, bary_to_coord, random_barycentric
+from .constants import (BOUNDX0, BOUNDX1, BOUNDY0, BOUNDY1, BOUNDZ0, BOUNDZ1,
+                        IBOUNDZ0, IBOUNDZ1)
+from .ic import ref_pressure
+from .mesh.generate import MeshData, _orient_2d, _orient_3d
+from .mesh.locate import ElementLocator
+from .mesh.topology import finish_topology
+
+
+# ---------------------------------------------------------------------------
+# mesh regeneration on the deformed boundary
+# ---------------------------------------------------------------------------
+
+def _surface_interp_2d(top_pts):
+    order = np.argsort(top_pts[:, 0])
+    xs, zs = top_pts[order, 0], top_pts[order, 1]
+
+    def f(x):
+        return np.interp(x, xs, zs)
+
+    return f
+
+
+def _surface_interp_3d(top_pts):
+    from scipy.interpolate import LinearNDInterpolator, NearestNDInterpolator
+
+    lin = LinearNDInterpolator(top_pts[:, :2], top_pts[:, 2])
+    near = NearestNDInterpolator(top_pts[:, :2], top_pts[:, 2])
+
+    def f(xy):
+        z = lin(xy)
+        bad = np.isnan(z)
+        if bad.any():
+            z[bad] = near(xy[bad])
+        return z
+
+    return f
+
+
+def _flatten_bottom(param) -> bool:
+    # remeshing options that reset the bottom to -zlength
+    # (remeshing.cxx:110-391 new-bottom handling; options 1/2/11/13)
+    return param.mesh.remeshing_option in (1, 2, 11, 13)
+
+
+def generate_new_mesh_2d(param, old_coord, old_topo, seed: int):
+    """New 2D mesh under the current topography.  Returns
+    (coord, conn, bcflag)."""
+    m = param.mesh
+    res = m.resolution
+    top = old_coord[(old_topo.bcflag & BOUNDZ1) != 0]
+    surf = _surface_interp_2d(top)
+    if _flatten_bottom(param):
+        def bot(x):
+            return np.full_like(np.asarray(x, dtype=float), -m.zlength)
+    else:
+        bpts = old_coord[(old_topo.bcflag & BOUNDZ0) != 0]
+        bot = _surface_interp_2d(bpts)
+
+    nx = max(2, int(round(m.xlength / res)) + 1)
+    xs = np.linspace(0.0, m.xlength, nx)
+
+    if m.meshing_elem_shape in (1, 2):
+        # structured columns: z linspace from bottom to local surface
+        nz = max(2, int(round(m.zlength / res)) + 1)
+        zs_t = surf(xs)
+        zs_b = bot(xs)
+        coord = np.empty((nx * nz, 2))
+        for i in range(nx):
+            coord[i * nz:(i + 1) * nz, 0] = xs[i]
+            coord[i * nz:(i + 1) * nz, 1] = np.linspace(zs_b[i], zs_t[i], nz)
+        tris = []
+        for i in range(nx - 1):
+            for j in range(nz - 1):
+                n00, n10 = i * nz + j, (i + 1) * nz + j
+                n01, n11 = i * nz + j + 1, (i + 1) * nz + j + 1
+                if (i + j) % 2 == 0:
+                    tris += [(n00, n10, n11), (n00, n11, n01)]
+                else:
+                    tris += [(n00, n10, n01), (n10, n11, n01)]
+        conn = _orient_2d(coord, np.asarray(tris, dtype=np.int32))
+        bcflag = np.zeros(nx * nz, dtype=np.uint32)
+        bcflag[0:nz] |= BOUNDX0
+        bcflag[(nx - 1) * nz:] |= BOUNDX1
+        bcflag[np.arange(nx) * nz] |= BOUNDZ0
+        bcflag[np.arange(nx) * nz + nz - 1] |= BOUNDZ1
+        return coord, conn, bcflag
+
+    # unstructured: keep exact top nodes, regenerate everything else
+    order = np.argsort(top[:, 0])
+    top_pts = top[order]
+    bot_x = xs
+    bot_pts = np.stack([bot_x, bot(bot_x)], axis=1)
+    zl0 = surf(0.0) - bot(0.0)
+    zl1 = surf(m.xlength) - bot(m.xlength)
+    n0 = max(2, int(round(zl0 / res)) + 1)
+    n1 = max(2, int(round(zl1 / res)) + 1)
+    left_z = np.linspace(float(bot(0.0)), float(surf(0.0)), n0)[1:-1]
+    right_z = np.linspace(float(bot(m.xlength)), float(surf(m.xlength)),
+                          n1)[1:-1]
+    left_pts = np.stack([np.zeros_like(left_z), left_z], axis=1)
+    right_pts = np.stack([np.full_like(right_z, m.xlength), right_z], axis=1)
+
+    rng = np.random.default_rng(seed)
+    ipts = []
+    for x in xs[1:-1]:
+        zt, zb = float(surf(x)), float(bot(x))
+        nz_i = max(2, int(round((zt - zb) / res)) + 1)
+        for z in np.linspace(zb, zt, nz_i)[1:-1]:
+            jx = 0.3 * res * (rng.random() - 0.5)
+            jz = 0.3 * res * (rng.random() - 0.5)
+            ipts.append((x + jx, z + jz))
+    interior = np.asarray(ipts) if ipts else np.zeros((0, 2))
+
+    sizes = [len(top_pts), len(bot_pts), len(left_pts), len(right_pts),
+             len(interior)]
+    coord = np.concatenate([top_pts, bot_pts, left_pts, right_pts, interior])
+    bcflag = np.zeros(coord.shape[0], dtype=np.uint32)
+    o = 0
+    bcflag[o:o + sizes[0]] |= BOUNDZ1
+    o += sizes[0]
+    bcflag[o:o + sizes[1]] |= BOUNDZ0
+    o += sizes[1]
+    bcflag[o:o + sizes[2]] |= BOUNDX0
+    o += sizes[2]
+    bcflag[o:o + sizes[3]] |= BOUNDX1
+    # corners carry two bits
+    tol = 1e-6 * m.xlength
+    bcflag[np.abs(coord[:, 0]) < tol] |= BOUNDX0
+    bcflag[np.abs(coord[:, 0] - m.xlength) < tol] |= BOUNDX1
+
+    tri = Delaunay(coord, qhull_options="Qbb Qc Qz")
+    conn = tri.simplices.astype(np.int32)
+    # drop elements whose centroid lies outside the (non-convex) domain
+    c = coord[conn].mean(axis=1)
+    keep = (c[:, 1] <= surf(c[:, 0]) + 1e-9 * m.zlength) \
+        & (c[:, 1] >= bot(c[:, 0]) - 1e-9 * m.zlength)
+    # and degenerate slivers
+    a, b, cc = coord[conn[:, 0]], coord[conn[:, 1]], coord[conn[:, 2]]
+    area2 = np.abs((b[:, 0] - a[:, 0]) * (cc[:, 1] - a[:, 1])
+                   - (b[:, 1] - a[:, 1]) * (cc[:, 0] - a[:, 0]))
+    keep &= area2 > 1e-10 * np.median(area2)
+    conn = conn[keep]
+    coord, conn, bcflag = _drop_unused_nodes(coord, conn, bcflag)
+    return coord, _orient_2d(coord, conn), bcflag
+
+
+def generate_new_mesh_3d(param, old_coord, old_topo, seed: int):
+    """New 3D mesh under the current topography (structured columns split
+    into tets; the TetGen path of remeshing.cxx:1109-1363 is approximated by
+    a surface-following structured lattice)."""
+    m = param.mesh
+    res = m.resolution
+    top = old_coord[(old_topo.bcflag & BOUNDZ1) != 0]
+    surf = _surface_interp_3d(top)
+    flat_bot = _flatten_bottom(param)
+    if not flat_bot:
+        from scipy.interpolate import NearestNDInterpolator
+        bpts = old_coord[(old_topo.bcflag & BOUNDZ0) != 0]
+        botf = NearestNDInterpolator(bpts[:, :2], bpts[:, 2])
+
+    nx = max(2, int(round(m.xlength / res)) + 1)
+    ny = max(2, int(round(m.ylength / res)) + 1)
+    nz = max(2, int(round(m.zlength / res)) + 1)
+    xs = np.linspace(0.0, m.xlength, nx)
+    ys = np.linspace(0.0, m.ylength, ny)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    xy = np.stack([X.ravel(), Y.ravel()], axis=1)
+    zt = surf(xy)
+    zb = (np.full(len(xy), -m.zlength) if flat_bot else botf(xy))
+
+    coord = np.empty((nx * ny * nz, 3))
+    for c_idx in range(nx * ny):
+        col = np.linspace(zb[c_idx], zt[c_idx], nz)
+        coord[c_idx * nz:(c_idx + 1) * nz, 0] = xy[c_idx, 0]
+        coord[c_idx * nz:(c_idx + 1) * nz, 1] = xy[c_idx, 1]
+        coord[c_idx * nz:(c_idx + 1) * nz, 2] = col
+
+    def nid(i, j, k):
+        return (i * ny + j) * nz + k
+
+    tets = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            for k in range(nz - 1):
+                c = [nid(i + a, j + b, k + d)
+                     for a in (0, 1) for b in (0, 1) for d in (0, 1)]
+                if (i + j + k) % 2 == 0:
+                    tets += [(c[0], c[1], c[2], c[4]),
+                             (c[1], c[2], c[3], c[7]),
+                             (c[1], c[4], c[5], c[7]),
+                             (c[2], c[4], c[6], c[7]),
+                             (c[1], c[2], c[4], c[7])]
+                else:
+                    tets += [(c[0], c[1], c[3], c[5]),
+                             (c[0], c[2], c[3], c[6]),
+                             (c[0], c[4], c[5], c[6]),
+                             (c[3], c[5], c[6], c[7]),
+                             (c[0], c[3], c[5], c[6])]
+    conn = _orient_3d(coord, np.asarray(tets, dtype=np.int32))
+    bcflag = np.zeros(nx * ny * nz, dtype=np.uint32)
+    I, J, K = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    I, J, K = I.ravel(), J.ravel(), K.ravel()
+    bcflag[I == 0] |= BOUNDX0
+    bcflag[I == nx - 1] |= BOUNDX1
+    bcflag[J == 0] |= BOUNDY0
+    bcflag[J == ny - 1] |= BOUNDY1
+    bcflag[K == 0] |= BOUNDZ0
+    bcflag[K == nz - 1] |= BOUNDZ1
+    return coord, conn, bcflag
+
+
+def _drop_unused_nodes(coord, conn, bcflag):
+    used = np.zeros(coord.shape[0], dtype=bool)
+    used[conn.ravel()] = True
+    remap = -np.ones(coord.shape[0], dtype=np.int64)
+    remap[used] = np.arange(used.sum())
+    return coord[used], remap[conn].astype(np.int32), bcflag[used]
+
+
+# ---------------------------------------------------------------------------
+# SPR stress recovery (geometry.cxx:468-754)
+# ---------------------------------------------------------------------------
+
+def _node_elem_patches(conn, nnode):
+    """Sorted node->element patch lists: (sorted_elems, starts, counts)."""
+    npe = conn.shape[1]
+    flat = conn.ravel()
+    slot_elem = np.repeat(np.arange(conn.shape[0]), npe)
+    order = np.argsort(flat, kind="stable")
+    sorted_elems = slot_elem[order]
+    counts = np.bincount(flat, minlength=nnode)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return sorted_elems, starts, counts
+
+
+def _fit_patch(coord_n, es, cent, vals, volume, nb):
+    """Weighted linear LSQ of centroid values over patch `es`, evaluated at
+    coord_n.  Returns (value, ok)."""
+    w = np.sqrt(volume[es])
+    C = cent[es] - coord_n
+    h = np.abs(C).max()
+    h = h if h > 0 else 1.0
+    X = np.concatenate([np.ones((es.size, 1)), C / h], axis=1)
+    sol, res, rank, sv = np.linalg.lstsq(X * w[:, None], vals[es]
+                                         * w[:, None], rcond=1e-10)
+    return sol[0], rank >= nb
+
+
+def spr_elem_to_node(coord, conn, elem_field, volume, p_ref=None):
+    """Superconvergent patch recovery: per-node weighted linear
+    least-squares fit of element-centroid values over the node's element
+    patch (geometry.cxx:629-709), with a 2-ring patch expansion for
+    degenerate boundary patches (the reference's degenerate-patch fallback,
+    geometry.cxx:346-462) and a volume-weighted mean as last resort.
+    ``p_ref`` optionally centers the diagonal components on the lithostatic
+    profile to avoid gradient bias.  Returns (nnode, ncomp)."""
+    ndims = coord.shape[1]
+    nnode = coord.shape[0]
+    vals = np.atleast_2d(elem_field.T).T.astype(np.float64).copy()
+    ncomp = vals.shape[1]
+    cent = coord[conn].mean(axis=1)
+    nb = ndims + 1
+
+    if p_ref is not None:
+        vals[:, :ndims] += p_ref[:, None]
+
+    sorted_elems, starts, counts = _node_elem_patches(conn, nnode)
+
+    # --- vectorized primary pass over padded 1-ring patches
+    max_deg = int(counts.max())
+    pad_e = np.zeros((nnode, max_deg), dtype=np.int64)
+    mask = np.arange(max_deg)[None, :] < counts[:, None]
+    rows = np.repeat(np.arange(nnode), counts)
+    cols = (np.arange(conn.size) - starts[rows])
+    pad_e[rows, cols] = sorted_elems
+
+    C = (cent[pad_e] - coord[:, None, :]) * mask[..., None]
+    h = np.abs(C).max(axis=(1, 2))
+    h = np.where(h > 0, h, 1.0)
+    X = np.concatenate([mask[..., None].astype(np.float64),
+                        C / h[:, None, None]], axis=2)  # (nnode, deg, nb)
+    W = volume[pad_e] * mask
+    A = np.einsum("ndi,nd,ndj->nij", X, W, X)
+    B = np.einsum("ndi,nd,ndc->nic", X, W, vals[pad_e] * mask[..., None])
+    det = np.linalg.det(A)
+    good = (counts >= nb) & (np.abs(det)
+                             > 1e-10 * np.maximum(W.sum(axis=1), 1e-300)
+                             ** nb)
+    out = np.zeros((nnode, ncomp))
+    if good.any():
+        sol = np.linalg.solve(A[good], B[good])
+        out[good] = sol[:, 0, :]
+
+    # --- fallback: 2-ring expansion for degenerate (boundary) patches
+    bad_nodes = np.nonzero(~good)[0]
+    for n in bad_nodes:
+        es1 = sorted_elems[starts[n]:starts[n] + counts[n]]
+        if es1.size == 0:
+            continue
+        ring2 = np.unique(conn[es1].ravel())
+        es2 = np.unique(np.concatenate(
+            [sorted_elems[starts[m]:starts[m] + counts[m]] for m in ring2]))
+        val, ok = _fit_patch(coord[n], es2, cent, vals, volume, nb)
+        if ok:
+            out[n] = val
+        else:
+            w = volume[es1]
+            out[n] = (vals[es1] * w[:, None]).sum(axis=0) / w.sum()
+    return out
+
+
+def spr_node_to_elem(new_conn, node_field, p_ref_new=None, ndims=None):
+    """Average recovered nodal values back to elements on the NEW mesh
+    (geometry.cxx:711-754), removing the pressure centering."""
+    out = node_field[new_conn].mean(axis=1)
+    if p_ref_new is not None:
+        out[:, :ndims] -= p_ref_new[:, None]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the remesh orchestrator
+# ---------------------------------------------------------------------------
+
+def remesh_simulation(sim, bad_quality: int):
+    import jax.numpy as jnp
+
+    from . import bc as bc_mod
+    from .ops import geometry as G
+    from .ops import matprops as M
+    from .ops.shapefn import compute_volume
+    from .simulation import StepCtx, _elem_props
+    from .state import State, allocate_state
+
+    param, topo = sim.param, sim.topo
+    ndims = param.sim.ndims
+    s = sim.state
+    old_coord = np.asarray(s.coord, dtype=np.float64)
+    old_conn = topo.connectivity
+    old_volume = np.asarray(s.volume, dtype=np.float64)
+
+    print(f"    remeshing (trigger {bad_quality}): "
+          f"{topo.nnode} nodes, {topo.nelem} elems", end="")
+
+    # --- 1. SPR stress to old nodes, with pressure centering
+    zc_old = old_coord[old_conn, ndims - 1].mean(axis=1)
+    p_ref_old = ref_pressure(param, zc_old) / ndims
+    stress_n = spr_elem_to_node(old_coord, old_conn,
+                                np.asarray(s.stress, dtype=np.float64),
+                                old_volume, p_ref=p_ref_old)
+    syy_n = spr_elem_to_node(old_coord, old_conn,
+                             np.asarray(s.stressyy,
+                                        dtype=np.float64)[:, None],
+                             old_volume)
+
+    # --- 2. regenerate the mesh
+    seed = param.markers.random_seed + int(s.steps)
+    if ndims == 2:
+        new_coord, new_conn, new_bcflag = generate_new_mesh_2d(
+            param, old_coord, topo, seed)
+    else:
+        new_coord, new_conn, new_bcflag = generate_new_mesh_3d(
+            param, old_coord, topo, seed)
+    topo2 = finish_topology(ndims, new_conn, new_bcflag)
+    print(f" -> {topo2.nnode} nodes, {topo2.nelem} elems")
+
+    # --- 3. nodal remap: barycentric interpolation on the old mesh
+    loc_old = ElementLocator(old_coord, old_conn)
+    elem_of, eta_of, _ = loc_old.locate(new_coord)
+
+    def interp_nodal(field):
+        f = np.asarray(field, dtype=np.float64)
+        return np.einsum("nk,nk...->n...", eta_of, f[old_conn[elem_of]])
+
+    vel_new = interp_nodal(s.vel)
+    temp_new = interp_nodal(s.temperature)
+    pp_new = interp_nodal(s.ppressure)
+    dpp_new = interp_nodal(s.dppressure)
+    coord0_new = interp_nodal(s.coord0)
+    stress_n_new = interp_nodal(stress_n)
+    syy_n_new = interp_nodal(syy_n)
+
+    # --- 4. element remap: nearest old centroid (nn-interpolation.cxx:16-75)
+    new_cent = new_coord[new_conn].mean(axis=1)
+    old_tree = cKDTree(old_coord[old_conn].mean(axis=1))
+    _, nn_e = old_tree.query(new_cent)
+
+    def nn_elem(field):
+        return np.asarray(field, dtype=np.float64)[nn_e]
+
+    plstrain_new = nn_elem(s.plstrain)
+    dpls_new = nn_elem(s.delta_plstrain)
+    strain_new = nn_elem(s.strain)
+    radio_new = nn_elem(s.radiogenic_source)
+    dfc_new = nn_elem(s.dyn_fric_coeff)
+    sv_new = nn_elem(s.state_variable)
+    # volume_old carried as a ratio dv = volume_old/volume
+    # (remeshing.cxx:2872-2899)
+    dv_ratio = np.asarray(s.volume_old, dtype=np.float64) / old_volume
+    dv_new = nn_elem(dv_ratio)
+
+    # --- 5. SPR node -> new elements (+ pressure de-centering)
+    zc_new = new_coord[new_conn, ndims - 1].mean(axis=1)
+    p_ref_new = ref_pressure(param, zc_new) / ndims
+    stress_new = spr_node_to_elem(new_conn, stress_n_new,
+                                  p_ref_new=p_ref_new, ndims=ndims)
+    syy_new = spr_node_to_elem(new_conn, syy_n_new)[:, 0]
+
+    # --- 6. markers: relocate on the new mesh, replenish depleted elements
+    if sim.markers is not None:
+        remap_markers(sim.markers, old_coord, old_conn, new_coord, new_conn,
+                      param, seed)
+        emw = mk.emw_from_markers(sim.markers, topo2.nelem, param.mat.nmat)
+    else:
+        emw = np.ones((topo2.nelem, param.mat.nmat))
+
+    # --- 7. rebuild device context + state
+    dtype = sim.dtype
+    mat_tables = sim.ctx.mat
+    sim.topo = topo2
+    sim.mesh = MeshData(ndims, new_coord, new_conn)
+    sim.ctx = StepCtx(
+        ndims=ndims, nnode=topo2.nnode, nelem=topo2.nelem,
+        conn=jnp.asarray(topo2.connectivity),
+        gather_idx=jnp.asarray(topo2.gather_idx),
+        gather_mask=jnp.asarray(topo2.gather_mask),
+        top_mask=jnp.asarray((topo2.bcflag & BOUNDZ1) != 0),
+        vbc=bc_mod.VBCSpec.from_param(param, topo2.bcflag),
+        mat=mat_tables, max_vbc_val=sim.ctx.max_vbc_val)
+    ctx = sim.ctx
+
+    s2 = allocate_state(topo2.nnode, topo2.nelem, ndims, param.mat.nmat,
+                        dtype=dtype)
+    coord_j = jnp.asarray(new_coord, dtype=dtype)
+    volume = compute_volume(coord_j, ctx.conn)
+    volume_old = jnp.asarray(dv_new, dtype=dtype) * volume
+
+    s2 = State(**{**s2.__dict__,
+                  "coord": coord_j,
+                  "coord0": jnp.asarray(coord0_new, dtype=dtype),
+                  "vel": jnp.asarray(vel_new, dtype=dtype),
+                  "temperature": jnp.asarray(temp_new, dtype=dtype),
+                  "ppressure": jnp.asarray(pp_new, dtype=dtype),
+                  "dppressure": jnp.asarray(dpp_new, dtype=dtype),
+                  "volume": volume, "volume_old": volume_old,
+                  "stress": jnp.asarray(stress_new, dtype=dtype),
+                  "stressyy": jnp.asarray(syy_new, dtype=dtype),
+                  "strain": jnp.asarray(strain_new, dtype=dtype),
+                  "plstrain": jnp.asarray(plstrain_new, dtype=dtype),
+                  "delta_plstrain": jnp.asarray(dpls_new, dtype=dtype),
+                  "radiogenic_source": jnp.asarray(radio_new, dtype=dtype),
+                  "dyn_fric_coeff": jnp.asarray(dfc_new, dtype=dtype),
+                  "state_variable": jnp.asarray(sv_new, dtype=dtype),
+                  "emw": jnp.asarray(emw, dtype=dtype),
+                  "old_mean_stress": jnp.asarray(
+                      stress_new[:, :ndims].sum(axis=1) / ndims,
+                      dtype=dtype),
+                  "time": s.time, "dt": s.dt, "steps": s.steps,
+                  "max_global_vel_mag": s.max_global_vel_mag,
+                  "global_dt_min": s.global_dt_min,
+                  "l2_residual": s.l2_residual,
+                  "hydro_diff_max": s.hydro_diff_max})
+
+    # re-apply vbcs + recompute masses (remeshing.cxx:3048-3080)
+    vel2 = bc_mod.apply_vbcs(ctx.vbc, s2.vel, coord_j, s2.time)
+    s2 = State(**{**s2.__dict__, "vel": vel2})
+    bulkm, shearm, rho_e = _elem_props(ctx, s2)
+    ctrl = param.control
+    volume_n, mass, tmass, hmass, ymass = G.compute_mass(
+        volume, ctx.conn, bulkm, shearm, rho_e,
+        M.cp(ctx.mat, s2.emw), M.phi_porosity(ctx.mat, s2.emw),
+        M.alpha_biot(ctx.mat, s2.emw), M.beta_fluid(ctx.mat, s2.emw),
+        ctx.gather_idx, ctx.gather_mask,
+        pseudo_speed=ctx.max_vbc_val * ctrl.inertial_scaling,
+        pseudo_speed_atp=s2.max_global_vel_mag * ctrl.inertial_scaling,
+        is_quasi_static=ctrl.is_quasi_static,
+        use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
+        has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
+        has_thermal_diffusion=ctrl.has_thermal_diffusion,
+        ndims=ndims)
+    viscosity = M.visc(ctx.mat, s2.emw, s2.temperature, ctx.conn,
+                       s2.stress, s2.strain_rate)
+    sim.state = State(**{**s2.__dict__, "volume_n": volume_n, "mass": mass,
+                         "tmass": tmass, "hmass": hmass, "ymass": ymass,
+                         "viscosity": viscosity})
+
+    # surface accumulators follow the new surface size
+    sim.dhacc = np.zeros(len(topo2.bnodes[IBOUNDZ1]))
+    sim.edvacc_surf = np.zeros(max(len(topo2.bfacets[IBOUNDZ1]), 0))
+    sim._chunk_fns = {}  # shapes changed -> fresh compiles
+
+
+def remap_markers(ms, old_coord, old_conn, new_coord, new_conn, param,
+                  seed: int):
+    """Relocate markers on the new mesh; delete strays; replenish depleted
+    elements (markerset.cxx:1738-1863 remap_markers + 1148-1475
+    replenishment)."""
+    pts = bary_to_coord(old_coord, old_conn, ms.live("elem"), ms.live("eta"))
+    loc = ElementLocator(new_coord, new_conn)
+    elem, eta, found = loc.locate(pts)
+    # markers that left the domain (e.g. above the new surface) are removed
+    lost = np.nonzero(~found)[0]
+    ms.elem[: ms.n] = elem
+    ms.eta[: ms.n] = eta
+    if lost.size:
+        ms.remove(lost)
+
+    # replenish elements that fell below the minimum count
+    nelem = new_conn.shape[0]
+    nmat = param.mat.nmat
+    hist = ms.elem_histogram(nelem, nmat)
+    count = hist.sum(axis=1)
+    need = np.nonzero(count < param.markers.min_num_markers_in_element)[0]
+    if need.size:
+        rng = np.random.default_rng(seed)
+        npe = new_conn.shape[1]
+        add_elems = []
+        add_mattype = []
+        for e in need:
+            k = param.markers.markers_per_element - int(count[e])
+            if k <= 0:
+                continue
+            # inherit the element's dominant material; if empty, copy the
+            # nearest marker's material (markerset.cxx:1148-1278)
+            if count[e] > 0:
+                mat = int(np.argmax(hist[e]))
+            else:
+                cent = new_coord[new_conn[e]].mean(axis=0)
+                d2 = ((pts[: ms.n] - cent) ** 2).sum(axis=1) \
+                    if ms.n else None
+                mat = int(ms.mattype[int(np.argmin(d2))]) if ms.n else 0
+            add_elems += [e] * k
+            add_mattype += [mat] * k
+        if add_elems:
+            eta_new = random_barycentric(len(add_elems), npe, rng)
+            elems = np.asarray(add_elems, dtype=np.int32)
+            p_new = bary_to_coord(new_coord, new_conn, elems, eta_new)
+            ms.append(eta_new, elems, np.asarray(add_mattype,
+                                                 dtype=np.int32),
+                      z=p_new[:, -1], distance=p_new[:, 0], genesis=1)

@@ -1,0 +1,148 @@
+"""Remeshing + remap tests (reference: remeshing.cxx, nn-interpolation.cxx,
+brc-interpolation.cxx, geometry.cxx SPR)."""
+
+import numpy as np
+import pytest
+
+import dynearthsol_tpu as des
+from dynearthsol_tpu.barycentric import is_inside
+from dynearthsol_tpu.mesh.locate import ElementLocator
+from dynearthsol_tpu.remesh_impl import (generate_new_mesh_2d,
+                                         remesh_simulation, spr_elem_to_node,
+                                         spr_node_to_elem)
+from dynearthsol_tpu.remeshing import bad_mesh_quality
+
+
+def rift_param(**over):
+    d = {
+        "sim": {"max_steps": 10**9, "ndims": 2, "float_dtype": "float64",
+                "is_outputting_averaged_fields": False},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 30e3, "ylength": 0.0, "zlength": 10e3,
+                 "resolution": 2e3, "quality_check_step_interval": 100,
+                 "min_quality": 0.4, "remeshing_option": 1,
+                 "max_boundary_distortion": 0.25},
+        "markers": {"markers_per_element": 4, "random_seed": 5,
+                    "min_num_markers_in_element": 3},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "damping_option": 1},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": -3e-9,
+               "vbc_x1": 1, "vbc_val_x1": 3e-9,
+               "vbc_z0": 0, "vbc_z1": 0,
+               "has_winkler_foundation": False,
+               "has_water_loading": False},
+        "mat": {"rheology_type": "elasto-visco-plastic",
+                "is_plane_strain": True,
+                "rho0": [2800.0], "bulk_modulus": [50e9],
+                "shear_modulus": [30e9]},
+    }
+    for sec, kv in over.items():
+        d.setdefault(sec, {}).update(kv)
+    return des.param_from_dict(d)
+
+
+def test_locate_points_roundtrip():
+    param = rift_param()
+    sim = des.Simulation(param)
+    coord = np.asarray(sim.state.coord)
+    conn = sim.topo.connectivity
+    rng = np.random.default_rng(0)
+    # random interior points
+    pts = np.stack([rng.uniform(1e3, 29e3, 200),
+                    rng.uniform(-9e3, -1e3, 200)], axis=1)
+    loc = ElementLocator(coord, conn)
+    elem, eta, found = loc.locate(pts)
+    assert found.all()
+    # eta reproduces the point
+    verts = coord[conn[elem]]
+    rec = np.einsum("nk,nkd->nd", eta, verts)
+    assert np.allclose(rec, pts, atol=1e-6)
+
+
+def test_spr_recovers_linear_field():
+    """SPR must reproduce a linear stress field exactly (the defining
+    property of the patch recovery, geometry.cxx:629-754)."""
+    param = rift_param()
+    sim = des.Simulation(param)
+    coord = np.asarray(sim.state.coord)
+    conn = sim.topo.connectivity
+    volume = np.asarray(sim.state.volume)
+    cent = coord[conn].mean(axis=1)
+    field = (2.0 * cent[:, 0] - 3.0 * cent[:, 1] + 7.0)[:, None]
+    nodal = spr_elem_to_node(coord, conn, field, volume)
+    expect = 2.0 * coord[:, 0] - 3.0 * coord[:, 1] + 7.0
+    assert np.allclose(nodal[:, 0], expect, rtol=1e-9, atol=1e-6)
+    back = spr_node_to_elem(conn, nodal)
+    assert np.allclose(back[:, 0], field[:, 0], rtol=1e-9, atol=1e-6)
+
+
+def test_generate_new_mesh_preserves_topography():
+    param = rift_param()
+    sim = des.Simulation(param)
+    coord = np.asarray(sim.state.coord).copy()
+    # fake topography: a bump on the top surface
+    from dynearthsol_tpu.constants import BOUNDZ1
+    top = (sim.topo.bcflag & BOUNDZ1) != 0
+    coord[top, 1] += 500.0 * np.exp(-((coord[top, 0] - 15e3) / 4e3) ** 2)
+    nc, nconn, nflag = generate_new_mesh_2d(param, coord, sim.topo, seed=1)
+    ntop = (nflag & BOUNDZ1) != 0
+    # new surface follows the bump
+    mid = np.argmin(np.abs(nc[ntop, 0] - 15e3))
+    assert nc[ntop][mid, 1] > 300.0
+    # valid positively-oriented mesh
+    a, b, c = nc[nconn[:, 0]], nc[nconn[:, 1]], nc[nconn[:, 2]]
+    area2 = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - \
+            (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    assert (area2 > 0).all()
+
+
+def test_remesh_cycle_runs_and_conserves():
+    """Distort until the quality trigger fires, remesh, keep stepping."""
+    param = rift_param()
+    sim = des.Simulation(param)
+
+    # artificially shear the mesh to degrade quality
+    import jax.numpy as jnp
+    coord = np.asarray(sim.state.coord).copy()
+    shear = (2.5e3 * (coord[:, 1] + 10e3) / 10e3
+             * np.sin(2 * np.pi * coord[:, 0] / 15e3))
+    interior = (sim.topo.bcflag == 0)
+    coord[interior, 0] += shear[interior]
+    from dynearthsol_tpu.state import State
+    sim.state = State(**{**sim.state.__dict__,
+                         "coord": jnp.asarray(coord, dtype=sim.dtype)})
+    sim.state = State(**{**sim.state.__dict__,
+                         "volume": des.simulation.compute_volume(
+                             sim.state.coord, sim.ctx.conn)})
+
+    bad, minq = bad_mesh_quality(sim)
+    assert bad == 1  # distorted element
+
+    t_before = float(sim.state.temperature.mean())
+    pls_before = float((sim.state.plstrain * sim.state.volume).sum())
+    vol_before = float(sim.state.volume.sum())
+    nmark_before = sim.markers.n
+
+    remesh_simulation(sim, bad)
+
+    # quality restored
+    bad2, minq2 = bad_mesh_quality(sim)
+    assert bad2 == 0
+    assert minq2 > minq
+
+    # approximate conservation through the remap
+    vol_after = float(sim.state.volume.sum())
+    assert abs(vol_after - vol_before) / vol_before < 0.05
+    t_after = float(sim.state.temperature.mean())
+    assert abs(t_after - t_before) < 30.0
+    # markers stayed consistent
+    assert sim.markers.n >= 0.8 * nmark_before
+    assert is_inside(sim.markers.live("eta"), tol=-1e-6).all()
+    hist = sim.markers.elem_histogram(sim.topo.nelem, 1)
+    assert (hist.sum(axis=1) >= param.markers.min_num_markers_in_element
+            ).all()
+
+    # the simulation keeps stepping on the new mesh
+    sim.run_steps(5, chunk=5)
+    assert np.isfinite(np.asarray(sim.state.stress)).all()
+    assert np.isfinite(np.asarray(sim.state.vel)).all()
