@@ -104,6 +104,12 @@ def run(param, argv_echo: str = ""):
                 starting_time + next_regular_frame
                 * p.sim.output_time_interval_in_yr * YEAR2SEC)
 
+        # sediment marker bookkeeping at quality-check cadence
+        # (bc.cxx:1795-1812)
+        if (p.control.surface_process_option != 0
+                and steps % p.mesh.quality_check_step_interval == 0):
+            sim.sync_surface_markers()
+
         # quality check + remeshing (dynearthsol.cxx:914-934)
         min_quality = 1.0
         if (steps % p.mesh.quality_check_step_interval == 0

@@ -171,8 +171,8 @@ class Output:
                       "max_global_vel_mag reference_frame_time")
         w.write_array(topo.segment.astype(np.int32), "segment")
         w.write_array(topo.segflag.astype(np.int32), "segflag")
-        w.write_array(_np(sim.edvacc_surf), "dv surface acc")
-        w.write_array(_np(sim.dhacc), "dhacc")
+        w.write_array(_np(s.edvacc_surf), "dv surface acc")
+        w.write_array(_np(s.dhacc), "dhacc")
         w.write_array(_np(s.volume_old), "volume_old")
         # exact-restart extras beyond the reference set: the reference
         # recompiles the same C++ code on restart so recomputation is

@@ -1,0 +1,187 @@
+"""Surface processes: hillslope diffusion erosion/sedimentation.
+
+Reference: bc.cxx:877-1831.  ``simple_diffusion`` diffuses the topography
+(1D FD along the surface in 2D, facet FEM in 3D, bc.cxx:879-1074);
+``surface_processes`` applies dh to the surface nodes, accumulates ``dhacc``
+(per-node) and ``edvacc_surf`` (per-facet deposited volume), corrects the
+surface elements' stress/strain for the volume change
+(bc.cxx:1615-1665), and decays surface plastic strain (bc.cxx:1593-1613).
+
+TPU-native: all of this runs INSIDE the jitted step (it touches coordinates
+every step); only the marker bookkeeping (sediment marker creation from
+edvacc, markerset.cxx:261-458) stays on host at chunk boundaries.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import YEAR2SEC
+
+LN2 = 0.69314718056
+PLSTRAIN_HALF_LIFE = 1.0e2 * YEAR2SEC  # bc.cxx:1599
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["top_nodes", "top_mask_f", "facet_nodes", "top_elems"],
+    meta_fields=["ntop", "etop"])
+@dataclass(frozen=True)
+class SurfInfo:
+    """Static surface topology (SurfaceInfo, parameters.hpp:576-630)."""
+
+    ntop: int
+    etop: int
+    top_nodes: jnp.ndarray   # (ntop,) int32, sorted by x in 2D
+    top_mask_f: jnp.ndarray  # (nnode,) float 1/0 top-node indicator
+    facet_nodes: jnp.ndarray  # (etop, ndims) global node ids per top facet
+    top_elems: jnp.ndarray   # (etop,) element of each top facet
+
+
+def make_surf_info(topo) -> SurfInfo:
+    """Build from topology (create_surface_info, mesh.cxx:2979-3056)."""
+    import numpy as np
+
+    from ..constants import IBOUNDZ1, dim
+
+    ndims = topo.ndims
+    nof = dim(ndims).node_of_facet
+    bf = topo.bfacets[IBOUNDZ1]
+    facet_nodes = np.zeros((len(bf), ndims), dtype=np.int32)
+    top_elems = np.zeros(len(bf), dtype=np.int32)
+    for i, (e, f) in enumerate(bf):
+        facet_nodes[i] = topo.connectivity[e, list(nof[f])]
+        top_elems[i] = e
+    top_nodes = topo.bnodes[IBOUNDZ1].astype(np.int32)
+    mask = np.zeros(topo.nnode)
+    mask[top_nodes] = 1.0
+    return SurfInfo(
+        ntop=len(top_nodes), etop=len(bf),
+        top_nodes=jnp.asarray(top_nodes),
+        top_mask_f=jnp.asarray(mask),
+        facet_nodes=jnp.asarray(facet_nodes),
+        top_elems=jnp.asarray(top_elems))
+
+
+def surface_dh_2d(coord, surf: SurfInfo, surf_diff, dt, base_level,
+                  ratio_terrig, ratio_marine):
+    """1D FD topography diffusion (bc.cxx:990-1073 2D branches).
+    Returns dh as a full (nnode,) array (zero off-surface)."""
+    nnode = coord.shape[0]
+    n0 = surf.facet_nodes[:, 0]
+    n1 = surf.facet_nodes[:, 1]
+    dx = jnp.abs(coord[n1, 0] - coord[n0, 0])
+    slope = (coord[n1, 1] - coord[n0, 1]) / dx
+    # per-edge contributions: node0 gets -slope, node1 gets +slope
+    total_slope = (jnp.zeros(nnode, dtype=coord.dtype)
+                   .at[n0].add(-slope).at[n1].add(slope))
+    total_dx = (jnp.zeros(nnode, dtype=coord.dtype)
+                .at[n0].add(dx).at[n1].add(dx))
+    safe_dx = jnp.where(total_dx > 0, total_dx, 1.0)
+    conv = surf_diff * dt * total_slope / safe_dx
+    z = coord[:, 1]
+    # terrigenous/marine diffusivity ratios around base level (bc.cxx:1060s)
+    dh = jnp.where((z > base_level) & (conv > 0), -ratio_terrig * conv,
+                   jnp.where((z <= base_level) & (conv < 0),
+                             -ratio_marine * conv, -conv))
+    return dh * surf.top_mask_f
+
+
+def surface_dh_3d(coord, surf: SurfInfo, surf_diff, dt):
+    """Facet-FEM topography diffusion (bc.cxx:920-1050 3D branches)."""
+    nnode = coord.shape[0]
+    f = surf.facet_nodes  # (etop, 3)
+    p0, p1, p2 = coord[f[:, 0]], coord[f[:, 1]], coord[f[:, 2]]
+    d01 = p1 - p0
+    d02 = p2 - p0
+    nz = d01[:, 0] * d02[:, 1] - d01[:, 1] * d02[:, 0]
+    parea = 0.5 * nz  # area projected on the horizontal plane
+    iv = 1.0 / (2.0 * parea)
+    shp2dx = jnp.stack([iv * (p1[:, 1] - p2[:, 1]),
+                        iv * (p2[:, 1] - p0[:, 1]),
+                        iv * (p0[:, 1] - p1[:, 1])], axis=1)
+    shp2dy = jnp.stack([iv * (p2[:, 0] - p1[:, 0]),
+                        iv * (p0[:, 0] - p2[:, 0]),
+                        iv * (p1[:, 0] - p0[:, 0])], axis=1)
+    zf = jnp.stack([p0[:, 2], p1[:, 2], p2[:, 2]], axis=1)  # (etop, 3)
+    # slope_j = sum_k (dx_j dx_k + dy_j dy_k) z_k * parea
+    gx = (shp2dx * zf).sum(axis=1)
+    gy = (shp2dy * zf).sum(axis=1)
+    slope = (shp2dx * gx[:, None] + shp2dy * gy[:, None]) * parea[:, None]
+
+    total_slope = jnp.zeros(nnode, dtype=coord.dtype)
+    total_dx = jnp.zeros(nnode, dtype=coord.dtype)
+    for j in range(3):
+        total_slope = total_slope.at[f[:, j]].add(slope[:, j])
+        total_dx = total_dx.at[f[:, j]].add(parea)
+    safe_dx = jnp.where(total_dx > 0, total_dx, 1.0)
+    conv = surf_diff * dt * total_slope / safe_dx
+    return -conv * surf.top_mask_f
+
+
+def apply_surface_processes(param, surf: SurfInfo, coord, dt, dhacc,
+                            edvacc_surf):
+    """One step of surface processes (surface_processes, bc.cxx:1667-1831).
+
+    Takes post-advection coordinates; returns
+    (coord, dhacc, edvacc_surf, dh)."""
+    ctrl = param.control
+    ndims = coord.shape[1]
+    opt = ctrl.surface_process_option
+
+    if opt in (1, 102):
+        if ndims == 2:
+            dh = surface_dh_2d(coord, surf, ctrl.surface_diffusivity, dt,
+                               ctrl.surf_base_level,
+                               ctrl.surf_diff_ratio_terrig,
+                               ctrl.surf_diff_ratio_marine)
+        else:
+            dh = surface_dh_3d(coord, surf, ctrl.surface_diffusivity, dt)
+    else:
+        dh = jnp.zeros(coord.shape[0], dtype=coord.dtype)
+
+    coord2 = coord.at[:, ndims - 1].add(dh)
+    dhacc2 = dhacc + dh
+
+    # per-facet deposited volume (bc.cxx:1745-1760)
+    f = surf.facet_nodes
+    dh_e = dh[f].sum(axis=1)
+    if ndims == 2:
+        base = jnp.abs(coord2[f[:, 1], 0] - coord2[f[:, 0], 0])
+    else:
+        d01 = coord2[f[:, 1]] - coord2[f[:, 0]]
+        d02 = coord2[f[:, 2]] - coord2[f[:, 0]]
+        base = 0.5 * (d01[:, 0] * d02[:, 1] - d01[:, 1] * d02[:, 0])
+    edvacc2 = edvacc_surf + dh_e * base / ndims
+    return coord2, dhacc2, edvacc2, dh
+
+
+def correct_surface_elements(surf: SurfInfo, volume_new, volume_pre,
+                             stress, strain, strain_rate, plstrain):
+    """Scale surface-element stress/strain by 1/rdv when the element grew
+    (sedimentation overestimates stress otherwise; bc.cxx:1615-1665)."""
+    te = surf.top_elems
+    rdv = volume_new[te] / volume_pre[te]
+    scale = jnp.where(rdv > 1.0, 1.0 / rdv, 1.0)
+    stress = stress.at[te].multiply(scale[:, None])
+    strain = strain.at[te].multiply(scale[:, None])
+    strain_rate = strain_rate.at[te].multiply(scale[:, None])
+    plstrain = plstrain.at[te].multiply(scale)
+    return stress, strain, strain_rate, plstrain
+
+
+def surface_plstrain_decay(surf: SurfInfo, plstrain, emw, dt,
+                           mattype_oceanic_crust: int, apply: jnp.ndarray):
+    """Exponential decay of surface plastic strain (anti-landslide,
+    bc.cxx:1593-1613), skipped for oceanic-crust elements."""
+    lam = LN2 / PLSTRAIN_HALF_LIFE
+    te = surf.top_elems
+    dominant = jnp.argmax(emw[te], axis=1)
+    dec = jnp.where(dominant == mattype_oceanic_crust, 0.0,
+                    plstrain[te] * lam * dt)
+    return plstrain.at[te].add(-jnp.where(apply, dec, 0.0))

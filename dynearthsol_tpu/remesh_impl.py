@@ -443,6 +443,7 @@ def remesh_simulation(sim, bad_quality: int):
     mat_tables = sim.ctx.mat
     sim.topo = topo2
     sim.mesh = MeshData(ndims, new_coord, new_conn)
+    from .ops import surface as SP_mod
     sim.ctx = StepCtx(
         ndims=ndims, nnode=topo2.nnode, nelem=topo2.nelem,
         conn=jnp.asarray(topo2.connectivity),
@@ -450,11 +451,12 @@ def remesh_simulation(sim, bad_quality: int):
         gather_mask=jnp.asarray(topo2.gather_mask),
         top_mask=jnp.asarray((topo2.bcflag & BOUNDZ1) != 0),
         vbc=bc_mod.VBCSpec.from_param(param, topo2.bcflag),
-        mat=mat_tables, max_vbc_val=sim.ctx.max_vbc_val)
+        mat=mat_tables, surf=SP_mod.make_surf_info(topo2),
+        max_vbc_val=sim.ctx.max_vbc_val)
     ctx = sim.ctx
 
     s2 = allocate_state(topo2.nnode, topo2.nelem, ndims, param.mat.nmat,
-                        dtype=dtype)
+                        netop=ctx.surf.etop, dtype=dtype)
     coord_j = jnp.asarray(new_coord, dtype=dtype)
     volume = compute_volume(coord_j, ctx.conn)
     volume_old = jnp.asarray(dv_new, dtype=dtype) * volume
@@ -508,9 +510,6 @@ def remesh_simulation(sim, bad_quality: int):
                          "tmass": tmass, "hmass": hmass, "ymass": ymass,
                          "viscosity": viscosity})
 
-    # surface accumulators follow the new surface size
-    sim.dhacc = np.zeros(len(topo2.bnodes[IBOUNDZ1]))
-    sim.edvacc_surf = np.zeros(max(len(topo2.bfacets[IBOUNDZ1]), 0))
     sim._chunk_fns = {}  # shapes changed -> fresh compiles
 
 

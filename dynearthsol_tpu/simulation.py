@@ -35,6 +35,7 @@ from .ops import fields as F
 from .ops import geometry as G
 from .ops import matprops as M
 from .ops import rheology as R
+from .ops import surface as SP
 from .ops.assembly import node_sum
 from .ops.shapefn import compute_volume, shape_fn_gradients
 from .ops.tensor import second_invariant2, trace
@@ -44,7 +45,7 @@ from .state import State, allocate_state
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["conn", "gather_idx", "gather_mask", "top_mask", "vbc",
-                 "mat"],
+                 "mat", "surf"],
     meta_fields=["ndims", "nnode", "nelem", "max_vbc_val"])
 @dataclass(frozen=True)
 class StepCtx:
@@ -66,6 +67,7 @@ class StepCtx:
     top_mask: jnp.ndarray  # BOUNDZ1 nodes (Dirichlet T)
     vbc: bc_mod.VBCSpec
     mat: M.MatTables
+    surf: SP.SurfInfo
     max_vbc_val: float
 
 
@@ -232,10 +234,24 @@ def make_step_fn(param: Param):
         vel = bc_mod.apply_vbcs(ctx.vbc, vel, s.coord, time)
 
         # update_mesh (dynearthsol.cxx:431-473)
+        dhacc, edvacc_surf = s.dhacc, s.edvacc_surf
         if ctrl.has_moving_mesh:
             coord = F.update_coordinate(s.coord, vel, s.dt)
+            if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
+                coord, dhacc, edvacc_surf, _dh = SP.apply_surface_processes(
+                    param, ctx.surf, coord, s.dt, dhacc, edvacc_surf)
             volume_old = s.volume
             volume = compute_volume(coord, ctx.conn)
+            if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
+                stress, strain, strain_rate, plstrain = \
+                    SP.correct_surface_elements(ctx.surf, volume, s.volume,
+                                                stress, strain, strain_rate,
+                                                plstrain)
+                qcsi = param.mesh.quality_check_step_interval
+                plstrain = SP.surface_plstrain_decay(
+                    ctx.surf, plstrain, s.emw, s.dt,
+                    param.mat.mattype_oceanic_crust,
+                    apply=(steps % qcsi) == 0)
         else:
             coord, volume_old, volume = s.coord, s.volume_old, s.volume
 
@@ -298,6 +314,7 @@ def make_step_fn(param: Param):
             time_avg0 = s.time_avg0
 
         return State(
+            dhacc=dhacc, edvacc_surf=edvacc_surf,
             stress_avg=stress_avg, delta_plstrain_avg=dpls_avg,
             coord_avg0=coord_avg0, strain_avg0=strain_avg0,
             time_avg0=time_avg0,
@@ -352,7 +369,8 @@ class Simulation:
             gather_mask=jnp.asarray(topo.gather_mask),
             top_mask=jnp.asarray((topo.bcflag & BOUNDZ1) != 0),
             vbc=bc_mod.VBCSpec.from_param(param, topo.bcflag),
-            mat=mat_tables, max_vbc_val=max_vbc_val)
+            mat=mat_tables, surf=SP.make_surf_info(topo),
+            max_vbc_val=max_vbc_val)
 
         # driver/aux bookkeeping (parameters.hpp Variables scalars)
         from .constants import IBOUNDZ0, IBOUNDZ1
@@ -360,10 +378,6 @@ class Simulation:
         self.reference_frame_time = 0.0
         self.compensation_pressure = 0.0
         self.bottom_temperature = param.bc.mantle_temperature
-        # surface accumulators (SurfaceInfo, parameters.hpp:576-630)
-        self.dhacc = np.zeros(len(topo.bnodes[IBOUNDZ1]))
-        self.edvacc_surf = np.zeros(max(len(topo.bfacets[IBOUNDZ1]), 0))
-
         if _restart is None:
             self.state = self._init_state()
             bot = topo.bnodes[IBOUNDZ0]
@@ -379,7 +393,7 @@ class Simulation:
         param, topo, ctx = self.param, self.topo, self.ctx
         ndims = ctx.ndims
         s = allocate_state(topo.nnode, topo.nelem, ndims, param.mat.nmat,
-                           dtype=self.dtype)
+                           netop=self.ctx.surf.etop, dtype=self.dtype)
         coord = jnp.asarray(self.mesh.coord, dtype=self.dtype)
         volume = compute_volume(coord, ctx.conn)
 
@@ -467,7 +481,7 @@ class Simulation:
         ndims = ctx.ndims
         dt = self.dtype
         s = allocate_state(topo.nnode, topo.nelem, ndims, param.mat.nmat,
-                           dtype=dt)
+                           netop=self.ctx.surf.etop, dtype=dt)
         coord = jnp.asarray(r["coord"], dtype=dt)
         if "volume" in r:  # exact-restart extras present
             volume = jnp.asarray(r["volume"], dtype=dt)
@@ -486,9 +500,12 @@ class Simulation:
         self.bottom_temperature = scal[3]
         self.reference_frame_time = scal[6]
         if "dhacc" in r:
-            self.dhacc = r["dhacc"]
+            s = State(**{**s.__dict__,
+                         "dhacc": jnp.asarray(r["dhacc"], dtype=dt)})
         if "edvacc_surf" in r:
-            self.edvacc_surf = r["edvacc_surf"]
+            s = State(**{**s.__dict__,
+                         "edvacc_surf": jnp.asarray(r["edvacc_surf"],
+                                                    dtype=dt)})
 
         def a(name, default=None):
             if name in r:
@@ -555,6 +572,64 @@ class Simulation:
         return State(**{**s.__dict__, "volume_n": volume_n, "mass": mass,
                         "tmass": tmass, "hmass": hmass, "ymass": ymass,
                         "viscosity": viscosity})
+
+    # ---- surface marker bookkeeping (host, chunk-boundary cadence) ----
+    def sync_surface_markers(self):
+        """Create sediment markers from accumulated deposition and reset the
+        dh accumulator (set_surface_marker, markerset.cxx:261-458; called at
+        quality_check_step_interval cadence like bc.cxx:1795-1812)."""
+        if self.markers is None or self.ctx.surf.etop == 0:
+            return
+        param = self.param
+        ndims = self.ctx.ndims
+        ms = self.markers
+        edv = np.asarray(self.state.edvacc_surf, dtype=np.float64).copy()
+        volume = np.asarray(self.state.volume, dtype=np.float64)
+        coord = np.asarray(self.state.coord, dtype=np.float64)
+        conn = self.topo.connectivity
+        top_elems = np.asarray(self.ctx.surf.top_elems)
+        facet_nodes = np.asarray(self.ctx.surf.facet_nodes)
+
+        hist = ms.elem_histogram(self.topo.nelem, param.mat.nmat)
+        nmark = hist.sum(axis=1)[top_elems]
+        nmark = np.maximum(nmark, 1.0)
+        edv[edv < 0] = 0.0
+        sel = np.nonzero(nmark * edv >= volume[top_elems])[0]
+        if sel.size:
+            from .barycentric import bary_coords
+            rng = np.random.default_rng(
+                param.markers.random_seed + int(self.state.steps))
+            e = top_elems[sel]
+            dv_apply = volume[e] / nmark[sel]
+            fverts = coord[facet_nodes[sel]]         # (k, ndims, ndims)
+            # random point on the top facet, lowered by 0.8 * dv/base
+            # (marker_dh_applied_ratio, markerset.cxx:268)
+            w = rng.random((sel.size, ndims))
+            w /= w.sum(axis=1, keepdims=True)
+            pts = np.einsum("kf,kfd->kd", w, fverts)
+            if ndims == 2:
+                base = np.abs(fverts[:, 1, 0] - fverts[:, 0, 0])
+            else:
+                d01 = fverts[:, 1] - fverts[:, 0]
+                d02 = fverts[:, 2] - fverts[:, 0]
+                base = 0.5 * (d01[:, 0] * d02[:, 1] - d01[:, 1] * d02[:, 0])
+            pts[:, ndims - 1] -= 0.8 * dv_apply / np.maximum(base, 1e-300)
+            eta = bary_coords(coord, conn, e, pts)
+            eta = np.clip(eta, 0.0, None)
+            eta /= eta.sum(axis=1, keepdims=True)
+            ms.append(eta, e.astype(np.int32), param.mat.mattype_sed,
+                      time=float(self.state.time), z=pts[:, ndims - 1],
+                      distance=pts[:, 0], genesis=2)
+            edv[sel] -= dv_apply
+            emw = jnp.asarray(
+                mk.emw_from_markers(ms, self.topo.nelem, param.mat.nmat),
+                dtype=self.dtype)
+            self.state = State(**{**self.state.__dict__, "emw": emw})
+        # reset dhacc after the marker correction (bc.cxx:1800-1806)
+        self.state = State(**{**self.state.__dict__,
+                              "edvacc_surf": jnp.asarray(edv,
+                                                         dtype=self.dtype),
+                              "dhacc": jnp.zeros_like(self.state.dhacc)})
 
     # ---- derived element fields for output (output.cxx:213-233) ----
     def elem_density(self) -> np.ndarray:

@@ -49,6 +49,8 @@ class State:
     emw: jnp.ndarray            # (nelem, nmat) element material weights
     # averaged-output accumulators (output.cxx:300-340 average_fields);
     # zero-size placeholders when is_outputting_averaged_fields is off
+    dhacc: jnp.ndarray              # (nnode,) accumulated surface dh
+    edvacc_surf: jnp.ndarray        # (etop,) accumulated deposited volume
     stress_avg: jnp.ndarray         # (nelem, NSTR) running sum
     delta_plstrain_avg: jnp.ndarray  # (nelem,) running sum
     coord_avg0: jnp.ndarray         # (nnode, ndims) coord at interval start
@@ -65,7 +67,7 @@ class State:
 
 
 def allocate_state(nnode: int, nelem: int, ndims: int, nmat: int,
-                   dtype=jnp.float64) -> State:
+                   netop: int = 0, dtype=jnp.float64) -> State:
     """Zero-initialised state (cf. allocate_variables, fields.cxx:56-122)."""
     nstr = ndims * (ndims + 1) // 2
 
@@ -86,6 +88,7 @@ def allocate_state(nnode: int, nelem: int, ndims: int, nmat: int,
         dpressure=nvec(nelem), edvoldt=nvec(nelem),
         radiogenic_source=nvec(nelem), dyn_fric_coeff=nvec(nelem),
         state_variable=nvec(nelem), emw=jnp.ones((nelem, nmat), dtype=dtype),
+        dhacc=nvec(nnode), edvacc_surf=nvec(netop),
         stress_avg=nvec(nelem, nstr), delta_plstrain_avg=nvec(nelem),
         coord_avg0=nvec(nnode, ndims), strain_avg0=nvec(nelem, nstr),
         time_avg0=jnp.zeros((), dtype=dtype),

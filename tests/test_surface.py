@@ -1,0 +1,147 @@
+"""Surface process tests (reference: bc.cxx:877-1831 simple_diffusion /
+surface_processes; markerset.cxx:261-458 set_surface_marker)."""
+
+import numpy as np
+
+import dynearthsol_tpu as des
+from dynearthsol_tpu.constants import BOUNDZ1
+
+
+def surf_param(opt=1, diffusivity=1e-5, nmat=2, **over):
+    d = {
+        "sim": {"max_steps": 10**9, "ndims": 2, "float_dtype": "float64",
+                "is_outputting_averaged_fields": False},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 20e3, "ylength": 0.0, "zlength": 10e3,
+                 "resolution": 1e3, "quality_check_step_interval": 10},
+        "markers": {"markers_per_element": 4, "random_seed": 11},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "damping_option": 1,
+                    "surface_process_option": opt,
+                    "surface_diffusivity": diffusivity},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": 0.0,
+               "vbc_x1": 1, "vbc_val_x1": 0.0,
+               "vbc_z0": 0, "vbc_z1": 0},
+        "mat": {"rheology_type": "elastic",
+                "is_plane_strain": True, "nmat": nmat,
+                "mattype_sed": nmat - 1,
+                "rho0": [2800.0] * nmat, "bulk_modulus": [50e9] * nmat,
+                "shear_modulus": [30e9] * nmat},
+        "ic": {"num_mattype_layers": 1, "layer_mattypes": [0],
+               "mattype_layer_depths": []},
+    }
+    for sec, kv in over.items():
+        d.setdefault(sec, {}).update(kv)
+    return des.param_from_dict(d)
+
+
+def _bump_surface(sim, amp=200.0, width=3e3):
+    """Put a Gaussian bump on the top surface."""
+    import jax.numpy as jnp
+    from dynearthsol_tpu.state import State
+
+    coord = np.asarray(sim.state.coord).copy()
+    top = (sim.topo.bcflag & BOUNDZ1) != 0
+    x0 = sim.param.mesh.xlength / 2
+    coord[top, 1] += amp * np.exp(-((coord[top, 0] - x0) / width) ** 2)
+    sim.state = State(**{**sim.state.__dict__,
+                         "coord": jnp.asarray(coord, dtype=sim.dtype)})
+    from dynearthsol_tpu.simulation import compute_volume
+    sim.state = State(**{**sim.state.__dict__,
+                         "volume": compute_volume(sim.state.coord,
+                                                  sim.ctx.conn)})
+    return top, x0
+
+
+def test_diffusion_erodes_bump():
+    param = surf_param(diffusivity=1e-2)  # exaggerated for a short test
+    sim = des.Simulation(param)
+    top, x0 = _bump_surface(sim)
+    coord0 = np.asarray(sim.state.coord)
+    h0 = coord0[top, 1].max()
+
+    sim.run_steps(50, chunk=50)
+    coord1 = np.asarray(sim.state.coord)
+    h1 = coord1[top, 1].max()
+    # bump diffuses down; troughs fill in (mass moves downhill)
+    assert h1 < h0
+    # dhacc tracked the change
+    dhacc = np.asarray(sim.state.dhacc)
+    assert dhacc[top].min() < 0  # erosion at the crest
+    assert np.abs(dhacc[~top]).max() == 0
+
+
+def test_diffusion_conserves_mass():
+    """Pure diffusion with reflecting BCs conserves the integral of h."""
+    param = surf_param(diffusivity=1e-2)
+    sim = des.Simulation(param)
+    top, _ = _bump_surface(sim)
+
+    def surf_integral(coord):
+        t = coord[top]
+        o = np.argsort(t[:, 0])
+        x, z = t[o, 0], t[o, 1]
+        return np.trapezoid(z, x)
+
+    i0 = surf_integral(np.asarray(sim.state.coord))
+    sim.run_steps(50, chunk=50)
+    i1 = surf_integral(np.asarray(sim.state.coord))
+    # gravity also deforms the surface slightly; diffusion itself is
+    # conservative, so the integral change must be far below the bump volume
+    bump_vol = 200.0 * 3e3 * np.sqrt(np.pi)
+    assert abs(i1 - i0) < 0.05 * bump_vol
+
+
+def test_sedimentation_creates_markers():
+    """Deposition accumulates edvacc and the marker sync turns it into
+    sediment markers."""
+    import jax.numpy as jnp
+    from dynearthsol_tpu.state import State
+
+    param = surf_param(diffusivity=1e-2, nmat=2)
+    sim = des.Simulation(param)
+    n0 = sim.markers.n
+
+    # inject a large accumulated deposition on a few facets
+    edv = np.asarray(sim.state.edvacc_surf).copy()
+    vol = np.asarray(sim.state.volume)
+    te = np.asarray(sim.ctx.surf.top_elems)
+    edv[3:6] = vol[te[3:6]]  # enough for several markers
+    sim.state = State(**{**sim.state.__dict__,
+                         "edvacc_surf": jnp.asarray(edv, dtype=sim.dtype)})
+
+    sim.sync_surface_markers()
+    assert sim.markers.n > n0
+    new = slice(n0, sim.markers.n)
+    assert (sim.markers.mattype[new] == param.mat.mattype_sed).all()
+    assert (sim.markers.genesis[new] == 2).all()
+    # edvacc decremented
+    edv2 = np.asarray(sim.state.edvacc_surf)
+    assert (edv2[3:6] < edv[3:6]).all()
+    # dhacc reset
+    assert np.abs(np.asarray(sim.state.dhacc)).max() == 0
+
+
+def test_surface_3d_diffusion_runs():
+    param = surf_param(diffusivity=1e-2, sim={"ndims": 2})
+    param3 = surf_param(diffusivity=1e-2)
+    d = {
+        "sim": {"ndims": 3, "float_dtype": "float64"},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 8e3, "ylength": 8e3, "zlength": 4e3,
+                 "resolution": 2e3, "quality_check_step_interval": 10},
+        "markers": {"markers_per_element": 4},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "surface_process_option": 1,
+                    "surface_diffusivity": 1e-2},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": 0.0, "vbc_x1": 1,
+               "vbc_val_x1": 0.0, "vbc_y0": 1, "vbc_val_y0": 0.0,
+               "vbc_y1": 1, "vbc_val_y1": 0.0, "vbc_z0": 0, "vbc_z1": 0},
+        "mat": {"rheology_type": "elastic", "rho0": [2800.0],
+                "bulk_modulus": [50e9], "shear_modulus": [30e9]},
+    }
+    param = des.param_from_dict(d)
+    sim = des.Simulation(param)
+    sim.run_steps(10, chunk=10)
+    assert np.isfinite(np.asarray(sim.state.coord)).all()
+    assert np.isfinite(np.asarray(sim.state.dhacc)).all()
