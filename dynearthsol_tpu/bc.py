@@ -322,3 +322,19 @@ def _apply_vbcs_3d(spec: VBCSpec, vel, coord, time):
         vel = _set(vel, m, 2, vz1 * z)
 
     return vel
+
+
+def pp_bc_mask(bc, bcflag: np.ndarray) -> np.ndarray:
+    """Pore-pressure Dirichlet mask: node on boundary i with hbc type 1
+    (is_boundary_node_for_pp, fields.cxx:286-294)."""
+    from .constants import (BOUNDX0, BOUNDX1, BOUNDY0, BOUNDY1, BOUNDZ0,
+                            BOUNDZ1)
+
+    bits = (BOUNDX0, BOUNDX1, BOUNDY0, BOUNDY1, BOUNDZ0, BOUNDZ1)
+    types = (bc.hbc_x0, bc.hbc_x1, bc.hbc_y0, bc.hbc_y1, bc.hbc_z0,
+             bc.hbc_z1)
+    mask = np.zeros(bcflag.shape[0], dtype=bool)
+    for bit, t in zip(bits, types):
+        if t == 1:
+            mask |= (bcflag & bit) != 0
+    return mask

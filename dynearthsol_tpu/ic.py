@@ -155,3 +155,32 @@ def initial_material_weights(param, coord: np.ndarray, conn: np.ndarray
     unassigned = emw.sum(axis=1) == 0
     emw[unassigned, mats[-1]] = 1.0
     return emw
+
+
+def initial_hydrostatic_state(param, coord: np.ndarray,
+                              bcflag: np.ndarray) -> np.ndarray:
+    """Hydrostatic pore pressure + Skempton-loaded excess pressure
+    (ic.cxx:450-498).  Positive in compression."""
+    if param.control.gravity == 0:
+        return np.zeros(coord.shape[0])
+    mat = param.mat
+    ndims = coord.shape[1]
+    rho_fluid = 1000.0  # ic.cxx:460 hard-codes water
+    z = coord[:, ndims - 1]
+    pp = -rho_fluid * param.control.gravity * z
+
+    loading = param.ic.excess_pore_pressure
+    if loading != 0.0:
+        from .bc import pp_bc_mask
+
+        ks = mat.bulk_modulus[0]
+        mu = mat.shear_modulus[0]
+        lame = ks - 2.0 / 3.0 * mu
+        alpha_c = mat.biot_coeff[0]
+        phi = mat.porosity[0]
+        beta_w = 1.0 / mat.fluid_bulk_modulus[0]
+        skempton = 1.0 / (phi * beta_w * (lame + 2 * mu)
+                          / (alpha_c + phi - phi * alpha_c) + alpha_c)
+        free = ~pp_bc_mask(param.bc, bcflag)
+        pp[free] += skempton * loading
+    return pp

@@ -164,6 +164,49 @@ def temperature_diffusion_contrib(temperature, conn, dnd, volume, kappa,
     return diffusion * kv[:, None] - source_term[:, None]
 
 
+def update_pore_pressure(ppressure, dppressure, coord, conn, dnd, volume,
+                         stress, old_mean_stress, hmass, dt, gravity,
+                         perm_e, mu_e, alpha_b, phi_e, beta_f, bulkm,
+                         shearm, pp_bc_mask, gather_idx, gather_mask):
+    """Explicit Darcy pore-pressure diffusion with the poroelastic source
+    (fields.cxx:297-406).  Hydraulic head = p/gamma_w + z; the volumetric
+    (Biot) source comes from the mean-stress change over the step.
+
+    Returns (ppressure, dppressure, hydro_diff_max)."""
+    from .tensor import trace
+
+    ndims = coord.shape[1]
+    npe = ndims + 1
+    mean_change = trace(stress) / ndims - old_mean_stress
+    matrix_comp = 1.0 / (bulkm + 4.0 * shearm / 3.0)
+    if ndims == 2:
+        bulk_comp = 1.0 / (bulkm + shearm / 3.0)
+    else:
+        bulk_comp = 1.0 / bulkm
+    rho_f = 1000.0  # fields.cxx:330 hard-codes water density
+    gamma_w = rho_f * gravity
+    hydraulic_conductivity = perm_e * gamma_w / mu_e
+    kv = hydraulic_conductivity * volume
+    diff_e = hydraulic_conductivity / (phi_e * beta_f
+                                       + alpha_b * matrix_comp) / gamma_w
+    hydro_diff_max = jnp.maximum(diff_e.max(), 1e-38)
+
+    # poroelastic volume source (fields.cxx:342)
+    pe = alpha_b * mean_change * bulk_comp * volume / npe / dt
+
+    head = ppressure[conn] / gamma_w + coord[conn, ndims - 1]  # (nelem, npe)
+    grad = jnp.einsum("nj,njd->nd", head, dnd)
+    diffusion = jnp.einsum("nid,nd->ni", dnd, grad)
+    contrib = kv[:, None] * diffusion + pe[:, None]
+    tdot = node_sum(contrib, gather_idx, gather_mask)
+
+    upd = jnp.where(hmass > 0.0, tdot * dt / jnp.where(hmass > 0, hmass, 1.0),
+                    0.0)
+    pp_new = jnp.where(pp_bc_mask, ppressure, ppressure - upd)
+    dpp_new = jnp.where(pp_bc_mask, dppressure, upd)
+    return pp_new, dpp_new, hydro_diff_max
+
+
 def update_temperature(temperature, conn, dnd, volume, kappa, source_term,
                        tmass, dt, top_mask, surface_T,
                        gather_idx, gather_mask):

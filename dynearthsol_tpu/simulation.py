@@ -44,8 +44,8 @@ from .state import State, allocate_state
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["conn", "gather_idx", "gather_mask", "top_mask", "vbc",
-                 "mat", "surf"],
+    data_fields=["conn", "gather_idx", "gather_mask", "top_mask",
+                 "pp_bc_mask", "vbc", "mat", "surf"],
     meta_fields=["ndims", "nnode", "nelem", "max_vbc_val"])
 @dataclass(frozen=True)
 class StepCtx:
@@ -65,6 +65,7 @@ class StepCtx:
     gather_idx: jnp.ndarray
     gather_mask: jnp.ndarray
     top_mask: jnp.ndarray  # BOUNDZ1 nodes (Dirichlet T)
+    pp_bc_mask: jnp.ndarray  # Dirichlet pore-pressure nodes
     vbc: bc_mod.VBCSpec
     mat: M.MatTables
     surf: SP.SurfInfo
@@ -103,7 +104,13 @@ def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
     plstrain, delta_plstrain = s.plstrain, s.delta_plstrain
     viscosity = s.viscosity
 
-    dpp = None  # hydraulic effective-stress increment; wired in later
+    if param.control.has_hydraulic_diffusion:
+        # Biot-scaled element-mean pore-pressure increment
+        # (rheology.cxx:696-755): added to the diagonal of the trial stress
+        alpha_b = M.alpha_biot(ctx.mat, s.emw)
+        dpp = alpha_b * s.dppressure[ctx.conn].mean(axis=1)
+    else:
+        dpp = None
 
     if rheol == RH_ELASTIC:
         stress = R.elastic(bulkm, shearm, de, s.stress, dpp)
@@ -231,6 +238,20 @@ def make_step_fn(param: Param):
                                 ctrl.damping_option, ctrl.damping_factor)
 
         vel = F.update_velocity(s.vel, force, s.mass, s.dt)
+
+        # pore-pressure diffusion (fields.cxx:297-406), after velocity and
+        # before vbcs like the reference loop (dynearthsol.cxx:842-850)
+        ppressure, dppressure = s.ppressure, s.dppressure
+        hydro_diff_max = s.hydro_diff_max
+        if ctrl.has_hydraulic_diffusion:
+            ppressure, dppressure, hydro_diff_max = F.update_pore_pressure(
+                s.ppressure, s.dppressure, s.coord, ctx.conn, dnd, s.volume,
+                stress, old_mean_stress, s.hmass, s.dt, ctrl.gravity,
+                M.perm(ctx.mat, s.emw), M.mu_fluid(ctx.mat, s.emw),
+                M.alpha_biot(ctx.mat, s.emw), M.phi_porosity(ctx.mat, s.emw),
+                M.beta_fluid(ctx.mat, s.emw), bulkm, shearm,
+                ctx.pp_bc_mask, ctx.gather_idx, ctx.gather_mask)
+
         vel = bc_mod.apply_vbcs(ctx.vbc, vel, s.coord, time)
 
         # update_mesh (dynearthsol.cxx:431-473)
@@ -319,7 +340,7 @@ def make_step_fn(param: Param):
             coord_avg0=coord_avg0, strain_avg0=strain_avg0,
             time_avg0=time_avg0,
             coord=coord, coord0=s.coord0, vel=vel, temperature=temperature,
-            ppressure=s.ppressure, dppressure=s.dppressure,
+            ppressure=ppressure, dppressure=dppressure,
             volume_n=volume_n, mass=mass, tmass=tmass, hmass=hmass,
             ymass=ymass, force=force, volume=volume, volume_old=volume_old,
             stress=stress, stressyy=stressyy,
@@ -332,7 +353,7 @@ def make_step_fn(param: Param):
             state_variable=s.state_variable, emw=s.emw,
             time=time, dt=dt, steps=steps, max_global_vel_mag=vmax,
             global_dt_min=gdtmin, l2_residual=l2_res,
-            hydro_diff_max=s.hydro_diff_max)
+            hydro_diff_max=hydro_diff_max)
 
     return step
 
@@ -368,6 +389,7 @@ class Simulation:
             gather_idx=jnp.asarray(topo.gather_idx),
             gather_mask=jnp.asarray(topo.gather_mask),
             top_mask=jnp.asarray((topo.bcflag & BOUNDZ1) != 0),
+            pp_bc_mask=jnp.asarray(bc_mod.pp_bc_mask(param.bc, topo.bcflag)),
             vbc=bc_mod.VBCSpec.from_param(param, topo.bcflag),
             mat=mat_tables, surf=SP.make_surf_info(topo),
             max_vbc_val=max_vbc_val)
@@ -405,6 +427,11 @@ class Simulation:
                                         topo.connectivity)
         plstrain = ic_mod.initial_weak_zone(param, self.mesh.coord,
                                             topo.connectivity)
+        if param.control.has_hydraulic_diffusion:
+            pp0 = ic_mod.initial_hydrostatic_state(
+                param, self.mesh.coord, topo.bcflag)
+        else:
+            pp0 = None
         if param.markers.markers_per_element > 0:
             self.markers = mk.create_markers(param, self.mesh.coord,
                                              topo.connectivity)
@@ -430,6 +457,8 @@ class Simulation:
                      "strain": jnp.asarray(strain, dtype=self.dtype),
                      "plstrain": jnp.asarray(plstrain, dtype=self.dtype),
                      "emw": emw,
+                     **({"ppressure": jnp.asarray(pp0, dtype=self.dtype)}
+                        if pp0 is not None else {}),
                      "hydro_diff_max": jnp.asarray(1e-1, dtype=self.dtype)})
 
         # apply vbcs + initial dt + mass (dynearthsol.cxx:186-190)
