@@ -44,6 +44,9 @@ RHEOLOGY_NAMES = {
     "elasto-visco-plastic": RH_EVP,
     "elasto-plastic-rsf": RH_EP_RSF,
     "elasto-visco-plastic-rsf": RH_EVP_RSF,
+    # long names accepted by the reference (input.cxx:1354-1359)
+    "elasto-plastic-rate-state-friction": RH_EP_RSF,
+    "elasto-visco-plastic-rate-state-friction": RH_EVP_RSF,
 }
 
 

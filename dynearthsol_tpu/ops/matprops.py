@@ -254,3 +254,78 @@ def mu_fluid(tab: MatTables, emw):
 
 def beta_fluid(tab: MatTables, emw):
     return harmonic_mean(1.0 / tab.fluid_bulk_modulus, emw)
+
+
+# --- rate-and-state friction (matprops.cxx:343-552) ---
+
+def update_state_variable(tab: MatTables, emw, slip_rate, state_variable,
+                          dt, state_model: int):
+    """State-variable evolution laws 0 (steady), 1 (aging), 2 (slip)
+    (matprops.cxx:439-510)."""
+    if state_model == 0:
+        return state_variable
+    theta_min, theta_max, ratio_min = 1e-12, 1e12, 1e-10
+    d = arithmetic_mean(tab.characteristic_distance, emw)
+    ok = d >= 1e-12
+    safe_d = jnp.where(ok, d, 1.0)
+    if state_model == 1:
+        dtheta = (1.0 - slip_rate * state_variable / safe_d) * dt
+        new = jnp.clip(state_variable + dtheta, theta_min, theta_max)
+        return jnp.where(ok, new, state_variable)
+    # slip law (model 2)
+    theta = jnp.clip(state_variable, theta_min, theta_max)
+    ratio = jnp.maximum(slip_rate * theta / safe_d, ratio_min)
+    dtheta = -ratio * jnp.log(ratio) * dt
+    new = theta + dtheta
+    fallback = safe_d / jnp.maximum(slip_rate, 1e-30)
+    new = jnp.where(new <= 0.0, fallback, new)
+    new = jnp.clip(new, theta_min, theta_max)
+    return jnp.where(ok, new, state_variable)
+
+
+def rsf_friction(tab: MatTables, emw, pls, slip_rate, state_variable,
+                 state_model: int):
+    """Rate-and-state dynamic friction coefficient and angle
+    (plastic_weakening_rsf, matprops.cxx:343-437).  Returns
+    (cohesion, phi_dyn_deg, psi, hardn, mu_d)."""
+    cohesion, phi_s, psi, hardn = plastic_weakening(tab, emw, pls)
+    a = arithmetic_mean(tab.direct_a, emw)
+    b = arithmetic_mean(tab.evolution_b, emw)
+    cv = jnp.maximum(arithmetic_mean(tab.characteristic_velocity, emw),
+                     1e-30)
+    dc = jnp.maximum(arithmetic_mean(tab.characteristic_distance, emw),
+                     1e-30)
+    mu0 = jnp.tan(DEG2RAD * phi_s)
+    v_eff = jnp.maximum(slip_rate, 1e-30)
+    theta_eff = jnp.maximum(state_variable, 1e-30)
+    if state_model == 0:
+        mu_d = mu0 + (a - b) * jnp.log(v_eff / cv)
+    else:
+        mu_d = mu0 + a * jnp.log(v_eff / cv) \
+            + b * jnp.log(cv * theta_eff / dc)
+    mu_d = jnp.maximum(mu_d, 1e-6)
+    phi_dyn = jnp.arctan(mu_d) / DEG2RAD
+    return cohesion, phi_dyn, psi, hardn, mu_d
+
+
+def plastic_props_rsf(tab: MatTables, emw, pls, slip_rate, state_variable,
+                      dt, state_model: int):
+    """RSF Mohr-Coulomb derived quantities (plastic_props_rsf,
+    matprops.cxx:532-552).  Updates the state variable first, then derives
+    the dynamic friction.  Returns
+    (amc, anphi, anpsi, hardn, ten_max, dyn_fric_coeff, state_variable)."""
+    state_variable = update_state_variable(tab, emw, slip_rate,
+                                           state_variable, dt, state_model)
+    cohesion, phi, psi, hardn, mu_d = rsf_friction(
+        tab, emw, pls, slip_rate, state_variable, state_model)
+    sphi = jnp.sin(phi * DEG2RAD)
+    spsi = jnp.sin(psi * DEG2RAD)
+    anphi = (1.0 + sphi) / (1.0 - sphi)
+    anpsi = (1.0 + spsi) / (1.0 - spsi)
+    amc = 2.0 * cohesion * jnp.sqrt(anphi)
+    tanphi = jnp.tan(phi * DEG2RAD)
+    ten_max = jnp.where(phi == 0.0, tab.tension_max,
+                        jnp.minimum(tab.tension_max,
+                                    cohesion / jnp.where(tanphi == 0.0, 1.0,
+                                                         tanphi)))
+    return amc, anphi, anpsi, hardn, ten_max, mu_d, state_variable

@@ -264,3 +264,41 @@ def elasto_plastic2d(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
 
     s_new = jnp.stack([sxx_n, szz_n, sxz_n], axis=1)
     return s_new, syy_n, depls, fmode
+
+
+def slip_rate2(s, vmean):
+    """Slip-rate magnitude: project element-mean velocity onto the maximum
+    shear direction from the Mohr circle (rheology.cxx:107-148
+    compute_slip_rate2)."""
+    rad = second_invariant2(s) ** 0.5
+    a = 0.5 * (s[:, 0] - s[:, 1])
+    b = -rad
+    ok = b < -_EPS
+    safe_b = jnp.where(ok, b, 1.0)
+    cos2t = jnp.where(ok, a / safe_b, 1.0)
+    sin2t = jnp.where(ok, s[:, 2] / safe_b, 0.0)
+    theta_shear = 0.5 * jnp.arctan2(sin2t, cos2t)
+    dx = jnp.cos(theta_shear + jnp.pi / 4)
+    dz = jnp.sin(theta_shear + jnp.pi / 4)
+    return jnp.abs(vmean[:, 0] * dx + vmean[:, 1] * dz)
+
+
+def slip_rate3(s, vmean):
+    """3D slip rate: velocity projected onto the two shear directions of the
+    maximum-shear plane from the principal frame (rheology.cxx:151-194
+    compute_slip_rate3)."""
+    p, v = principal_stresses3(s)  # ascending eigenvalues, columns of v
+    tau1 = 0.5 * jnp.abs(p[:, 2] - p[:, 1])
+    tau2 = 0.5 * jnp.abs(p[:, 2] - p[:, 0])
+    tau3 = 0.5 * jnp.abs(p[:, 1] - p[:, 0])
+    idx = jnp.where((tau2 >= tau1) & (tau2 >= tau3), 1,
+                    jnp.where((tau3 >= tau1) & (tau3 >= tau2), 2, 0))
+    i1 = (idx + 1) % 3
+    i2 = (idx + 2) % 3
+    d1 = jnp.take_along_axis(v, i1[:, None, None].repeat(3, axis=1), axis=2
+                             )[..., 0]
+    d2 = jnp.take_along_axis(v, i2[:, None, None].repeat(3, axis=1), axis=2
+                             )[..., 0]
+    m1 = (vmean * d1).sum(axis=1)
+    m2 = (vmean * d2).sum(axis=1)
+    return jnp.sqrt(m1 * m1 + m2 * m2)

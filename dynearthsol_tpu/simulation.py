@@ -89,6 +89,7 @@ def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
     """
     ndims = ctx.ndims
     rheol = param.mat.rheol_type
+    is_rsf = rheol in (RH_EP_RSF, RH_EVP_RSF)
     dt = s.dt
 
     # anti-mesh-locking correction on strain rate (rheology.cxx:755-763)
@@ -103,6 +104,7 @@ def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
     stress, stressyy = s.stress, s.stressyy
     plstrain, delta_plstrain = s.plstrain, s.delta_plstrain
     viscosity = s.viscosity
+    dyn_fric_coeff, state_variable = s.dyn_fric_coeff, s.state_variable
 
     if param.control.has_hydraulic_diffusion:
         # Biot-scaled element-mean pore-pressure increment
@@ -111,6 +113,19 @@ def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
         dpp = alpha_b * s.dppressure[ctx.conn].mean(axis=1)
     else:
         dpp = None
+
+    if is_rsf:
+        # slip rate from pre-update stress and element-mean velocity
+        # (rheology.cxx:882-914), then RSF friction + state evolution
+        vmean = s.vel[ctx.conn].mean(axis=1)
+        if ndims == 2:
+            slip = R.slip_rate2(s.stress, vmean)
+        else:
+            slip = R.slip_rate3(s.stress, vmean)
+        (amc_r, anphi_r, anpsi_r, hardn_r, ten_max_r, dyn_fric_coeff,
+         state_variable) = M.plastic_props_rsf(
+            ctx.mat, s.emw, s.plstrain, slip, s.state_variable, dt,
+            param.mat.state_var_model)
 
     if rheol == RH_ELASTIC:
         stress = R.elastic(bulkm, shearm, de, s.stress, dpp)
@@ -125,8 +140,12 @@ def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
         dv = s.volume / s.volume_old - 1.0
         stress = R.maxwell(bulkm, shearm, viscosity, dt, dv, de, s.stress)
     elif rheol in (RH_EP, RH_EP_RSF):
-        amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
-            ctx.mat, s.emw, s.plstrain)
+        if is_rsf:
+            amc, anphi, anpsi = amc_r, anphi_r, anpsi_r
+            hardn, ten_max = hardn_r, ten_max_r
+        else:
+            amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
+                ctx.mat, s.emw, s.plstrain)
         if param.mat.is_plane_strain and ndims == 2:
             stress, stressyy, depls, _ = R.elasto_plastic2d(
                 bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
@@ -143,8 +162,12 @@ def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
         dv = s.volume / s.volume_old - 1.0
         sv = R.maxwell(bulkm, shearm, viscosity, dt, dv, de, s.stress)
         svII = second_invariant2(sv)
-        amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
-            ctx.mat, s.emw, s.plstrain)
+        if is_rsf:
+            amc, anphi, anpsi = amc_r, anphi_r, anpsi_r
+            hardn, ten_max = hardn_r, ten_max_r
+        else:
+            amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
+                ctx.mat, s.emw, s.plstrain)
         if param.mat.is_plane_strain and ndims == 2:
             sp, spyy, depls, _ = R.elasto_plastic2d(
                 bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
@@ -169,7 +192,7 @@ def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
     else:
         dpressure = s.dpressure
     return (stress, stressyy, strain, edot, plstrain, delta_plstrain,
-            viscosity, dpressure)
+            viscosity, dpressure, dyn_fric_coeff, state_variable)
 
 
 def make_step_fn(param: Param):
@@ -213,8 +236,8 @@ def make_step_fn(param: Param):
                       "old_mean_stress": old_mean_stress})
 
         (stress, stressyy, strain, strain_rate, plstrain, delta_plstrain,
-         viscosity, dpressure) = _update_stress(param, ctx, s1, bulkm,
-                                                shearm, strain_rate)
+         viscosity, dpressure, dyn_fric_coeff, state_variable) = \
+            _update_stress(param, ctx, s1, bulkm, shearm, strain_rate)
 
         if ctrl.is_using_mixed_stress:
             stress = G.nmd_stress(stress, dpressure, s.volume, s.volume_n,
@@ -349,8 +372,8 @@ def make_step_fn(param: Param):
             delta_plstrain=delta_plstrain, viscosity=viscosity,
             dpressure=dpressure, edvoldt=edvoldt,
             radiogenic_source=s.radiogenic_source,
-            dyn_fric_coeff=s.dyn_fric_coeff,
-            state_variable=s.state_variable, emw=s.emw,
+            dyn_fric_coeff=dyn_fric_coeff,
+            state_variable=state_variable, emw=s.emw,
             time=time, dt=dt, steps=steps, max_global_vel_mag=vmax,
             global_dt_min=gdtmin, l2_residual=l2_res,
             hydro_diff_max=hydro_diff_max)
@@ -446,6 +469,11 @@ class Simulation:
                                                 topo.connectivity),
                 dtype=self.dtype)
 
+        if param.mat.rheol_type in (RH_EP_RSF, RH_EVP_RSF):
+            dfc0, sv0 = ic_mod.initial_rsf_state(param, np.asarray(emw))
+        else:
+            dfc0 = sv0 = None
+
         s = State(**{**s.__dict__,
                      "coord": coord, "coord0": coord, "volume": volume,
                      "volume_old": volume,
@@ -459,6 +487,11 @@ class Simulation:
                      "emw": emw,
                      **({"ppressure": jnp.asarray(pp0, dtype=self.dtype)}
                         if pp0 is not None else {}),
+                     **({"dyn_fric_coeff": jnp.asarray(dfc0,
+                                                       dtype=self.dtype),
+                         "state_variable": jnp.asarray(sv0,
+                                                       dtype=self.dtype)}
+                        if dfc0 is not None else {}),
                      "hydro_diff_max": jnp.asarray(1e-1, dtype=self.dtype)})
 
         # apply vbcs + initial dt + mass (dynearthsol.cxx:186-190)
