@@ -19,15 +19,19 @@ import numpy as np
 
 from . import load_config
 from .constants import YEAR2SEC
+from .earthquake import (EarthquakeState, handle_ats_output,
+                         update_earthquake_tracking)
 from .io import Output, restart
+from .monitor import Monitor
 from .simulation import Simulation
 
 INT_MAX = 2**31 - 1
 
 
-def _next_event_step(sim, next_regular_frame, starting_step):
+def _next_event_step(sim, next_regular_frame, starting_step, mon=None):
     """Smallest future step at which the host must wake: output frame,
-    quality check, or info display (dynearthsol.cxx:879-951)."""
+    quality check, monitor row, earthquake-tracking tick, or info display
+    (dynearthsol.cxx:879-951)."""
     p = sim.param
     steps = int(sim.state.steps)
     candidates = [steps + (p.mesh.quality_check_step_interval
@@ -37,6 +41,11 @@ def _next_event_step(sim, next_regular_frame, starting_step):
         target = starting_step + next_regular_frame * p.sim.output_step_interval
         if target > steps:
             candidates.append(target)
+    if mon is not None and mon.enabled:
+        candidates.append(max(mon.next_step, steps + 1))
+    if p.control.use_global_velocity_scaling:
+        # earthquake tracking cadence bounds event-detection latency
+        candidates.append(steps + p.sim.earthquake_output_step_interval)
     candidates.append(p.sim.max_steps)
     return max(min(candidates), steps + 1)
 
@@ -64,6 +73,10 @@ def run(param, argv_echo: str = ""):
     print(f"# mesh: {sim.topo.nnode} nodes, {sim.topo.nelem} elements, "
           f"{sim.topo.nseg} segments")
 
+    mon = Monitor(p, sim)
+    mon.write_if_due(sim)  # row at the starting step (monitor_initialize)
+    eq = EarthquakeState.init(p)
+
     next_regular_frame = 1
     max_time = p.sim.max_time_in_yr * YEAR2SEC
     t_compute_ns = 0
@@ -73,7 +86,8 @@ def run(param, argv_echo: str = ""):
 
     while (int(sim.state.steps) < p.sim.max_steps
            and float(sim.state.time) <= max_time):
-        target = _next_event_step(sim, next_regular_frame, starting_step)
+        target = _next_event_step(sim, next_regular_frame, starting_step,
+                                  mon)
         n = target - int(sim.state.steps)
         t0 = _time.monotonic_ns()
         sim.run_steps(n)
@@ -84,15 +98,31 @@ def run(param, argv_echo: str = ""):
         steps = int(sim.state.steps)
         now = float(sim.state.time)
 
+        mon.write_if_due(sim)
+        update_earthquake_tracking(p, sim, eq)
+
+        if p.control.use_global_velocity_scaling:
+            # adaptive (earthquake-triggered) output scheduling
+            t0 = _time.monotonic_ns()
+            next_regular_frame = handle_ats_output(
+                p, sim, out, eq, starting_time, starting_step,
+                next_regular_frame)
+            t_output_ns += _time.monotonic_ns() - t0
+            step_due = time_due = False
+            avg_ok = True
+        else:
+            step_due = None
+
         # output scheduling (dynearthsol.cxx:887-911)
-        step_due = (p.sim.output_step_interval != INT_MAX and
-                    (steps - starting_step)
-                    == next_regular_frame * p.sim.output_step_interval)
-        time_due = (p.sim.output_time_interval_in_yr != float("inf") and
-                    (now - starting_time) > next_regular_frame
-                    * p.sim.output_time_interval_in_yr * YEAR2SEC)
-        avg_ok = (not p.sim.is_outputting_averaged_fields
-                  or steps % p.mesh.quality_check_step_interval == 0)
+        if step_due is None:
+            step_due = (p.sim.output_step_interval != INT_MAX and
+                        (steps - starting_step) == next_regular_frame
+                        * p.sim.output_step_interval)
+            time_due = (p.sim.output_time_interval_in_yr != float("inf")
+                        and (now - starting_time) > next_regular_frame
+                        * p.sim.output_time_interval_in_yr * YEAR2SEC)
+            avg_ok = (not p.sim.is_outputting_averaged_fields
+                      or steps % p.mesh.quality_check_step_interval == 0)
         if (step_due or time_due) and avg_ok:
             t0 = _time.monotonic_ns()
             if next_regular_frame % p.sim.checkpoint_frame_interval == 0:
@@ -120,7 +150,9 @@ def run(param, argv_echo: str = ""):
                 t0 = _time.monotonic_ns()
                 if p.sim.has_output_during_remeshing:
                     out.write_exact(sim)
+                mon.before_remesh(sim)
                 remesh(sim, bad)
+                mon.rebind(sim)
                 if p.sim.has_output_during_remeshing:
                     out.write_exact(sim)
                 t_remesh_ns += _time.monotonic_ns() - t0
@@ -135,6 +167,8 @@ def run(param, argv_echo: str = ""):
                   f"wt = {wt:.1f} s")
             sim.info_display_next_step = (
                 steps + p.sim.info_display_step_interval)
+
+    mon.finalize()
 
     # final timing summary (dynearthsol.cxx:963-1002)
     t_total = (_time.monotonic_ns() - t_start) * 1e-9

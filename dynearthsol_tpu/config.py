@@ -501,6 +501,8 @@ def _apply_entries(param: Param, entries):
             key = {"max_viscosity": "visc_max", "min_viscosity": "visc_min",
                    "max_tension": "tension_max",
                    "max_thermal_diffusivity": "therm_diff_max"}[key]
+        if section == "monitor" and key == "remesh_rebind_mode":
+            key = "remesh_rebind"
         if key not in fields:
             unknowns.append(f"[{section}] {key}")
             continue
