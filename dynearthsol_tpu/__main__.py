@@ -66,6 +66,10 @@ def run(param, argv_echo: str = ""):
         out = Output(p, start_frame=0, start_time_ns=t_start)
         starting_step = 0
         starting_time = 0.0
+        # optional isostasy pre-relaxation (dynearthsol.cxx:616-619)
+        if p.ic.isostasy_adjustment_time_in_yr > 0:
+            n = sim.isostasy_adjustment()
+            print(f"Adjusted isostasy for {n} steps.")
         if p.sim.has_initial_checkpoint:
             out.write_checkpoint(sim)
         out.write_exact(sim)

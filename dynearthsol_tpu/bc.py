@@ -22,6 +22,7 @@ vbc type meanings (bc.cxx:206-214):
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
 from typing import Tuple
@@ -338,3 +339,168 @@ def pp_bc_mask(bc, bcflag: np.ndarray) -> np.ndarray:
         if t == 1:
             mask |= (bcflag & bit) != 0
     return mask
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["facet_nodes", "facet_elem", "kind",
+                 "neu_facet_nodes", "neu_dir", "neu_val", "z0_mask"],
+    meta_fields=["n_grav", "n_neu"])
+@dataclasses.dataclass(frozen=True)
+class StressBCSpec:
+    """Static facet tables for traction boundary conditions
+    (apply_stress_bcs / apply_stress_bcs_neumann, bc.cxx:632-875).
+
+    kind: 0 = Winkler foundation (bottom), 1 = hydrostatic water loading
+    (top), 2 = lithostatic sidewall.
+    """
+
+    n_grav: int
+    n_neu: int
+    facet_nodes: jnp.ndarray   # (n_grav, npf) int32
+    facet_elem: jnp.ndarray    # (n_grav,) int32
+    kind: jnp.ndarray          # (n_grav,) int32
+    neu_facet_nodes: jnp.ndarray  # (n_neu, npf) int32
+    neu_dir: jnp.ndarray       # (n_neu,) int32 force component
+    neu_val: jnp.ndarray       # (n_neu,) traction value
+    z0_mask: jnp.ndarray       # (nnode,) bool, elastic-foundation nodes
+
+    @staticmethod
+    def from_topo(param, topo) -> "StressBCSpec":
+        from .constants import IBOUNDZ0, IBOUNDZ1, dim
+
+        ndims = topo.ndims
+        d = dim(ndims)
+        nof = d.node_of_facet
+        npf = d.nodes_per_facet
+        bc = param.bc
+        vbc_types = [bc.vbc_x0, bc.vbc_x1, bc.vbc_y0, bc.vbc_y1,
+                     bc.vbc_z0, bc.vbc_z1]
+        sbc_types = [bc.stress_bc_x0, bc.stress_bc_x1, bc.stress_bc_y0,
+                     bc.stress_bc_y1, bc.stress_bc_z0, bc.stress_bc_z1]
+        sbc_vals = [bc.stress_val_x0, bc.stress_val_x1, bc.stress_val_y0,
+                    bc.stress_val_y1, bc.stress_val_z0, bc.stress_val_z1]
+
+        fnodes, felem, kind = [], [], []
+        for i in range(6):
+            # gravity-induced tractions on free/shear boundaries
+            # (bc.cxx:653-657)
+            if vbc_types[i] not in (0, 2, 4):
+                continue
+            if i == IBOUNDZ0 and not bc.has_winkler_foundation:
+                continue
+            if i == IBOUNDZ1 and not bc.has_water_loading:
+                continue
+            k = 0 if i == IBOUNDZ0 else (1 if i == IBOUNDZ1 else 2)
+            for e, f in topo.bfacets[i]:
+                fnodes.append(topo.connectivity[e, list(nof[f])])
+                felem.append(e)
+                kind.append(k)
+
+        nnodes, ndir, nval = [], [], []
+        for i in range(6):
+            t = sbc_types[i]
+            if t == 0:
+                continue
+            if ndims == 2:
+                comp = {1: 0, 3: 1}.get(t)
+            else:
+                comp = {1: 0, 2: 1, 3: 2}.get(t)
+            if comp is None:
+                continue
+            for e, f in topo.bfacets[i]:
+                nnodes.append(topo.connectivity[e, list(nof[f])])
+                ndir.append(comp)
+                nval.append(sbc_vals[i])
+
+        def arr(a, dtype, shape):
+            return (np.asarray(a, dtype=dtype) if a
+                    else np.zeros(shape, dtype=dtype))
+
+        z0_mask = np.zeros(topo.nnode, dtype=bool)
+        if bc.has_elastic_foundation:
+            z0_mask[topo.bnodes[IBOUNDZ0]] = True
+
+        return StressBCSpec(
+            n_grav=len(felem), n_neu=len(ndir),
+            facet_nodes=jnp.asarray(arr(fnodes, np.int32, (0, npf))),
+            facet_elem=jnp.asarray(arr(felem, np.int32, (0,))),
+            kind=jnp.asarray(arr(kind, np.int32, (0,))),
+            neu_facet_nodes=jnp.asarray(arr(nnodes, np.int32, (0, npf))),
+            neu_dir=jnp.asarray(arr(ndir, np.int32, (0,))),
+            neu_val=jnp.asarray(arr(nval, np.float64, (0,))),
+            z0_mask=jnp.asarray(z0_mask))
+
+
+def _facet_normal(fc):
+    """Outward normal scaled by facet area + facet z center
+    (normal_vector_of_facet, bc.cxx:24-54)."""
+    if fc.shape[-1] == 2:
+        v01 = fc[:, 1] - fc[:, 0]
+        normal = jnp.stack([v01[:, 1], -v01[:, 0]], axis=1)
+        zc = fc[:, :, 1].mean(axis=1)
+    else:
+        v01 = fc[:, 1] - fc[:, 0]
+        v02 = fc[:, 2] - fc[:, 0]
+        normal = 0.5 * jnp.cross(v01, v02)
+        zc = fc[:, :, 2].mean(axis=1)
+    return normal, zc
+
+
+def apply_stress_bcs(param, spec: StressBCSpec, coord, force, rho_eff,
+                     compensation_pressure, coord0):
+    """Gravity-induced boundary tractions: Winkler foundation, water
+    loading, lithostatic sidewalls, elastic foundation
+    (bc.cxx:632-790)."""
+    ctrl = param.control
+    if ctrl.gravity == 0:
+        return force
+    ndims = coord.shape[1]
+    npf = ndims  # nodes per facet
+    if spec.n_grav > 0:
+        fc = coord[spec.facet_nodes]
+        normal, zc = _facet_normal(fc)
+        rho_f = rho_eff[spec.facet_elem]
+        p_wink = (compensation_pressure
+                  - (rho_f + param.bc.winkler_delta_rho) * ctrl.gravity
+                  * (zc + param.mesh.zlength))
+        p_water = jnp.where(
+            zc < ctrl.surf_base_level,
+            1030.0 * ctrl.gravity * (ctrl.surf_base_level - zc), 0.0)
+        # sidewalls: reference lithostatic pressure (matprops.cxx:148-169)
+        mat = param.mat
+        if ctrl.has_hydraulic_diffusion:
+            rho_ref = (mat.rho0[mat.mattype_ref]
+                       * (1 - mat.porosity[mat.mattype_ref])
+                       + 1000.0 * mat.porosity[mat.mattype_ref])
+        else:
+            rho_ref = mat.rho0[mat.mattype_ref]
+        p_side = rho_ref * ctrl.gravity * jnp.maximum(-zc, 0.0)
+        p = jnp.where(spec.kind == 0, p_wink,
+                      jnp.where(spec.kind == 1, p_water, p_side))
+        contrib = -(p[:, None, None] * normal[:, None, :]) / npf
+        force = force.at[spec.facet_nodes].add(contrib)
+
+    if param.bc.has_elastic_foundation:
+        dz = coord[:, ndims - 1] - coord0[:, ndims - 1]
+        force = force.at[:, ndims - 1].add(
+            jnp.where(spec.z0_mask,
+                      -param.bc.elastic_foundation_constant * dz, 0.0))
+    return force
+
+
+def apply_stress_bcs_neumann(spec: StressBCSpec, coord, force):
+    """General traction (Neumann) BCs (bc.cxx:792-875)."""
+    if spec.n_neu == 0:
+        return force
+    ndims = coord.shape[1]
+    npf = ndims
+    fc = coord[spec.neu_facet_nodes]
+    normal, _ = _facet_normal(fc)
+    nd = jnp.take_along_axis(normal, spec.neu_dir[:, None], axis=1)[:, 0]
+    add = spec.neu_val * nd / npf  # (n_neu,)
+    # traction applies only to component neu_dir (bc.cxx:836-860)
+    onehot = jax.nn.one_hot(spec.neu_dir, ndims, dtype=force.dtype)
+    contrib = jnp.broadcast_to(add[:, None, None] * onehot[:, None, :],
+                               (spec.n_neu, npf, ndims))
+    return force.at[spec.neu_facet_nodes].add(contrib)

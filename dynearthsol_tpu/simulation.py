@@ -45,7 +45,7 @@ from .state import State, allocate_state
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["conn", "gather_idx", "gather_mask", "top_mask",
-                 "pp_bc_mask", "vbc", "mat", "surf"],
+                 "pp_bc_mask", "vbc", "sbc", "mat", "surf"],
     meta_fields=["ndims", "nnode", "nelem", "max_vbc_val"])
 @dataclass(frozen=True)
 class StepCtx:
@@ -67,6 +67,7 @@ class StepCtx:
     top_mask: jnp.ndarray  # BOUNDZ1 nodes (Dirichlet T)
     pp_bc_mask: jnp.ndarray  # Dirichlet pore-pressure nodes
     vbc: bc_mod.VBCSpec
+    sbc: bc_mod.StressBCSpec
     mat: M.MatTables
     surf: SP.SurfInfo
     max_vbc_val: float
@@ -195,13 +196,14 @@ def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
             viscosity, dpressure, dyn_fric_coeff, state_variable)
 
 
-def make_step_fn(param: Param):
+def make_step_fn(param: Param, compensation_pressure: float = 0.0):
     """Build the single-time-step transition function step(ctx, state).
 
     ``ctx`` is a pytree argument (not a closure) so its large index arrays
     stay device buffers instead of XLA constants.
     """
     ctrl = param.control
+    param_compensation_pressure = compensation_pressure
 
     def step(ctx: StepCtx, s: State) -> State:
         ndims = ctx.ndims
@@ -245,8 +247,8 @@ def make_step_fn(param: Param):
                                   ctx.gather_mask)
 
         # force assembly (fields.cxx:612-703)
+        phi_e = M.phi_porosity(ctx.mat, s.emw)
         if ctrl.gravity != 0:
-            phi_e = M.phi_porosity(ctx.mat, s.emw)
             buoy = (rho_e * (1.0 - phi_e) + 1000.0 * phi_e) \
                 * ctrl.gravity / npe
         else:
@@ -254,13 +256,127 @@ def make_step_fn(param: Param):
         contrib = F.internal_force_contrib(stress, s.volume, dnd, buoy)
         force = F.assemble_force(contrib, ctx.gather_idx, ctx.gather_mask)
         l2_res = F.residual_l2(force)
-        # boundary tractions (winkler/water/lithostatic) — only with gravity
-        # (bc.cxx:632-638 early-outs at gravity == 0); wired in with the
-        # gravity models.
+        # boundary tractions (bc.cxx:632-875)
+        if ctrl.has_hydraulic_diffusion:
+            rho_eff = rho_e * (1.0 - phi_e) + 1000.0 * phi_e
+        else:
+            rho_eff = rho_e
+        if ctrl.gravity != 0:
+            force = bc_mod.apply_stress_bcs(
+                param, ctx.sbc, s.coord, force, rho_eff,
+                param_compensation_pressure, s.coord0)
+        force = bc_mod.apply_stress_bcs_neumann(ctx.sbc, s.coord, force)
         force = F.apply_damping(force, s.vel, s.mass, s.ymass,
                                 ctrl.damping_option, ctrl.damping_factor)
 
         vel = F.update_velocity(s.vel, force, s.mass, s.dt)
+
+        # pseudo-transient inner relaxation (dynearthsol.cxx:779-840):
+        # iterate quasi-static force balance with ZEROED boundary
+        # velocities (PT_jump, bc.cxx:305-317) until the residual stalls
+        if ctrl.has_PT:
+            import dataclasses as _dc
+
+            vbc0 = _dc.replace(ctx.vbc, values=(0.0,) * 6,
+                               values_lateral=(0.0,) * 4)
+            s_mid = State(**{
+                **s.__dict__, "vel": vel, "stress": stress,
+                "stressyy": stressyy, "strain": strain,
+                "strain_rate": strain_rate, "plstrain": plstrain,
+                "delta_plstrain": delta_plstrain, "viscosity": viscosity,
+                "dpressure": dpressure, "dyn_fric_coeff": dyn_fric_coeff,
+                "state_variable": state_variable, "edvoldt": edvoldt,
+                "temperature": temperature, "l2_residual": l2_res,
+                "time": time, "steps": steps})
+
+            def pt_body(carry):
+                sc, res_old, _, k = carry
+                velp = bc_mod.apply_vbcs(vbc0, sc.vel, sc.coord, sc.time)
+                if ctrl.has_moving_mesh:
+                    coordp = F.update_coordinate(sc.coord, velp, sc.dt)
+                    volp_old = sc.volume
+                    volp = compute_volume(coordp, ctx.conn)
+                    voln_p, mass_p, tmass_p, hmass_p, ymass_p = \
+                        G.compute_mass(
+                            volp, ctx.conn, bulkm, shearm, rho_e,
+                            M.cp(ctx.mat, sc.emw), phi_e,
+                            M.alpha_biot(ctx.mat, sc.emw),
+                            M.beta_fluid(ctx.mat, sc.emw),
+                            ctx.gather_idx, ctx.gather_mask,
+                            pseudo_speed=pseudo_speed,
+                            pseudo_speed_atp=sc.max_global_vel_mag
+                            * ctrl.inertial_scaling,
+                            is_quasi_static=ctrl.is_quasi_static,
+                            use_global_velocity_scaling=(
+                                ctrl.use_global_velocity_scaling),
+                            has_hydraulic_diffusion=False,
+                            has_thermal_diffusion=(
+                                ctrl.has_thermal_diffusion),
+                            ndims=ndims)
+                else:
+                    coordp, volp_old, volp = sc.coord, sc.volume_old, \
+                        sc.volume
+                    voln_p, mass_p, tmass_p, hmass_p, ymass_p = (
+                        sc.volume_n, sc.mass, sc.tmass, sc.hmass, sc.ymass)
+                dndp = shape_fn_gradients(coordp, ctx.conn, volp)
+                srp = F.update_strain_rate(velp, ctx.conn, dndp)
+                dvp = G.compute_dvoldt(srp, volp, voln_p, ctx.conn,
+                                       ctx.gather_idx, ctx.gather_mask)
+                edvp = G.compute_edvoldt(dvp, ctx.conn)
+                s1p = State(**{**sc.__dict__, "vel": velp, "coord": coordp,
+                               "volume": volp, "volume_old": volp_old,
+                               "volume_n": voln_p, "mass": mass_p,
+                               "tmass": tmass_p, "hmass": hmass_p,
+                               "ymass": ymass_p, "edvoldt": edvp})
+                (stp, syyp, stnp, srp2, plsp, dplsp, viscp, dprp, dfcp,
+                 svp) = _update_stress(param, ctx, s1p, bulkm, shearm, srp)
+                contribp = F.internal_force_contrib(stp, volp, dndp, buoy)
+                forcep = F.assemble_force(contribp, ctx.gather_idx,
+                                          ctx.gather_mask)
+                resp = F.residual_l2(forcep)
+                if ctrl.gravity != 0:
+                    forcep = bc_mod.apply_stress_bcs(
+                        param, ctx.sbc, coordp, forcep, rho_eff,
+                        param_compensation_pressure, sc.coord0)
+                forcep = bc_mod.apply_stress_bcs_neumann(ctx.sbc, coordp,
+                                                         forcep)
+                forcep = F.apply_damping(forcep, velp, mass_p, ymass_p,
+                                         ctrl.damping_option,
+                                         ctrl.damping_factor)
+                velq = F.update_velocity(velp, forcep, mass_p, sc.dt)
+                rel = jnp.abs((resp - res_old)
+                              / jnp.where(res_old != 0, res_old, 1.0))
+                s2p = State(**{**s1p.__dict__, "stress": stp,
+                               "stressyy": syyp, "strain": stnp,
+                               "strain_rate": srp2, "plstrain": plsp,
+                               "delta_plstrain": dplsp, "viscosity": viscp,
+                               "dpressure": dprp, "dyn_fric_coeff": dfcp,
+                               "state_variable": svp, "vel": velq,
+                               "force": forcep, "l2_residual": resp})
+                return (s2p, resp, rel, k + 1)
+
+            def pt_cond(carry):
+                _, _, rel, k = carry
+                return ((k < ctrl.PT_max_iter)
+                        & (rel >= ctrl.PT_relative_tolerance))
+
+            s_pt, _, _, _ = jax.lax.while_loop(
+                pt_cond, pt_body, (s_mid, l2_res, jnp.asarray(
+                    1.0, dtype=l2_res.dtype), 0))
+            (stress, stressyy, strain, strain_rate, plstrain,
+             delta_plstrain, viscosity, dpressure, dyn_fric_coeff,
+             state_variable) = (
+                s_pt.stress, s_pt.stressyy, s_pt.strain, s_pt.strain_rate,
+                s_pt.plstrain, s_pt.delta_plstrain, s_pt.viscosity,
+                s_pt.dpressure, s_pt.dyn_fric_coeff, s_pt.state_variable)
+            vel, force, l2_res = s_pt.vel, s_pt.force, s_pt.l2_residual
+            edvoldt = s_pt.edvoldt
+            s = State(**{**s.__dict__, "coord": s_pt.coord,
+                         "volume": s_pt.volume,
+                         "volume_old": s_pt.volume_old,
+                         "volume_n": s_pt.volume_n, "mass": s_pt.mass,
+                         "tmass": s_pt.tmass, "hmass": s_pt.hmass,
+                         "ymass": s_pt.ymass})
 
         # pore-pressure diffusion (fields.cxx:297-406), after velocity and
         # before vbcs like the reference loop (dynearthsol.cxx:842-850)
@@ -414,6 +530,7 @@ class Simulation:
             top_mask=jnp.asarray((topo.bcflag & BOUNDZ1) != 0),
             pp_bc_mask=jnp.asarray(bc_mod.pp_bc_mask(param.bc, topo.bcflag)),
             vbc=bc_mod.VBCSpec.from_param(param, topo.bcflag),
+            sbc=bc_mod.StressBCSpec.from_topo(param, topo),
             mat=mat_tables, surf=SP.make_surf_info(topo),
             max_vbc_val=max_vbc_val)
 
@@ -430,7 +547,7 @@ class Simulation:
                 self.bottom_temperature = float(self.state.temperature[bot[0]])
         else:
             self.state = self._restart_state(_restart)
-        self._step_fn = make_step_fn(param)
+        self._step_fn = make_step_fn(param, self.compensation_pressure)
         self._chunk_fns = {}
 
     # ---- init (dynearthsol.cxx:158-225) ----
@@ -634,6 +751,97 @@ class Simulation:
         return State(**{**s.__dict__, "volume_n": volume_n, "mass": mass,
                         "tmass": tmass, "hmass": hmass, "ymass": ymass,
                         "viscosity": viscosity})
+
+    # ---- pre-run relaxations (dynearthsol.cxx:476-571) ----
+    def isostasy_adjustment(self):
+        """Vertical-only relaxation toward isostatic equilibrium before the
+        run starts (isostasy_adjustment, dynearthsol.cxx:476-524): step the
+        momentum balance with free boundaries, zeroing horizontal velocity
+        (and bottom velocity without a Winkler foundation)."""
+        from .constants import YEAR2SEC
+
+        param = self.param
+        yr = param.ic.isostasy_adjustment_time_in_yr
+        if yr <= 0:
+            return 0
+        ctx = self.ctx
+        ctrl = param.control
+        dt0 = float(self.state.dt)
+        iso_steps = max(int(yr * YEAR2SEC / dt0), 1)
+        ndims = ctx.ndims
+        hold_bottom = not param.bc.has_winkler_foundation
+        bottom_mask = jnp.asarray((self.topo.bcflag
+                                   & (1 << 4)) != 0)  # BOUNDZ0
+        comp_p = self.compensation_pressure
+
+        def body(s, _):
+            bulkm, shearm, rho_e = _elem_props(ctx, s)
+            phi_e = M.phi_porosity(ctx.mat, s.emw)
+            dnd = shape_fn_gradients(s.coord, ctx.conn, s.volume)
+            srate = F.update_strain_rate(s.vel, ctx.conn, dnd)
+            dv = G.compute_dvoldt(srate, s.volume, s.volume_n, ctx.conn,
+                                  ctx.gather_idx, ctx.gather_mask)
+            edv = G.compute_edvoldt(dv, ctx.conn)
+            s1 = State(**{**s.__dict__, "edvoldt": edv})
+            (stress, stressyy, strain, srate2, plstrain, dpls, visc, dpr,
+             dfc, sv) = _update_stress(param, ctx, s1, bulkm, shearm, srate)
+            buoy = (rho_e * (1.0 - phi_e) + 1000.0 * phi_e) \
+                * ctrl.gravity / (ndims + 1)
+            contrib = F.internal_force_contrib(stress, s.volume, dnd, buoy)
+            force = F.assemble_force(contrib, ctx.gather_idx,
+                                     ctx.gather_mask)
+            if ctrl.has_hydraulic_diffusion:
+                rho_eff = rho_e * (1.0 - phi_e) + 1000.0 * phi_e
+            else:
+                rho_eff = rho_e
+            if ctrl.gravity != 0:
+                force = bc_mod.apply_stress_bcs(param, ctx.sbc, s.coord,
+                                                force, rho_eff, comp_p,
+                                                s.coord0)
+            force = F.apply_damping(force, s.vel, s.mass, s.ymass,
+                                    ctrl.damping_option,
+                                    ctrl.damping_factor)
+            vel = F.update_velocity(s.vel, force, s.mass, s.dt)
+            # vertical-only displacement (dynearthsol.cxx:503-516)
+            vel = vel.at[:, :ndims - 1].set(0.0)
+            if hold_bottom:
+                vel = vel.at[:, ndims - 1].multiply(
+                    jnp.where(bottom_mask, 0.0, 1.0))
+            coord = F.update_coordinate(s.coord, vel, s.dt)
+            volume_old = s.volume
+            volume = compute_volume(coord, ctx.conn)
+            voln, mass, tmass, hmass, ymass = G.compute_mass(
+                volume, ctx.conn, bulkm, shearm, rho_e,
+                M.cp(ctx.mat, s.emw), phi_e,
+                M.alpha_biot(ctx.mat, s.emw),
+                M.beta_fluid(ctx.mat, s.emw),
+                ctx.gather_idx, ctx.gather_mask,
+                pseudo_speed=ctx.max_vbc_val * ctrl.inertial_scaling,
+                pseudo_speed_atp=s.max_global_vel_mag
+                * ctrl.inertial_scaling,
+                is_quasi_static=ctrl.is_quasi_static,
+                use_global_velocity_scaling=(
+                    ctrl.use_global_velocity_scaling),
+                has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
+                has_thermal_diffusion=ctrl.has_thermal_diffusion,
+                ndims=ndims)
+            return State(**{**s1.__dict__, "vel": vel, "coord": coord,
+                            "volume": volume, "volume_old": volume_old,
+                            "volume_n": voln, "mass": mass, "tmass": tmass,
+                            "hmass": hmass, "ymass": ymass,
+                            "stress": stress, "stressyy": stressyy,
+                            "strain": strain, "strain_rate": srate2,
+                            "plstrain": plstrain, "delta_plstrain": dpls,
+                            "viscosity": visc, "dpressure": dpr,
+                            "force": force}), None
+
+        @jax.jit
+        def run(s):
+            out, _ = jax.lax.scan(body, s, length=iso_steps)
+            return out
+
+        self.state = run(self.state)
+        return iso_steps
 
     # ---- surface marker bookkeeping (host, chunk-boundary cadence) ----
     def sync_surface_markers(self):
