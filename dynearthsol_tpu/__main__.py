@@ -46,6 +46,8 @@ def _next_event_step(sim, next_regular_frame, starting_step, mon=None):
     if p.control.use_global_velocity_scaling:
         # earthquake tracking cadence bounds event-detection latency
         candidates.append(steps + p.sim.earthquake_output_step_interval)
+    if p.mat.nmat > 1 and p.mat.phase_change_option != 0:
+        candidates.append(steps + 10)  # dynearthsol.cxx:861-871 cadence
     candidates.append(p.sim.max_steps)
     return max(min(candidates), steps + 1)
 
@@ -82,6 +84,7 @@ def run(param, argv_echo: str = ""):
     eq = EarthquakeState.init(p)
 
     next_regular_frame = 1
+    last_phase_time = starting_time
     max_time = p.sim.max_time_in_yr * YEAR2SEC
     t_compute_ns = 0
     t_output_ns = 0
@@ -104,6 +107,14 @@ def run(param, argv_echo: str = ""):
 
         mon.write_if_due(sim)
         update_earthquake_tracking(p, sim, eq)
+
+        # marker phase changes + hydrous transport (dynearthsol.cxx:861-871)
+        if p.mat.nmat > 1 and p.mat.phase_change_option != 0:
+            from .phasechanges import advect_hydrous_markers, phase_changes
+            phase_changes(sim)
+            if p.control.has_hydration_processes:
+                advect_hydrous_markers(sim, now - last_phase_time)
+                last_phase_time = now
 
         if p.control.use_global_velocity_scaling:
             # adaptive (earthquake-triggered) output scheduling

@@ -127,10 +127,15 @@ class Output:
         w.write_array(topo.bcflag.astype(np.uint32), "bcflag")
 
         if self.has_marker_output and sim.markers is not None:
+            coord_np = np.asarray(s.coord, dtype=np.float64)
             for name, arr in sim.markers.save_arrays(
-                    np.asarray(s.coord, dtype=np.float64),
-                    topo.connectivity).items():
+                    coord_np, topo.connectivity).items():
                 w.write_array(arr, name)
+            hyd = getattr(sim, "hydrous_markers", None)
+            if hyd is not None:
+                for name, arr in hyd.save_arrays(coord_np,
+                                                 topo.connectivity).items():
+                    w.write_array(arr, name)
         w.close()
 
         self.write_info(sim, dt)
@@ -192,6 +197,10 @@ class Output:
         if sim.markers is not None:
             for name, arr in sim.markers.chkpt_arrays().items():
                 w.write_array(arr, name)
+            hyd = getattr(sim, "hydrous_markers", None)
+            if hyd is not None:
+                for name, arr in hyd.chkpt_arrays().items():
+                    w.write_array(arr, name)
         w.close()
         return fname
 

@@ -437,6 +437,17 @@ def remesh_simulation(sim, bad_quality: int):
         emw = mk.emw_from_markers(sim.markers, topo2.nelem, param.mat.nmat)
     else:
         emw = np.ones((topo2.nelem, param.mat.nmat))
+    hyd = getattr(sim, "hydrous_markers", None)
+    if hyd is not None and hyd.n:
+        pts_h = bary_to_coord(old_coord, old_conn, hyd.live("elem"),
+                              hyd.live("eta"))
+        loc_new = ElementLocator(new_coord, new_conn)
+        eh, etah, fh = loc_new.locate(pts_h)
+        hyd.elem[: hyd.n] = eh
+        hyd.eta[: hyd.n] = etah
+        lost_h = np.nonzero(~fh)[0]
+        if lost_h.size:
+            hyd.remove(lost_h)
 
     # --- 7. rebuild device context + state
     dtype = sim.dtype

@@ -535,6 +535,7 @@ class Simulation:
             max_vbc_val=max_vbc_val)
 
         # driver/aux bookkeeping (parameters.hpp Variables scalars)
+        self.hydrous_markers = None
         from .constants import IBOUNDZ0, IBOUNDZ1
         self.info_display_next_step = param.sim.info_display_step_interval
         self.reference_frame_time = 0.0
