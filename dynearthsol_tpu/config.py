@@ -294,6 +294,19 @@ class IC:
     weakzone_num_segments: int = 1
     weakzone_segment_x: List[float] = _dlist(0.5)
     weakzone_segment_z: List[float] = _dlist(0.5)
+    weakzone_segments_xcenter: List[float] = _dlist(0.5)
+    weakzone_segments_ycenter: List[float] = _dlist(0.5)
+    weakzone_segments_zcenter: List[float] = _dlist(0.5)
+    weakzone_segments_azimuth: List[float] = _dlist(0.0)
+    weakzone_segments_inclination: List[float] = _dlist(90.0)
+    weakzone_segments_halfwidth: List[float] = _dlist(1.5)
+    weakzone_segments_x_min: List[float] = _dlist(0.0)
+    weakzone_segments_x_max: List[float] = _dlist(1.0)
+    weakzone_segments_depth_min: List[float] = _dlist(0.0)
+    weakzone_segments_depth_max: List[float] = _dlist(1.0)
+    weakzone_segments_y_min: List[float] = _dlist(0.0)
+    weakzone_segments_y_max: List[float] = _dlist(1.0)
+    continental_plate_age_in_yr: float = 1e8
     temperature_option: int = 0
     oceanic_plate_age_in_yr: float = 60e6
     radiogenic_crustal_thickness: float = 3e4

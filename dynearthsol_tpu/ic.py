@@ -13,9 +13,33 @@ from scipy.special import erf
 from .constants import YEAR2SEC
 
 
+# isotropic PREM pressure profile; depths (m) and pressures (Pa)
+# (matprops.cxx:12-45; table values from Dziewonski & Anderson 1981)
+_PREM_DEPTH = np.array([
+    0e3, 3e3, 15e3, 24.4e3, 40e3, 60e3, 80e3, 115e3, 150e3, 185e3,
+    220e3, 265e3, 310e3, 355e3, 400e3, 450e3, 500e3, 550e3, 600e3, 635e3,
+    670e3, 721e3, 771e3, 871e3, 971e3, 1071e3, 1171e3, 1271e3, 1371e3,
+    1471e3, 1571e3, 1671e3, 1771e3, 1871e3, 1971e3, 2071e3, 2171e3,
+    2271e3, 2371e3, 2471e3, 2571e3, 2671e3, 2741e3, 2771e3, 2871e3,
+    2891e3])
+_PREM_P = np.array([
+    0, 0.3, 3.3, 6.0, 11.2, 17.8, 24.5, 36.1, 47.8, 59.4,
+    71.1, 86.4, 102.0, 117.7, 133.5, 152.2, 171.3, 190.7, 210.4, 224.3,
+    238.3, 260.7, 282.9, 327.6, 372.8, 418.6, 464.8, 511.6, 558.9, 606.8,
+    655.2, 704.1, 753.5, 803.6, 854.3, 905.6, 957.6, 1010.3, 1063.8,
+    1118.2, 1173.4, 1229.7, 1269.7, 1287.0, 1345.6, 1357.5]) * 1e8
+# modified for average continental crust (matprops.cxx:58-92): only the
+# shallow entries differ
+_PREM_P_MOD = _PREM_P.copy()
+_PREM_P_MOD[1] = 0.82e8
+_PREM_P_MOD[2] = 4.1e8
+_PREM_P_MOD[3] = 6.7e8
+
+
 def ref_pressure(param, z: np.ndarray | float):
-    """Reference lithostatic pressure at depth (matprops.cxx:148-169),
-    option 0 only (PREM options 1/2 to come with the 3D models)."""
+    """Reference lithostatic pressure at depth (matprops.cxx:146-169):
+    option 0 constant-density column, 1 PREM, 2 PREM with continental
+    crust."""
     depth = -np.asarray(z)
     mat = param.mat
     ctrl = param.control
@@ -27,8 +51,8 @@ def ref_pressure(param, z: np.ndarray | float):
         else:
             rho = mat.rho0[mat.mattype_ref]
         return rho * ctrl.gravity * depth
-    raise NotImplementedError(
-        f"ref_pressure_option {ctrl.ref_pressure_option} (PREM) not yet done")
+    table = _PREM_P if ctrl.ref_pressure_option == 1 else _PREM_P_MOD
+    return np.interp(np.maximum(depth, 0.0), _PREM_DEPTH, table)
 
 
 def initial_temperature(param, coord: np.ndarray) -> np.ndarray:
@@ -47,8 +71,66 @@ def initial_temperature(param, coord: np.ndarray) -> np.ndarray:
         w = -z / np.sqrt(4 * diffusivity * age)
         return bc.surface_temperature + (
             bc.mantle_temperature - bc.surface_temperature) * erf(w)
+    if ic.temperature_option == 1:
+        # continental geotherm, Hasterok & Chapman 2011 (ic.cxx:855-906)
+        mat = param.mat
+        dens_c = mat.rho0[mat.mattype_crust]
+        dens_m = mat.rho0[mat.mattype_mantle]
+        cond_c = mat.therm_cond[min(len(mat.therm_cond) - 1,
+                                    mat.mattype_crust)]
+        cond_m = mat.therm_cond[min(len(mat.therm_cond) - 1,
+                                    mat.mattype_mantle)]
+        diff_m = cond_m / 1000.0 / dens_m
+        age = ic.continental_plate_age_in_yr * YEAR2SEC
+        hs = ic.radiogenic_heating_of_crust
+        hr = ic.radiogenic_folding_depth
+        hc = ic.radiogenic_crustal_thickness
+        hl = ic.lithospheric_thickness
+        t_top, t_bot = bc.surface_temperature, bc.mantle_temperature
+        tr = dens_c * hs * hr * hr / cond_c * np.exp(1.0 - np.exp(-hc / hr))
+        q_m = (t_bot - t_top - tr) / (hc / cond_c + (hl - hc) / cond_m)
+        tm = t_top + (q_m / cond_c) * hc + tr
+        tau_d = hl * hl / (np.pi * np.pi * diff_m)
+        y = -z
+        tss = np.where(
+            y <= hc,
+            t_top + (q_m / cond_c) * y
+            + (dens_c * hs * hr * hr / cond_c)
+            * np.exp(1.0 - np.exp(-y / hr)),
+            tm + (q_m / cond_m) * (y - hc))
+        tt = np.zeros_like(y)
+        pp = -1.0
+        for k in range(1, 101):
+            pp = -pp
+            tt = tt + pp / k * np.exp(-k * k * age / tau_d) \
+                * np.sin(np.pi * k * (hl - y) / hl)
+        T = tss + 2.0 / np.pi * (t_bot - t_top) * tt
+        T = np.where((T > t_bot) | (y >= hl), t_bot, T)
+        T = np.where(y == 0.0, t_top, T)
+        return T
+    if ic.temperature_option == 90:
+        return read_external_temperature(param, coord)
     raise NotImplementedError(
         f"temperature_option {ic.temperature_option} not yet implemented")
+
+
+def read_external_temperature(param, coord: np.ndarray) -> np.ndarray:
+    """Import temperature from a COMSOL-style text export: rows of
+    coordinates + temperature, interpolated onto the mesh nodes
+    (ic-read-temp.cxx:14-144)."""
+    from scipy.interpolate import (LinearNDInterpolator,
+                                   NearestNDInterpolator)
+
+    ndims = coord.shape[1]
+    data = np.loadtxt(param.ic.temperature_filename, comments="%")
+    pts, temps = data[:, :ndims], data[:, ndims]
+    lin = LinearNDInterpolator(pts, temps)
+    near = NearestNDInterpolator(pts, temps)
+    T = lin(coord)
+    bad = np.isnan(T)
+    if bad.any():
+        T[bad] = near(coord[bad])
+    return T
 
 
 def initial_stress_state(param, coord: np.ndarray, conn: np.ndarray):
@@ -124,6 +206,63 @@ def initial_weak_zone(param, coord: np.ndarray, conn: np.ndarray
             y0 = ic.weakzone_ycenter * param.mesh.ylength
             r2 += ((c[:, 1] - y0) / ic.weakzone_ysemi_axis) ** 2
         plstrain[r2 <= 1.0] = ic.weakzone_plstrain
+        return plstrain
+    if opt == 3:
+        # Gaussian point zone: plstrain decays with distance from the
+        # center (ic.cxx:547-556)
+        x0 = ic.weakzone_xcenter * param.mesh.xlength
+        z0 = -ic.weakzone_zcenter * param.mesh.zlength
+        sig = ic.weakzone_standard_deviation
+        r2 = (c[:, 0] - x0) ** 2 + (c[:, ndims - 1] - z0) ** 2
+        if ndims == 3:
+            y0 = ic.weakzone_ycenter * param.mesh.ylength
+            r2 += (c[:, 1] - y0) ** 2
+        return ic.weakzone_plstrain * np.exp(-r2 / (2.0 * sig * sig))
+    if opt == 4:
+        # planar zone whose map-view x position is shifted by a Gaussian
+        # bulge along strike (ic.cxx:557-581); reduces to option 1 in 2D
+        x0 = ic.weakzone_xcenter * param.mesh.xlength
+        z0 = -ic.weakzone_zcenter * param.mesh.zlength
+        halfwidth = ic.weakzone_halfwidth * param.mesh.resolution
+        shift = np.zeros(c.shape[0])
+        if ndims == 3:
+            y0 = ic.weakzone_ycenter * param.mesh.ylength
+            sig = ic.weakzone_standard_deviation
+            shift = ic.weakzone_gaussian_amplitude * np.exp(
+                -((c[:, 1] - y0) ** 2) / (2.0 * sig * sig))
+        dx = c[:, 0] - (x0 + shift)
+        dz = c[:, ndims - 1] - z0
+        inc = np.deg2rad(ic.weakzone_inclination)
+        dist = np.abs(dx * np.sin(inc) - dz * np.cos(inc))
+        zmin = -ic.weakzone_depth_max * param.mesh.zlength
+        zmax = -ic.weakzone_depth_min * param.mesh.zlength
+        sel = (dist <= halfwidth) & (c[:, ndims - 1] >= zmin) \
+            & (c[:, ndims - 1] <= zmax)
+        if ndims == 3:
+            sel &= (c[:, 1] >= ic.weakzone_y_min * param.mesh.ylength) \
+                & (c[:, 1] <= ic.weakzone_y_max * param.mesh.ylength)
+        plstrain[sel] = ic.weakzone_plstrain
+        return plstrain
+    if opt == 5:
+        # multiple planar segments (ic.cxx:582-657)
+        n = ic.weakzone_num_segments
+        for i in range(n):
+            xc = ic.weakzone_segments_xcenter[i] * param.mesh.xlength
+            zc_i = -ic.weakzone_segments_zcenter[i] * param.mesh.zlength
+            hw = ic.weakzone_segments_halfwidth[i] * param.mesh.resolution
+            inc = np.deg2rad(ic.weakzone_segments_inclination[i])
+            dist = np.abs((c[:, 0] - xc) * np.sin(inc)
+                          - (c[:, ndims - 1] - zc_i) * np.cos(inc))
+            sel = dist <= hw
+            sel &= (c[:, 0] >= ic.weakzone_segments_x_min[i]
+                    * param.mesh.xlength) \
+                & (c[:, 0] <= ic.weakzone_segments_x_max[i]
+                   * param.mesh.xlength)
+            sel &= (c[:, ndims - 1] >= -ic.weakzone_segments_depth_max[i]
+                    * param.mesh.zlength) \
+                & (c[:, ndims - 1] <= -ic.weakzone_segments_depth_min[i]
+                   * param.mesh.zlength)
+            plstrain[sel] = ic.weakzone_plstrain
         return plstrain
     raise NotImplementedError(f"weakzone_option {opt} not yet implemented")
 
