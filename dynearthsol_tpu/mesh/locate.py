@@ -19,18 +19,34 @@ from ..barycentric import ETA_TOL, bary_coords
 
 
 class ElementLocator:
-    """Locate points in a simplicial mesh."""
+    """Locate points in a simplicial mesh.  Uses the native C++ kd-tree
+    fast path (native/locate.cpp) when available; scipy otherwise."""
 
     def __init__(self, coord: np.ndarray, conn: np.ndarray):
-        self.coord = coord
-        self.conn = conn
-        self.centroids = coord[conn].mean(axis=1)
-        self.tree = cKDTree(self.centroids)
+        self.coord = np.ascontiguousarray(coord, dtype=np.float64)
+        self.conn = np.ascontiguousarray(conn, dtype=np.int32)
+        self.centroids = self.coord[self.conn].mean(axis=1)
+        self._tree = None
+
+    @property
+    def tree(self):
+        if self._tree is None:
+            self._tree = cKDTree(self.centroids)
+        return self._tree
 
     def locate(self, pts: np.ndarray, k: int = 32, tol: float = ETA_TOL):
         """Returns (elem, eta, found): enclosing element ids, barycentric
         coords, and whether containment succeeded (False -> nearest element
         with clamped eta)."""
+        from ..native import locate_points_native
+
+        out = locate_points_native(self.coord, self.conn, pts, k, tol)
+        if out is not None:
+            return out
+        return self._locate_scipy(pts, k, tol)
+
+    def _locate_scipy(self, pts: np.ndarray, k: int = 32,
+                      tol: float = ETA_TOL):
         n = pts.shape[0]
         k = min(k, self.conn.shape[0])
         _, cand = self.tree.query(pts, k=k)
