@@ -83,11 +83,22 @@ class Output:
             dt = span / self.average_interval
             inv_dt = 1.0 / span if span != 0 else 0.0
 
-        fname = "%s.save.%06d" % (self.modelname, self.frame)
-        w = TaggedWriter(fname, ndims,
-                         rename_if_exists=not (
-                             self.may_overwrite
-                             and self.frame == self.start_frame))
+        overwrite_ok = (self.may_overwrite
+                        and self.frame == self.start_frame)
+        if param.sim.output_format == "vtkhdf":
+            from .vtkhdf import VTKHDFWriter
+
+            fname = "%s.save.%06d.vtkhdf" % (self.modelname, self.frame)
+            w = VTKHDFWriter(fname, ndims, topo.nnode, topo.nelem,
+                             compression=param.sim.hdf5_compression_level,
+                             rename_if_exists=not overwrite_ok)
+            w.write_grid(_np(s.coord), topo.connectivity)
+            w.write_field_data(float(s.time), int(s.steps),
+                               self.run_time_ns * 1e-9)
+        else:
+            fname = "%s.save.%06d" % (self.modelname, self.frame)
+            w = TaggedWriter(fname, ndims,
+                             rename_if_exists=not overwrite_ok)
 
         w.write_array(_np(s.coord), "coordinate")
         w.write_array(topo.connectivity.astype(np.int32), "connectivity")

@@ -1,0 +1,196 @@
+"""Post-processing: output reader + VTK conversion.
+
+Counterpart of the reference's Dynearthsol.py (output reader for both the
+tagged-binary and VTKHDF formats) and 2vtk.py (conversion to VTK
+unstructured-grid files with derived fields).  The VTK writer emits
+ASCII legacy .vtk, which ParaView and pyvista read without extra deps.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .constants import YEAR2SEC
+from .io.tagged import TaggedReader
+
+_NODE_VECTORS = ("coordinate", "velocity", "velocity averaged", "force",
+                 "coord0")
+_NODE_SCALARS = ("temperature", "pore pressure", "bcflag", "mass", "tmass",
+                 "volume_n")
+_ELEM_TENSORS = ("strain", "strain-rate", "stress", "stress averaged")
+_ELEM_SCALARS = ("density", "material", "mesh quality", "plastic strain",
+                 "plastic strain-rate", "viscosity", "edvoldt", "volume",
+                 "radiogenic source", "dynamic friction coefficient",
+                 "friction state variable")
+
+
+class OutputReader:
+    """Read DES output (ours or the reference's): `.info` + frames."""
+
+    def __init__(self, modelname: str):
+        self.modelname = modelname
+        info = np.loadtxt(modelname + ".info", ndmin=2)
+        self.frames = info[:, 0].astype(int).tolist()
+        self.steps = info[:, 1].astype(int).tolist()
+        self.time = info[:, 2].tolist()
+        self.nnode_list = info[:, 5].astype(int)
+        self.nelem_list = info[:, 6].astype(int)
+        fn = self._fn(self.frames[0])
+        self.format = "hdf5" if fn.endswith(".vtkhdf") else "binary"
+        if self.format == "binary":
+            with TaggedReader(fn) as r:
+                self.ndims = r.ndims
+        else:
+            import h5py
+
+            with h5py.File(fn) as f:
+                self.ndims = int(f.attrs["ndims"])
+        self.nstr = self.ndims * (self.ndims + 1) // 2
+
+    def _fn(self, frame: int) -> str:
+        base = f"{self.modelname}.save.{frame:06d}"
+        return base if os.path.exists(base) else base + ".vtkhdf"
+
+    def _shape(self, frame, name):
+        i = self.frames.index(frame)
+        nnode, nelem = self.nnode_list[i], self.nelem_list[i]
+        if name in _ELEM_TENSORS:
+            return np.float64, (nelem, self.nstr)
+        if name in _ELEM_SCALARS:
+            return np.float64, (nelem,)
+        if name == "connectivity":
+            return np.int32, (nelem, self.ndims + 1)
+        if name == "bcflag":
+            return np.int32, (nnode,)
+        if name in _NODE_VECTORS:
+            return np.float64, (nnode, self.ndims)
+        if name in _NODE_SCALARS:
+            return np.float64, (nnode,)
+        raise KeyError(f"unknown field {name!r}")
+
+    def read_field(self, frame: int, name: str) -> np.ndarray:
+        fn = self._fn(frame)
+        if self.format == "hdf5":
+            import h5py
+
+            with h5py.File(fn) as f:
+                return f[name][:]
+        dtype, shape = self._shape(frame, name)
+        with TaggedReader(fn) as r:
+            return r.read_array(name, dtype,
+                                int(np.prod(shape))).reshape(shape)
+
+    def has_field(self, frame: int, name: str) -> bool:
+        fn = self._fn(frame)
+        if self.format == "hdf5":
+            import h5py
+
+            with h5py.File(fn) as f:
+                return name in f
+        with TaggedReader(fn) as r:
+            return r.has_array(name)
+
+    def read_markers(self, frame: int, markername: str = "markerset"):
+        fn = self._fn(frame)
+        out = {}
+        if self.format == "hdf5":
+            import h5py
+
+            with h5py.File(fn) as f:
+                for k in f:
+                    if k.startswith(markername):
+                        out[k] = f[k][:]
+                n = out[f"{markername}.elem"].shape[0]
+        else:
+            with TaggedReader(fn) as r:
+                n = int(r.read_array(f"{markername} size", np.int32, 1)[0])
+                npe = self.ndims + 1
+                spec = {".coord": (np.float64, (n, self.ndims)),
+                        ".eta": (np.float64, (n, npe)),
+                        ".elem": (np.int32, (n,)),
+                        ".mattype": (np.int32, (n,)),
+                        ".id": (np.int32, (n,)),
+                        ".time": (np.float64, (n,)),
+                        ".z": (np.float64, (n,)),
+                        ".distance": (np.float64, (n,)),
+                        ".slope": (np.float64, (n,)),
+                        ".genesis": (np.int32, (n,))}
+                for suf, (dt, shape) in spec.items():
+                    nm = markername + suf
+                    if r.has_array(nm):
+                        out[nm] = r.read_array(
+                            nm, dt, int(np.prod(shape))).reshape(shape)
+        out["size"] = n
+        return out
+
+
+def second_invariant(t: np.ndarray) -> np.ndarray:
+    """sqrt(II) of a flattened symmetric tensor (utils.hpp:172-201 /
+    2vtk.py derived fields)."""
+    nstr = t.shape[1]
+    if nstr == 3:
+        a = 0.5 * (t[:, 0] + t[:, 1])
+        return np.sqrt(0.25 * (t[:, 0] - t[:, 1]) ** 2 + t[:, 2] ** 2
+                       + 0.0 * a)
+    m = t[:, :3].mean(axis=1)
+    dev = t[:, :3] - m[:, None]
+    return np.sqrt(0.5 * (dev ** 2).sum(axis=1)
+                   + (t[:, 3:] ** 2).sum(axis=1))
+
+
+def to_vtk(modelname: str, frame: int, outpath: str | None = None) -> str:
+    """Convert one frame to a legacy ASCII .vtk file with derived fields
+    (the 2vtk.py role)."""
+    r = OutputReader(modelname)
+    coord = r.read_field(frame, "coordinate")
+    conn = r.read_field(frame, "connectivity")
+    nnode, ndims = coord.shape
+    nelem, npe = conn.shape
+
+    outpath = outpath or f"{modelname}.{frame:06d}.vtk"
+    with open(outpath, "w") as f:
+        f.write("# vtk DataFile Version 3.0\n")
+        f.write(f"DynEarthSol-TPU frame {frame}\nASCII\n")
+        f.write("DATASET UNSTRUCTURED_GRID\n")
+        f.write(f"POINTS {nnode} double\n")
+        p3 = np.zeros((nnode, 3))
+        p3[:, :ndims] = coord
+        np.savetxt(f, p3, fmt="%.10g")
+        f.write(f"\nCELLS {nelem} {nelem * (npe + 1)}\n")
+        cells = np.concatenate(
+            [np.full((nelem, 1), npe, dtype=np.int64), conn], axis=1)
+        np.savetxt(f, cells, fmt="%d")
+        ctype = 5 if ndims == 2 else 10
+        f.write(f"\nCELL_TYPES {nelem}\n")
+        np.savetxt(f, np.full(nelem, ctype, dtype=np.int64), fmt="%d")
+
+        f.write(f"\nPOINT_DATA {nnode}\n")
+        for name in ("temperature", "pore pressure"):
+            if r.has_field(frame, name):
+                f.write(f"SCALARS {name.replace(' ', '_')} double 1\n"
+                        "LOOKUP_TABLE default\n")
+                np.savetxt(f, r.read_field(frame, name), fmt="%.10g")
+        if r.has_field(frame, "velocity"):
+            vel = r.read_field(frame, "velocity")
+            v3 = np.zeros((nnode, 3))
+            v3[:, :ndims] = vel
+            f.write("VECTORS velocity double\n")
+            np.savetxt(f, v3, fmt="%.10g")
+
+        f.write(f"\nCELL_DATA {nelem}\n")
+        for name in ("plastic strain", "viscosity", "density", "material",
+                     "mesh quality"):
+            if r.has_field(frame, name):
+                f.write(f"SCALARS {name.replace(' ', '_')} double 1\n"
+                        "LOOKUP_TABLE default\n")
+                np.savetxt(f, r.read_field(frame, name), fmt="%.10g")
+        # derived invariants (2vtk.py)
+        for name in ("stress", "strain-rate"):
+            if r.has_field(frame, name):
+                inv = second_invariant(r.read_field(frame, name))
+                f.write(f"SCALARS {name.replace('-', '_')}_II double 1\n"
+                        "LOOKUP_TABLE default\n")
+                np.savetxt(f, inv, fmt="%.10g")
+    return outpath

@@ -141,3 +141,62 @@ def test_info_file_format(tmp_path):
     assert info[0, 5] == sim.topo.nnode
     assert info[0, 6] == sim.topo.nelem
     assert info[0, 7] == sim.topo.nseg
+
+
+def test_vtkhdf_output_reference_reader(tmp_path):
+    """VTKHDF frames must be readable by the reference's Dynearthsol.py
+    hdf5 branch and carry a valid VTKHDF tree (binaryio.cxx:344-1116)."""
+    import h5py
+
+    param = small_param(tmp_path, name="h5test",
+                        sim={"output_format": "vtkhdf"})
+    sim = des.Simulation(param)
+    sim.run_steps(5, chunk=5)
+    out = Output(param)
+    out.write_exact(sim)
+
+    fname = param.sim.modelname + ".save.000000.vtkhdf"
+    with h5py.File(fname) as f:
+        assert f.attrs["ndims"] == 2
+        g = f["VTKHDF/grid"]
+        assert g.attrs["Type"] == b"UnstructuredGrid"
+        assert f["VTKHDF/grid/Points"].shape == (sim.topo.nnode, 3)
+        assert f["VTKHDF/grid/Types"][0] == 5  # triangles
+        np.testing.assert_allclose(f["VTKHDF/grid/PointData/velocity"][:],
+                                   np.asarray(sim.state.vel))
+        assert "stress" in f["VTKHDF/grid/CellData"]
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from Dynearthsol import Dynearthsol
+        d = Dynearthsol(param.sim.modelname)
+        assert d.format == "hdf5"
+        stress = d.read_field(0, "stress")
+        np.testing.assert_allclose(stress, np.asarray(sim.state.stress))
+    finally:
+        sys.path.remove("/root/reference")
+
+
+def test_postproc_reader_and_vtk(tmp_path):
+    """Our post-processing reader (postproc.py, the Dynearthsol.py/2vtk.py
+    counterpart) round-trips frames and emits valid legacy VTK."""
+    from dynearthsol_tpu.postproc import OutputReader, to_vtk
+
+    param = small_param(tmp_path, name="pp")
+    sim = des.Simulation(param)
+    sim.run_steps(5, chunk=5)
+    out = Output(param)
+    out.write_exact(sim)
+
+    r = OutputReader(param.sim.modelname)
+    assert r.ndims == 2 and r.frames == [0]
+    np.testing.assert_allclose(r.read_field(0, "stress"),
+                               np.asarray(sim.state.stress))
+    mk = r.read_markers(0)
+    assert mk["size"] == sim.markers.n
+
+    vtk = to_vtk(param.sim.modelname, 0, str(tmp_path / "out.vtk"))
+    text = open(vtk).read()
+    assert "UNSTRUCTURED_GRID" in text
+    assert "stress_II" in text
+    assert f"POINTS {sim.topo.nnode} double" in text
