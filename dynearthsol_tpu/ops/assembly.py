@@ -34,6 +34,40 @@ def node_sum(contrib: jnp.ndarray, gather_idx: jnp.ndarray,
     return out
 
 
+def node_sum_scatter(contrib: jnp.ndarray, conn: jnp.ndarray, nnode: int,
+                     axis_name: str | None = None,
+                     elem_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Scatter-add assembly for the shard_map path: each shard sums its
+    LOCAL elements' contributions into a full-length nodal array, then a
+    `psum` over the element axis merges the partial sums — the halo
+    exchange of the domain decomposition (SURVEY §2.3).
+
+    contrib: (nelem_local, npe) or (nelem_local, npe, k); conn holds GLOBAL
+    node ids.  elem_mask zeroes padded elements."""
+    import jax
+
+    if elem_mask is not None:
+        contrib = contrib * elem_mask.reshape(
+            (-1,) + (1,) * (contrib.ndim - 1))
+    flat = contrib.reshape(contrib.shape[0] * contrib.shape[1], -1)
+    out = jnp.zeros((nnode, flat.shape[1]), dtype=contrib.dtype)
+    out = out.at[conn.ravel()].add(flat)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    if contrib.ndim == 2:
+        return out[:, 0]
+    return out
+
+
+def make_asm(ctx):
+    """Assembly closure for a StepCtx: gather-based on one device,
+    scatter+psum inside shard_map (ctx.axis set)."""
+    if ctx.axis is None:
+        return lambda c: node_sum(c, ctx.gather_idx, ctx.gather_mask)
+    return lambda c: node_sum_scatter(c, ctx.conn, ctx.nnode, ctx.axis,
+                                      ctx.elem_mask)
+
+
 def gather_nodes(nodal: jnp.ndarray, conn: jnp.ndarray) -> jnp.ndarray:
     """Gather nodal values to element corners: (nnode, ...) -> (nelem, npe, ...)."""
     return nodal[conn]

@@ -98,9 +98,9 @@ def internal_force_contrib(stress, volume, dnd, buoy):
     return out * volume[:, None, None]
 
 
-def assemble_force(contrib, gather_idx, gather_mask):
+def assemble_force(contrib, asm):
     """Nodal force = -sum of element contributions (fields.cxx:662-681)."""
-    f = node_sum(contrib, gather_idx, gather_mask)
+    f = asm(contrib)
     return -f
 
 
@@ -167,7 +167,7 @@ def temperature_diffusion_contrib(temperature, conn, dnd, volume, kappa,
 def update_pore_pressure(ppressure, dppressure, coord, conn, dnd, volume,
                          stress, old_mean_stress, hmass, dt, gravity,
                          perm_e, mu_e, alpha_b, phi_e, beta_f, bulkm,
-                         shearm, pp_bc_mask, gather_idx, gather_mask):
+                         shearm, pp_bc_mask, asm, axis_name=None):
     """Explicit Darcy pore-pressure diffusion with the poroelastic source
     (fields.cxx:297-406).  Hydraulic head = p/gamma_w + z; the volumetric
     (Biot) source comes from the mean-stress change over the step.
@@ -190,6 +190,10 @@ def update_pore_pressure(ppressure, dppressure, coord, conn, dnd, volume,
     diff_e = hydraulic_conductivity / (phi_e * beta_f
                                        + alpha_b * matrix_comp) / gamma_w
     hydro_diff_max = jnp.maximum(diff_e.max(), 1e-38)
+    if axis_name is not None:
+        import jax
+
+        hydro_diff_max = jax.lax.pmax(hydro_diff_max, axis_name)
 
     # poroelastic volume source (fields.cxx:342)
     pe = alpha_b * mean_change * bulk_comp * volume / npe / dt
@@ -198,7 +202,7 @@ def update_pore_pressure(ppressure, dppressure, coord, conn, dnd, volume,
     grad = jnp.einsum("nj,njd->nd", head, dnd)
     diffusion = jnp.einsum("nid,nd->ni", dnd, grad)
     contrib = kv[:, None] * diffusion + pe[:, None]
-    tdot = node_sum(contrib, gather_idx, gather_mask)
+    tdot = asm(contrib)
 
     upd = jnp.where(hmass > 0.0, tdot * dt / jnp.where(hmass > 0, hmass, 1.0),
                     0.0)
@@ -208,12 +212,11 @@ def update_pore_pressure(ppressure, dppressure, coord, conn, dnd, volume,
 
 
 def update_temperature(temperature, conn, dnd, volume, kappa, source_term,
-                       tmass, dt, top_mask, surface_T,
-                       gather_idx, gather_mask):
+                       tmass, dt, top_mask, surface_T, asm):
     """Explicit thermal diffusion step with Dirichlet top boundary
     (fields.cxx:197-283)."""
     contrib = temperature_diffusion_contrib(temperature, conn, dnd, volume,
                                             kappa, source_term)
-    tdot = node_sum(contrib, gather_idx, gather_mask)
+    tdot = asm(contrib)
     new_T = temperature - dt * tdot / tmass
     return jnp.where(top_mask, surface_T, new_T)

@@ -12,15 +12,14 @@ from .assembly import node_sum
 from .tensor import trace
 
 
-def compute_dvoldt(strain_rate, volume, volume_n, conn, gather_idx,
-                   gather_mask):
+def compute_dvoldt(strain_rate, volume, volume_n, conn, asm):
     """Volume-weighted volumetric strain rate lumped onto nodes
     (geometry.cxx:202-243)."""
     etmp = trace(strain_rate) * volume  # (nelem,)
     npe = conn.shape[1]
     contrib = jnp.repeat(etmp[:, None], npe, axis=1)
     # the reference adds each supporting element's *full* etmp to the node
-    dvoldt = node_sum(contrib, gather_idx, gather_mask)
+    dvoldt = asm(contrib)
     return dvoldt / volume_n
 
 
@@ -30,14 +29,12 @@ def compute_edvoldt(dvoldt, conn):
     return dvoldt[conn].mean(axis=1)
 
 
-def nmd_stress(stress, dpressure, volume, volume_n, conn, gather_idx,
-               gather_mask):
+def nmd_stress(stress, dpressure, volume, volume_n, conn, asm):
     """Nodal-mixed-discretization pressure smoothing (geometry.cxx:279-331)."""
     ndims = 2 if stress.shape[-1] == 3 else 3
     npe = conn.shape[1]
     etmp = dpressure * volume
-    dp_nd = node_sum(jnp.repeat(etmp[:, None], npe, axis=1),
-                     gather_idx, gather_mask) / volume_n
+    dp_nd = asm(jnp.repeat(etmp[:, None], npe, axis=1)) / volume_n
     dp_el = dp_nd[conn].mean(axis=1)
     ddp = (dp_el - dpressure) / ndims
     return stress.at[:, :ndims].add(ddp[:, None])
@@ -94,37 +91,58 @@ def compute_dt(coord, conn, volume, vel, shearm_e, rho_e, visc_min,
                inertial_scaling: float, is_quasi_static: bool,
                has_thermal_diffusion: bool, has_hydraulic_diffusion: bool,
                use_global_velocity_scaling: bool,
-               bulk_modulus_ref: float, rho0_ref: float):
+               bulk_modulus_ref: float, rho0_ref: float,
+               axis_name=None, elem_mask=None):
     """CFL time step (geometry.cxx:756-923).
 
     Returns (dt, max_global_vel_mag, global_dt_min).  All limits are global
     min-reductions; they stay on-device inside the step scan.
     """
+    big = jnp.asarray(jnp.finfo(coord.dtype).max, dtype=coord.dtype)
+
+    def _emask(arr, fill):
+        # padded elements must not win min/max reductions (SURVEY §7.5.2)
+        if elem_mask is None:
+            return arr
+        return jnp.where(elem_mask > 0, arr, fill)
+
+    def _pmin(x):
+        import jax
+
+        return jax.lax.pmin(x, axis_name) if axis_name is not None else x
+
+    def _pmax(x):
+        import jax
+
+        return jax.lax.pmax(x, axis_name) if axis_name is not None else x
+
     if fixed_dt != 0.0:
         vmag = jnp.sqrt((vel[conn].mean(axis=1) ** 2).sum(axis=1))
-        vmax = jnp.maximum(vmag.max(), max_vbc_val)
+        vmax = _pmax(jnp.maximum(_emask(vmag, 0.0).max(), max_vbc_val))
         return jnp.asarray(fixed_dt, dtype=coord.dtype), vmax, \
             jnp.asarray(fixed_dt, dtype=coord.dtype)
 
     minh = elem_min_height(coord, conn, volume)
-    minl = minh.min()
+    minl = _pmin(_emask(minh, big).min())
 
     v_el = vel[conn].mean(axis=1)  # (nelem, ndims)
     vmag = jnp.sqrt((v_el ** 2).sum(axis=1))
-    global_max_vem = jnp.maximum(vmag.max(), max_vbc_val)
+    global_max_vem = _pmax(jnp.maximum(_emask(vmag, 0.0).max(),
+                                       max_vbc_val))
 
-    dt_maxwell = (0.5 * visc_min / (1e-40 + shearm_e)).min()
-    big = jnp.asarray(jnp.finfo(coord.dtype).max, dtype=coord.dtype)
-    dt_diffusion = (0.5 * minh * minh / therm_diff_max).min() \
+    dt_maxwell = _pmin((0.5 * visc_min / (1e-40 + shearm_e)).min())
+    dt_diffusion = _pmin(_emask(0.5 * minh * minh / therm_diff_max,
+                                big).min()) \
         if has_thermal_diffusion else big
     if has_hydraulic_diffusion:
         dt_hydro = jnp.where(hydro_diff_max > 0,
-                             (0.5 * minh * minh).min() / hydro_diff_max, big)
+                             _pmin(_emask(0.5 * minh * minh, big).min())
+                             / hydro_diff_max, big)
     else:
         dt_hydro = big
 
     swave = jnp.sqrt(shearm_e / rho_e)
-    global_dt_min = (minl / swave / 5.0).min()
+    global_dt_min = _pmin(_emask(minl / swave / 5.0, big).min())
 
     if use_global_velocity_scaling:
         dt_advection = 0.5 * minl / global_max_vem
@@ -147,7 +165,7 @@ def compute_dt(coord, conn, volume, vel, shearm_e, rho_e, visc_min,
 
 
 def compute_mass(volume, conn, bulkm_e, shearm_e, rho_e, cp_e, phi_e,
-                 alpha_biot_e, beta_fluid_e, gather_idx, gather_mask,
+                 alpha_biot_e, beta_fluid_e, asm,
                  *, pseudo_speed, pseudo_speed_atp, is_quasi_static: bool,
                  use_global_velocity_scaling: bool,
                  has_hydraulic_diffusion: bool, has_thermal_diffusion: bool,
@@ -189,6 +207,6 @@ def compute_mass(volume, conn, bulkm_e, shearm_e, rho_e, cp_e, phi_e,
          jnp.repeat(tm[:, None], npe, axis=1),
          jnp.repeat(hm[:, None], npe, axis=1),
          jnp.repeat(ym[:, None], npe, axis=1)], axis=2)
-    sums = node_sum(contrib, gather_idx, gather_mask)
+    sums = asm(contrib)
     volume_n, mass, tmass, hmass, ymass = (sums[:, i] for i in range(5))
     return volume_n, mass, tmass, hmass, ymass

@@ -460,6 +460,7 @@ def remesh_simulation(sim, bad_quality: int):
         conn=jnp.asarray(topo2.connectivity),
         gather_idx=jnp.asarray(topo2.gather_idx),
         gather_mask=jnp.asarray(topo2.gather_mask),
+        elem_mask=jnp.ones(topo2.nelem, dtype=dtype),
         top_mask=jnp.asarray((topo2.bcflag & BOUNDZ1) != 0),
         pp_bc_mask=jnp.asarray(bc_mod.pp_bc_mask(param.bc, topo2.bcflag)),
         vbc=bc_mod.VBCSpec.from_param(param, topo2.bcflag),
@@ -505,11 +506,12 @@ def remesh_simulation(sim, bad_quality: int):
     s2 = State(**{**s2.__dict__, "vel": vel2})
     bulkm, shearm, rho_e = _elem_props(ctx, s2)
     ctrl = param.control
+    from .ops.assembly import make_asm as _make_asm
     volume_n, mass, tmass, hmass, ymass = G.compute_mass(
         volume, ctx.conn, bulkm, shearm, rho_e,
         M.cp(ctx.mat, s2.emw), M.phi_porosity(ctx.mat, s2.emw),
         M.alpha_biot(ctx.mat, s2.emw), M.beta_fluid(ctx.mat, s2.emw),
-        ctx.gather_idx, ctx.gather_mask,
+        _make_asm(ctx),
         pseudo_speed=ctx.max_vbc_val * ctrl.inertial_scaling,
         pseudo_speed_atp=s2.max_global_vel_mag * ctrl.inertial_scaling,
         is_quasi_static=ctrl.is_quasi_static,

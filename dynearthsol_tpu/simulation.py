@@ -44,9 +44,9 @@ from .state import State, allocate_state
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["conn", "gather_idx", "gather_mask", "top_mask",
-                 "pp_bc_mask", "vbc", "sbc", "mat", "surf"],
-    meta_fields=["ndims", "nnode", "nelem", "max_vbc_val"])
+    data_fields=["conn", "gather_idx", "gather_mask", "elem_mask",
+                 "top_mask", "pp_bc_mask", "vbc", "sbc", "mat", "surf"],
+    meta_fields=["ndims", "nnode", "nelem", "max_vbc_val", "axis"])
 @dataclass(frozen=True)
 class StepCtx:
     """Per-mesh context for the step function.
@@ -64,6 +64,7 @@ class StepCtx:
     conn: jnp.ndarray
     gather_idx: jnp.ndarray
     gather_mask: jnp.ndarray
+    elem_mask: jnp.ndarray  # 1 for real elements, 0 for shard padding
     top_mask: jnp.ndarray  # BOUNDZ1 nodes (Dirichlet T)
     pp_bc_mask: jnp.ndarray  # Dirichlet pore-pressure nodes
     vbc: bc_mod.VBCSpec
@@ -71,6 +72,7 @@ class StepCtx:
     mat: M.MatTables
     surf: SP.SurfInfo
     max_vbc_val: float
+    axis: Optional[str] = None  # shard_map element-axis name, else None
 
 
 def _elem_props(ctx: StepCtx, s: State):
@@ -206,6 +208,9 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
     param_compensation_pressure = compensation_pressure
 
     def step(ctx: StepCtx, s: State) -> State:
+        from .ops.assembly import make_asm
+
+        asm = make_asm(ctx)
         ndims = ctx.ndims
         npe = ndims + 1
         pseudo_speed = ctx.max_vbc_val * ctrl.inertial_scaling
@@ -222,7 +227,7 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
             temperature = F.update_temperature(
                 s.temperature, ctx.conn, dnd, s.volume, kappa, source,
                 s.tmass, s.dt, ctx.top_mask, param.bc.surface_temperature,
-                ctx.gather_idx, ctx.gather_mask)
+                asm)
 
         old_mean_stress = s.old_mean_stress
         if ctrl.has_hydraulic_diffusion:
@@ -230,8 +235,7 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
 
         strain_rate = F.update_strain_rate(s.vel, ctx.conn, dnd)
         dvoldt = G.compute_dvoldt(strain_rate, s.volume, s.volume_n,
-                                  ctx.conn, ctx.gather_idx,
-                                  ctx.gather_mask)
+                                  ctx.conn, asm)
         edvoldt = G.compute_edvoldt(dvoldt, ctx.conn)
         s1 = State(**{**s.__dict__, "edvoldt": edvoldt, "dt": s.dt,
                       "temperature": temperature,
@@ -243,8 +247,7 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
 
         if ctrl.is_using_mixed_stress:
             stress = G.nmd_stress(stress, dpressure, s.volume, s.volume_n,
-                                  ctx.conn, ctx.gather_idx,
-                                  ctx.gather_mask)
+                                  ctx.conn, asm)
 
         # force assembly (fields.cxx:612-703)
         phi_e = M.phi_porosity(ctx.mat, s.emw)
@@ -254,7 +257,7 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
         else:
             buoy = jnp.zeros_like(s.volume)
         contrib = F.internal_force_contrib(stress, s.volume, dnd, buoy)
-        force = F.assemble_force(contrib, ctx.gather_idx, ctx.gather_mask)
+        force = F.assemble_force(contrib, asm)
         l2_res = F.residual_l2(force)
         # boundary tractions (bc.cxx:632-875)
         if ctrl.has_hydraulic_diffusion:
@@ -296,13 +299,14 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
                     coordp = F.update_coordinate(sc.coord, velp, sc.dt)
                     volp_old = sc.volume
                     volp = compute_volume(coordp, ctx.conn)
+                    if ctx.axis is not None:
+                        volp = jnp.where(ctx.elem_mask > 0, volp, 1.0)
                     voln_p, mass_p, tmass_p, hmass_p, ymass_p = \
                         G.compute_mass(
                             volp, ctx.conn, bulkm, shearm, rho_e,
                             M.cp(ctx.mat, sc.emw), phi_e,
                             M.alpha_biot(ctx.mat, sc.emw),
-                            M.beta_fluid(ctx.mat, sc.emw),
-                            ctx.gather_idx, ctx.gather_mask,
+                            M.beta_fluid(ctx.mat, sc.emw), asm,
                             pseudo_speed=pseudo_speed,
                             pseudo_speed_atp=sc.max_global_vel_mag
                             * ctrl.inertial_scaling,
@@ -320,8 +324,7 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
                         sc.volume_n, sc.mass, sc.tmass, sc.hmass, sc.ymass)
                 dndp = shape_fn_gradients(coordp, ctx.conn, volp)
                 srp = F.update_strain_rate(velp, ctx.conn, dndp)
-                dvp = G.compute_dvoldt(srp, volp, voln_p, ctx.conn,
-                                       ctx.gather_idx, ctx.gather_mask)
+                dvp = G.compute_dvoldt(srp, volp, voln_p, ctx.conn, asm)
                 edvp = G.compute_edvoldt(dvp, ctx.conn)
                 s1p = State(**{**sc.__dict__, "vel": velp, "coord": coordp,
                                "volume": volp, "volume_old": volp_old,
@@ -331,8 +334,7 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
                 (stp, syyp, stnp, srp2, plsp, dplsp, viscp, dprp, dfcp,
                  svp) = _update_stress(param, ctx, s1p, bulkm, shearm, srp)
                 contribp = F.internal_force_contrib(stp, volp, dndp, buoy)
-                forcep = F.assemble_force(contribp, ctx.gather_idx,
-                                          ctx.gather_mask)
+                forcep = F.assemble_force(contribp, asm)
                 resp = F.residual_l2(forcep)
                 if ctrl.gravity != 0:
                     forcep = bc_mod.apply_stress_bcs(
@@ -389,7 +391,7 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
                 M.perm(ctx.mat, s.emw), M.mu_fluid(ctx.mat, s.emw),
                 M.alpha_biot(ctx.mat, s.emw), M.phi_porosity(ctx.mat, s.emw),
                 M.beta_fluid(ctx.mat, s.emw), bulkm, shearm,
-                ctx.pp_bc_mask, ctx.gather_idx, ctx.gather_mask)
+                ctx.pp_bc_mask, asm, axis_name=ctx.axis)
 
         vel = bc_mod.apply_vbcs(ctx.vbc, vel, s.coord, time)
 
@@ -402,6 +404,8 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
                     param, ctx.surf, coord, s.dt, dhacc, edvacc_surf)
             volume_old = s.volume
             volume = compute_volume(coord, ctx.conn)
+            if ctx.axis is not None:
+                volume = jnp.where(ctx.elem_mask > 0, volume, 1.0)
             if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
                 stress, strain, strain_rate, plstrain = \
                     SP.correct_surface_elements(ctx.surf, volume, s.volume,
@@ -428,7 +432,8 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
             has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
             use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
             bulk_modulus_ref=param.mat.bulk_modulus[param.mat.mattype_ref],
-            rho0_ref=param.mat.rho0[param.mat.mattype_ref])
+            rho0_ref=param.mat.rho0[param.mat.mattype_ref],
+            axis_name=ctx.axis, elem_mask=ctx.elem_mask)
         refresh = (steps % 10 == 0) | ctrl.use_global_velocity_scaling
         dt = jnp.where(refresh, dt_new, s.dt)
 
@@ -440,7 +445,7 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
             cp_e = M.cp(ctx.mat, s.emw)
             volume_n, mass, tmass, hmass, ymass = G.compute_mass(
                 volume, ctx.conn, bulkm, shearm, rho_e, cp_e, phi_e, ab_e,
-                bf_e, ctx.gather_idx, ctx.gather_mask,
+                bf_e, asm,
                 pseudo_speed=pseudo_speed, pseudo_speed_atp=pseudo_atp,
                 is_quasi_static=ctrl.is_quasi_static,
                 use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
@@ -527,6 +532,7 @@ class Simulation:
             conn=jnp.asarray(topo.connectivity),
             gather_idx=jnp.asarray(topo.gather_idx),
             gather_mask=jnp.asarray(topo.gather_mask),
+            elem_mask=jnp.ones(topo.nelem, dtype=self.dtype),
             top_mask=jnp.asarray((topo.bcflag & BOUNDZ1) != 0),
             pp_bc_mask=jnp.asarray(bc_mod.pp_bc_mask(param.bc, topo.bcflag)),
             vbc=bc_mod.VBCSpec.from_param(param, topo.bcflag),
@@ -635,9 +641,10 @@ class Simulation:
         ab_e = M.alpha_biot(ctx.mat, s.emw)
         bf_e = M.beta_fluid(ctx.mat, s.emw)
         cp_e = M.cp(ctx.mat, s.emw)
+        from .ops.assembly import make_asm as _make_asm
         volume_n, mass, tmass, hmass, ymass = G.compute_mass(
             volume, ctx.conn, bulkm, shearm, rho_e, cp_e, phi_e, ab_e, bf_e,
-            ctx.gather_idx, ctx.gather_mask,
+            _make_asm(ctx),
             pseudo_speed=pseudo_speed,
             pseudo_speed_atp=vmax * ctrl.inertial_scaling,
             is_quasi_static=ctrl.is_quasi_static,
@@ -736,9 +743,10 @@ class Simulation:
             ab_e = M.alpha_biot(ctx.mat, s.emw)
             bf_e = M.beta_fluid(ctx.mat, s.emw)
             cp_e = M.cp(ctx.mat, s.emw)
+            from .ops.assembly import make_asm as _make_asm
             volume_n, mass, tmass, hmass, ymass = G.compute_mass(
                 volume, ctx.conn, bulkm, shearm, rho_e, cp_e, phi_e, ab_e,
-                bf_e, ctx.gather_idx, ctx.gather_mask,
+                bf_e, _make_asm(ctx),
                 pseudo_speed=pseudo_speed,
                 pseudo_speed_atp=s.max_global_vel_mag
                 * ctrl.inertial_scaling,
@@ -775,13 +783,17 @@ class Simulation:
                                    & (1 << 4)) != 0)  # BOUNDZ0
         comp_p = self.compensation_pressure
 
+        from .ops.assembly import make_asm as _make_asm
+
+        asm = _make_asm(ctx)
+
         def body(s, _):
             bulkm, shearm, rho_e = _elem_props(ctx, s)
             phi_e = M.phi_porosity(ctx.mat, s.emw)
             dnd = shape_fn_gradients(s.coord, ctx.conn, s.volume)
             srate = F.update_strain_rate(s.vel, ctx.conn, dnd)
             dv = G.compute_dvoldt(srate, s.volume, s.volume_n, ctx.conn,
-                                  ctx.gather_idx, ctx.gather_mask)
+                                  asm)
             edv = G.compute_edvoldt(dv, ctx.conn)
             s1 = State(**{**s.__dict__, "edvoldt": edv})
             (stress, stressyy, strain, srate2, plstrain, dpls, visc, dpr,
@@ -789,8 +801,7 @@ class Simulation:
             buoy = (rho_e * (1.0 - phi_e) + 1000.0 * phi_e) \
                 * ctrl.gravity / (ndims + 1)
             contrib = F.internal_force_contrib(stress, s.volume, dnd, buoy)
-            force = F.assemble_force(contrib, ctx.gather_idx,
-                                     ctx.gather_mask)
+            force = F.assemble_force(contrib, asm)
             if ctrl.has_hydraulic_diffusion:
                 rho_eff = rho_e * (1.0 - phi_e) + 1000.0 * phi_e
             else:
@@ -815,8 +826,7 @@ class Simulation:
                 volume, ctx.conn, bulkm, shearm, rho_e,
                 M.cp(ctx.mat, s.emw), phi_e,
                 M.alpha_biot(ctx.mat, s.emw),
-                M.beta_fluid(ctx.mat, s.emw),
-                ctx.gather_idx, ctx.gather_mask,
+                M.beta_fluid(ctx.mat, s.emw), asm,
                 pseudo_speed=ctx.max_vbc_val * ctrl.inertial_scaling,
                 pseudo_speed_atp=s.max_global_vel_mag
                 * ctrl.inertial_scaling,
