@@ -21,8 +21,8 @@ def update_strain_rate(vel, conn, dnd):
     Returns strain_rate (nelem, NSTR) in component order
     2D [xx, zz, xz] / 3D [xx, yy, zz, xy, xz, yz].
     """
-    ndims = vel.shape[1]
-    v = vel[conn]  # (nelem, npe, ndims)
+    v = vel[conn] if conn is not None else vel  # (nelem, npe, ndims)
+    ndims = v.shape[2]
     # L[a,b] = sum_i v[i,a] * dN[i,b]
     L = jnp.einsum("nia,nib->nab", v, dnd)
     if ndims == 2:
@@ -37,8 +37,8 @@ def update_strain_rate(vel, conn, dnd):
 def spin_rates(vel, conn, dnd):
     """Anti-symmetric velocity-gradient components for the Jaumann rate
     (fields.cxx:857-897).  2D returns (w2,); 3D returns (w3, w4, w5)."""
-    ndims = vel.shape[1]
-    v = vel[conn]
+    v = vel[conn] if conn is not None else vel
+    ndims = v.shape[2]
     L = jnp.einsum("nia,nib->nab", v, dnd)
     if ndims == 2:
         # w2 = 0.5 (dvz/dx - dvx/dz)
@@ -157,7 +157,7 @@ def temperature_diffusion_contrib(temperature, conn, dnd, volume, kappa,
     source * vol * rho / NPE.  Returns (nelem, npe) of
     kv * sum_j (grad_i . grad_j) T_j - source.
     """
-    T = temperature[conn]  # (nelem, npe)
+    T = temperature[conn] if conn is not None else temperature
     gradT = jnp.einsum("nj,njd->nd", T, dnd)  # (nelem, ndims)
     diffusion = jnp.einsum("nid,nd->ni", dnd, gradT)
     kv = kappa * volume
@@ -212,11 +212,15 @@ def update_pore_pressure(ppressure, dppressure, coord, conn, dnd, volume,
 
 
 def update_temperature(temperature, conn, dnd, volume, kappa, source_term,
-                       tmass, dt, top_mask, surface_T, asm):
+                       tmass, dt, top_mask, surface_T, asm,
+                       t_slots=None):
     """Explicit thermal diffusion step with Dirichlet top boundary
-    (fields.cxx:197-283)."""
-    contrib = temperature_diffusion_contrib(temperature, conn, dnd, volume,
-                                            kappa, source_term)
+    (fields.cxx:197-283).  ``t_slots`` optionally supplies the pre-gathered
+    corner temperatures (nelem, npe)."""
+    contrib = temperature_diffusion_contrib(
+        t_slots if t_slots is not None else temperature,
+        None if t_slots is not None else conn, dnd, volume, kappa,
+        source_term)
     tdot = asm(contrib)
     new_T = temperature - dt * tdot / tmass
     return jnp.where(top_mask, surface_T, new_T)

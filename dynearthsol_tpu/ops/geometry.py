@@ -42,9 +42,10 @@ def nmd_stress(stress, dpressure, volume, volume_n, conn, asm):
 
 def elem_min_height(coord, conn, volume):
     """Min altitude of each element (geometry.cxx:830-852):
-    2D: 2*A / longest edge; 3D: 3*V / largest facet area."""
-    ndims = coord.shape[1]
-    x = coord[conn]
+    2D: 2*A / longest edge; 3D: 3*V / largest facet area.
+    Pass conn=None when coord is already corner slots (nelem,npe,ndims)."""
+    x = coord[conn] if conn is not None else coord
+    ndims = x.shape[2]
     if ndims == 2:
         d01 = ((x[:, 0] - x[:, 1]) ** 2).sum(axis=1)
         d12 = ((x[:, 1] - x[:, 2]) ** 2).sum(axis=1)
@@ -98,7 +99,7 @@ def compute_dt(coord, conn, volume, vel, shearm_e, rho_e, visc_min,
     Returns (dt, max_global_vel_mag, global_dt_min).  All limits are global
     min-reductions; they stay on-device inside the step scan.
     """
-    big = jnp.asarray(jnp.finfo(coord.dtype).max, dtype=coord.dtype)
+    big = jnp.asarray(jnp.finfo(volume.dtype).max, dtype=volume.dtype)
 
     def _emask(arr, fill):
         # padded elements must not win min/max reductions (SURVEY §7.5.2)
@@ -116,16 +117,17 @@ def compute_dt(coord, conn, volume, vel, shearm_e, rho_e, visc_min,
 
         return jax.lax.pmax(x, axis_name) if axis_name is not None else x
 
+    v_slots = vel[conn] if conn is not None else vel
     if fixed_dt != 0.0:
-        vmag = jnp.sqrt((vel[conn].mean(axis=1) ** 2).sum(axis=1))
+        vmag = jnp.sqrt((v_slots.mean(axis=1) ** 2).sum(axis=1))
         vmax = _pmax(jnp.maximum(_emask(vmag, 0.0).max(), max_vbc_val))
-        return jnp.asarray(fixed_dt, dtype=coord.dtype), vmax, \
-            jnp.asarray(fixed_dt, dtype=coord.dtype)
+        return jnp.asarray(fixed_dt, dtype=volume.dtype), vmax, \
+            jnp.asarray(fixed_dt, dtype=volume.dtype)
 
     minh = elem_min_height(coord, conn, volume)
     minl = _pmin(_emask(minh, big).min())
 
-    v_el = vel[conn].mean(axis=1)  # (nelem, ndims)
+    v_el = v_slots.mean(axis=1)  # (nelem, ndims)
     vmag = jnp.sqrt((v_el ** 2).sum(axis=1))
     global_max_vem = _pmax(jnp.maximum(_emask(vmag, 0.0).max(),
                                        max_vbc_val))

@@ -138,8 +138,10 @@ def shearm(tab: MatTables, emw) -> jnp.ndarray:
 
 
 def elem_temperature(temperature, conn) -> jnp.ndarray:
-    """Element-average temperature (matprops.cxx:566-575)."""
-    return temperature[conn].mean(axis=1)
+    """Element-average temperature (matprops.cxx:566-575).  Pass conn=None
+    when `temperature` is already gathered to corner slots (nelem, npe)."""
+    T = temperature[conn] if conn is not None else temperature
+    return T.mean(axis=1)
 
 
 def rho(tab: MatTables, emw, temperature, conn) -> jnp.ndarray:
@@ -164,7 +166,7 @@ def visc(tab: MatTables, emw, temperature, conn, stress, strain_rate
     (matprops.cxx:258-300), harmonic mixture, clamped to
     [visc_min, visc_max]."""
     T = elem_temperature(temperature, conn)
-    ndims = conn.shape[1] - 1
+    ndims = 2 if stress.shape[-1] == 3 else 3
     s0 = trace(stress) / ndims
     edot = jnp.maximum(second_invariant(strain_rate), MIN_STRAIN_RATE)
 

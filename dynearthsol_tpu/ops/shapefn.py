@@ -14,6 +14,19 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def compute_volume_slots(d: jnp.ndarray) -> jnp.ndarray:
+    """Volume from pre-gathered corner coords (nelem, npe, ndims)."""
+    ndims = d.shape[2]
+    if ndims == 2:
+        ab = d[:, 1] - d[:, 0]
+        ac = d[:, 2] - d[:, 0]
+        return 0.5 * (ab[:, 0] * ac[:, 1] - ab[:, 1] * ac[:, 0])
+    d1 = d[:, 1] - d[:, 0]
+    d2 = d[:, 2] - d[:, 0]
+    d3 = d[:, 3] - d[:, 0]
+    return jnp.einsum("ij,ij->i", d1, jnp.cross(d2, d3)) / 6.0
+
+
 def compute_volume(coord: jnp.ndarray, conn: jnp.ndarray) -> jnp.ndarray:
     """Triangle area (2D) / tet volume (3D); positive for valid orientation
     (geometry.cxx:135-200)."""
@@ -31,13 +44,20 @@ def compute_volume(coord: jnp.ndarray, conn: jnp.ndarray) -> jnp.ndarray:
 
 def shape_fn_gradients(coord: jnp.ndarray, conn: jnp.ndarray,
                        volume: jnp.ndarray) -> jnp.ndarray:
-    """Gradients dN_i/dx_d of the P1 shape functions.
+    """Gradients dN_i/dx_d of the P1 shape functions (nodal-array entry;
+    gathers corners then calls the slot variant)."""
+    return shape_fn_gradients_slots(coord[conn], volume)
+
+
+def shape_fn_gradients_slots(d: jnp.ndarray,
+                             volume: jnp.ndarray) -> jnp.ndarray:
+    """Gradients dN_i/dx_d of the P1 shape functions from pre-gathered
+    corner coordinates d (nelem, npe, ndims).
 
     Returns (nelem, npe, ndims).  Matches get_local_shape_fn
     (fields.cxx:11-54) exactly (2D: iv = 1/(2A); 3D: iv = 1/(6V)).
     """
-    ndims = coord.shape[1]
-    d = coord[conn]  # (nelem, npe, ndims)
+    ndims = d.shape[2]
     if ndims == 2:
         iv = 1.0 / (2.0 * volume)
         # shpdx[i] = iv * (z[i+1] - z[i+2]) cyclic; shpdz[i] = iv * (x[i+2] - x[i+1])

@@ -84,7 +84,7 @@ def _elem_props(ctx: StepCtx, s: State):
 
 
 def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
-                   strain_rate):
+                   strain_rate, temp_e=None, vel_e=None):
     """Anti-locking fix + constitutive switch (rheology.cxx:676-991).
 
     Returns (stress, stressyy, strain, strain_rate_mod, plstrain,
@@ -120,7 +120,8 @@ def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
     if is_rsf:
         # slip rate from pre-update stress and element-mean velocity
         # (rheology.cxx:882-914), then RSF friction + state evolution
-        vmean = s.vel[ctx.conn].mean(axis=1)
+        vmean = (vel_e if vel_e is not None
+                 else s.vel[ctx.conn]).mean(axis=1)
         if ndims == 2:
             slip = R.slip_rate2(s.stress, vmean)
         else:
@@ -130,15 +131,17 @@ def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
             ctx.mat, s.emw, s.plstrain, slip, s.state_variable, dt,
             param.mat.state_var_model)
 
+    t_src = temp_e if temp_e is not None else s.temperature
+    t_conn = None if temp_e is not None else ctx.conn
     if rheol == RH_ELASTIC:
         stress = R.elastic(bulkm, shearm, de, s.stress, dpp)
     elif rheol == RH_VISCOUS:
-        viscosity = M.visc(ctx.mat, s.emw, s.temperature, ctx.conn,
+        viscosity = M.visc(ctx.mat, s.emw, t_src, t_conn,
                            s.stress, strain_rate)
         total_dv = trace(strain)
         stress = R.viscous(bulkm, viscosity, total_dv, edot, s.stress)
     elif rheol == RH_MAXWELL:
-        viscosity = M.visc(ctx.mat, s.emw, s.temperature, ctx.conn,
+        viscosity = M.visc(ctx.mat, s.emw, t_src, t_conn,
                            s.stress, strain_rate)
         dv = s.volume / s.volume_old - 1.0
         stress = R.maxwell(bulkm, shearm, viscosity, dt, dv, de, s.stress)
@@ -160,7 +163,7 @@ def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
         plstrain = s.plstrain + depls
         delta_plstrain = depls
     elif rheol in (RH_EVP, RH_EVP_RSF):
-        viscosity = M.visc(ctx.mat, s.emw, s.temperature, ctx.conn,
+        viscosity = M.visc(ctx.mat, s.emw, t_src, t_conn,
                            s.stress, strain_rate)
         dv = s.volume / s.volume_old - 1.0
         sv = R.maxwell(bulkm, shearm, viscosity, dt, dv, de, s.stress)
@@ -217,8 +220,24 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
         steps = s.steps + 1
         time = s.time + s.dt
 
-        dnd = shape_fn_gradients(s.coord, ctx.conn, s.volume)
-        bulkm, shearm, rho_e = _elem_props(ctx, s)
+        # ONE consolidated nodal->corner-slot gather per step: TPU gathers
+        # are latency-bound, so coord/vel/T ride a single (nelem,npe,2d+1)
+        # lookup instead of ~10 separate x[conn] gathers (the reference
+        # re-derives shape functions 4x per step instead, SURVEY §7.1)
+        from .ops.shapefn import compute_volume_slots, \
+            shape_fn_gradients_slots
+
+        nodal_pack = jnp.concatenate(
+            [s.coord, s.vel, s.temperature[:, None]], axis=1)
+        slots = nodal_pack[ctx.conn]          # (nelem, npe, 2*ndims+1)
+        coord_e = slots[..., :ndims]
+        vel_e = slots[..., ndims:2 * ndims]
+        temp_e = slots[..., 2 * ndims]
+
+        dnd = shape_fn_gradients_slots(coord_e, s.volume)
+        bulkm = M.bulkm(ctx.mat, s.emw)
+        shearm = M.shearm(ctx.mat, s.emw)
+        rho_e = M.rho(ctx.mat, s.emw, temp_e, None)
 
         temperature = s.temperature
         if ctrl.has_thermal_diffusion:
@@ -227,13 +246,13 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
             temperature = F.update_temperature(
                 s.temperature, ctx.conn, dnd, s.volume, kappa, source,
                 s.tmass, s.dt, ctx.top_mask, param.bc.surface_temperature,
-                asm)
+                asm, t_slots=temp_e)
 
         old_mean_stress = s.old_mean_stress
         if ctrl.has_hydraulic_diffusion:
             old_mean_stress = trace(s.stress) / ndims
 
-        strain_rate = F.update_strain_rate(s.vel, ctx.conn, dnd)
+        strain_rate = F.update_strain_rate(vel_e, None, dnd)
         dvoldt = G.compute_dvoldt(strain_rate, s.volume, s.volume_n,
                                   ctx.conn, asm)
         edvoldt = G.compute_edvoldt(dvoldt, ctx.conn)
@@ -243,7 +262,8 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
 
         (stress, stressyy, strain, strain_rate, plstrain, delta_plstrain,
          viscosity, dpressure, dyn_fric_coeff, state_variable) = \
-            _update_stress(param, ctx, s1, bulkm, shearm, strain_rate)
+            _update_stress(param, ctx, s1, bulkm, shearm, strain_rate,
+                           temp_e=temp_e, vel_e=vel_e)
 
         if ctrl.is_using_mixed_stress:
             stress = G.nmd_stress(stress, dpressure, s.volume, s.volume_n,
@@ -397,13 +417,16 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
 
         # update_mesh (dynearthsol.cxx:431-473)
         dhacc, edvacc_surf = s.dhacc, s.edvacc_surf
+        vel2_e = vel[ctx.conn]  # post-vbc velocities at corner slots
         if ctrl.has_moving_mesh:
             coord = F.update_coordinate(s.coord, vel, s.dt)
+            coord2_e = coord_e + vel2_e * s.dt
             if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
                 coord, dhacc, edvacc_surf, _dh = SP.apply_surface_processes(
                     param, ctx.surf, coord, s.dt, dhacc, edvacc_surf)
+                coord2_e = coord[ctx.conn]  # surface moved some nodes
             volume_old = s.volume
-            volume = compute_volume(coord, ctx.conn)
+            volume = compute_volume_slots(coord2_e)
             if ctx.axis is not None:
                 volume = jnp.where(ctx.elem_mask > 0, volume, 1.0)
             if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
@@ -418,11 +441,12 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
                     apply=(steps % qcsi) == 0)
         else:
             coord, volume_old, volume = s.coord, s.volume_old, s.volume
+            coord2_e = coord_e
 
         # CFL dt (geometry.cxx:756-923), refreshed every 10 steps
         # (dynearthsol.cxx:861-871)
         dt_new, vmax, gdtmin = G.compute_dt(
-            coord, ctx.conn, volume, vel, shearm, rho_e,
+            coord2_e, None, volume, vel2_e, shearm, rho_e,
             ctx.mat.visc_min, ctx.mat.therm_diff_max, s.hydro_diff_max,
             ctx.max_vbc_val,
             fixed_dt=ctrl.fixed_dt, dt_fraction=ctrl.dt_fraction,
@@ -458,8 +482,8 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
 
         # Jaumann rotation with post-move geometry (dynearthsol.cxx:853-855)
         if param.mat.rheol_type & RH_ELASTIC:
-            dnd2 = shape_fn_gradients(coord, ctx.conn, volume)
-            stress, strain = F.rotate_stress(stress, strain, vel, ctx.conn,
+            dnd2 = shape_fn_gradients_slots(coord2_e, volume)
+            stress, strain = F.rotate_stress(stress, strain, vel2_e, None,
                                              dnd2, s.dt)
 
         # averaged-output accumulators (output.cxx:300-340 average_fields):
