@@ -125,7 +125,22 @@ def find_max_vbc(bc, ndims: int) -> float:
 
 
 def _interp1(xp, fp, q):
-    return jnp.interp(q, jnp.asarray(xp), jnp.asarray(fp))
+    """Piecewise-linear interp with constant extrapolation, like
+    jnp.interp, but branchless: y = f0 + sum_k slope_k * clip(q-x_k, seg_k).
+
+    jnp.interp lowers searchsorted to a vmapped while-loop on TPU, which
+    serializes inside the step scan; the segment-sum form is m-1 fused
+    elementwise terms (m is tiny: BC profile tables, bc.cxx:229-278)."""
+    xp = jnp.asarray(xp)
+    fp = jnp.asarray(fp)
+    if fp.shape[0] == 1:
+        return jnp.broadcast_to(fp[0], jnp.shape(q)).astype(fp.dtype)
+    dx = xp[1:] - xp[:-1]
+    slope = jnp.where(dx != 0, (fp[1:] - fp[:-1]) / jnp.where(dx == 0, 1, dx),
+                      0.0)
+    q = jnp.asarray(q)
+    seg = jnp.clip(q[..., None] - xp[:-1], 0.0, dx)
+    return fp[0] + (slope * seg).sum(axis=-1)
 
 
 def _masked_minmax(values, mask):
@@ -166,8 +181,8 @@ def _apply_vbcs_2d(spec: VBCSpec, vel, coord, time):
     # (bc.cxx:275-277); replicated faithfully.
     div0 = jnp.asarray(spec.div_frac_x0) * w0 - bx0max
     div1 = jnp.asarray(spec.div_frac_x1) * w0 - bx0max
-    exact_x0 = applied_x0 * jnp.interp(-z, div0, jnp.asarray(spec.ratio_x0))
-    exact_x1 = applied_x1 * jnp.interp(-z, div1, jnp.asarray(spec.ratio_x1))
+    exact_x0 = applied_x0 * _interp1(div0, jnp.asarray(spec.ratio_x0), -z)
+    exact_x1 = applied_x1 * _interp1(div1, jnp.asarray(spec.ratio_x1), -z)
 
     zmin = jnp.minimum(jnp.min(z), 0.0)
 

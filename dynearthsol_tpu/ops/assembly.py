@@ -60,9 +60,15 @@ def node_sum_scatter(contrib: jnp.ndarray, conn: jnp.ndarray, nnode: int,
 
 
 def make_asm(ctx):
-    """Assembly closure for a StepCtx: gather-based on one device,
-    scatter+psum inside shard_map (ctx.axis set)."""
+    """Assembly closure for a StepCtx: stencil pad-add on a structured
+    grid, gather-based on one device otherwise, scatter+psum inside
+    shard_map (ctx.axis set)."""
     if ctx.axis is None:
+        if ctx.sgrid is not None:
+            from .structured import scatter_corners_2d
+
+            nx, nz = ctx.sgrid
+            return lambda c: scatter_corners_2d(c, nx, nz)
         return lambda c: node_sum(c, ctx.gather_idx, ctx.gather_mask)
     return lambda c: node_sum_scatter(c, ctx.conn, ctx.nnode, ctx.axis,
                                       ctx.elem_mask)

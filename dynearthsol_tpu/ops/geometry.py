@@ -29,13 +29,14 @@ def compute_edvoldt(dvoldt, conn):
     return dvoldt[conn].mean(axis=1)
 
 
-def nmd_stress(stress, dpressure, volume, volume_n, conn, asm):
+def nmd_stress(stress, dpressure, volume, volume_n, conn, asm, gather=None):
     """Nodal-mixed-discretization pressure smoothing (geometry.cxx:279-331)."""
     ndims = 2 if stress.shape[-1] == 3 else 3
     npe = conn.shape[1]
     etmp = dpressure * volume
     dp_nd = asm(jnp.repeat(etmp[:, None], npe, axis=1)) / volume_n
-    dp_el = dp_nd[conn].mean(axis=1)
+    dp_el = (gather(dp_nd) if gather is not None
+             else dp_nd[conn]).mean(axis=1)
     ddp = (dp_el - dpressure) / ndims
     return stress.at[:, :ndims].add(ddp[:, None])
 

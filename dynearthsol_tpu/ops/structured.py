@@ -1,0 +1,117 @@
+"""Structured-grid fast path: corner gather / nodal assembly as SLICES.
+
+The flagship meshes (meshing_option 1/2 with meshing_elem_shape 1/2, cf.
+mesh.cxx:120-744 regular & equilateral grid generators) are raster-ordered
+regular grids: node id = i*nz + j, and each cell (i, j) holds two triangles
+with the diagonal alternating on cell parity (generate.regular_grid_2d).
+
+On TPU a random gather reaches only a few percent of HBM bandwidth (rows of
+8-20 bytes waste the (8,128) lane tile), while shifted *slices* of a
+(nx, nz, k) grid are full-bandwidth contiguous copies that XLA fuses into
+their consumers.  So while the structured connectivity holds (i.e. until the
+first remesh produces an unstructured mesh) the element<->node transfers run
+as stencils:
+
+  gather : nodal (nx*nz, k) -> corner slots (nelem, 3, k) via 4 shifted
+           views + a checkerboard select for the alternating diagonal.
+  scatter: the exact transpose -- per-cell-corner partial sums + 4 padded
+           adds (static `.at[slice].add`, lowered to pad+add fusions).
+
+Both are bit-identical in exact arithmetic to the conn-indexed forms; the
+float sum order per node differs from the sorted-support gather (same
+situation as the reference's OpenMP vs serial sum order).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def structured_conn_2d(nx: int, nz: int) -> np.ndarray:
+    """Reconstruct the raster connectivity of generate.regular_grid_2d for
+    an (nx, nz) node grid.  Used to VERIFY a mesh is stencil-compatible."""
+    i, j = np.meshgrid(np.arange(nx - 1), np.arange(nz - 1), indexing="ij")
+    n00 = i * nz + j
+    n10 = (i + 1) * nz + j
+    n01 = i * nz + (j + 1)
+    n11 = (i + 1) * nz + (j + 1)
+    even = (i + j) % 2 == 0
+    t0 = np.stack([n00, n10, np.where(even, n11, n01)], axis=-1)
+    t1 = np.stack([np.where(even, n00, n10), n11, n01], axis=-1)
+    conn = np.stack([t0, t1], axis=2)  # (nx-1, nz-1, 2, 3)
+    return conn.reshape(-1, 3).astype(np.int32)
+
+
+def detect_structured_2d(conn: np.ndarray, nnode: int) -> tuple | None:
+    """Return (nx, nz) if ``conn`` is exactly the raster structured pattern
+    (any orientation fix or reordering disables the fast path)."""
+    nelem = conn.shape[0]
+    if conn.shape[1] != 3 or nelem % 2:
+        return None
+    ncell = nelem // 2
+    # node raster nid = i*nz + j: nz = (node1 - node0) of the first cell's
+    # vertical neighbour; infer from nnode = nx*nz and ncell = (nx-1)(nz-1)
+    for nz in range(2, nnode):
+        if nnode % nz:
+            continue
+        nx = nnode // nz
+        if (nx - 1) * (nz - 1) == ncell:
+            if np.array_equal(conn, structured_conn_2d(nx, nz)):
+                return (nx, nz)
+    return None
+
+
+def _parity(nx: int, nz: int):
+    i = jnp.arange(nx - 1)[:, None]
+    j = jnp.arange(nz - 1)[None, :]
+    return (i + j) % 2 == 0  # (nx-1, nz-1) bool
+
+
+def gather_corners_2d(nodal: jnp.ndarray, nx: int, nz: int) -> jnp.ndarray:
+    """Nodal (nnode,) or (nnode, k) -> corner slots (nelem, 3[, k])."""
+    squeeze = nodal.ndim == 1
+    v = nodal[:, None] if squeeze else nodal
+    k = v.shape[1]
+    g = v.reshape(nx, nz, k)
+    c00 = g[:-1, :-1]
+    c10 = g[1:, :-1]
+    c01 = g[:-1, 1:]
+    c11 = g[1:, 1:]
+    P = _parity(nx, nz)[..., None]
+    t0 = jnp.stack([c00, c10, jnp.where(P, c11, c01)], axis=2)
+    t1 = jnp.stack([jnp.where(P, c00, c10), c11, c01], axis=2)
+    out = jnp.stack([t0, t1], axis=2)  # (nx-1, nz-1, 2, 3, k)
+    out = out.reshape((nx - 1) * (nz - 1) * 2, 3, k)
+    return out[..., 0] if squeeze else out
+
+
+def scatter_corners_2d(contrib: jnp.ndarray, nx: int, nz: int
+                       ) -> jnp.ndarray:
+    """Transpose of gather_corners_2d: (nelem, 3[, k]) -> nodal sums
+    (nnode[, k])."""
+    squeeze = contrib.ndim == 2
+    c = contrib[..., None] if squeeze else contrib
+    k = c.shape[2]
+    c = c.reshape(nx - 1, nz - 1, 2, 3, k)
+    t0, t1 = c[:, :, 0], c[:, :, 1]
+    P = _parity(nx, nz)[..., None]
+    zero = jnp.zeros((), dtype=c.dtype)
+    a00 = t0[:, :, 0] + jnp.where(P, t1[:, :, 0], zero)
+    a10 = t0[:, :, 1] + jnp.where(P, zero, t1[:, :, 0])
+    a11 = jnp.where(P, t0[:, :, 2], zero) + t1[:, :, 1]
+    a01 = jnp.where(P, zero, t0[:, :, 2]) + t1[:, :, 2]
+    out = jnp.zeros((nx, nz, k), dtype=c.dtype)
+    out = (out.at[:-1, :-1].add(a00).at[1:, :-1].add(a10)
+              .at[1:, 1:].add(a11).at[:-1, 1:].add(a01))
+    out = out.reshape(nx * nz, k)
+    return out[:, 0] if squeeze else out
+
+
+def make_corner_gather(ctx):
+    """Closure nodal -> (nelem, npe[, k]) corner slots for a StepCtx:
+    stencil when the mesh is structured, index gather otherwise."""
+    if ctx.sgrid is not None and ctx.axis is None:
+        nx, nz = ctx.sgrid
+        return lambda nodal: gather_corners_2d(nodal, nx, nz)
+    return lambda nodal: nodal[ctx.conn]

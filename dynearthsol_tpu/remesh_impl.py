@@ -466,7 +466,7 @@ def remesh_simulation(sim, bad_quality: int):
         vbc=bc_mod.VBCSpec.from_param(param, topo2.bcflag),
         sbc=bc_mod.StressBCSpec.from_topo(param, topo2),
         mat=mat_tables, surf=SP_mod.make_surf_info(topo2),
-        max_vbc_val=sim.ctx.max_vbc_val)
+        max_vbc_val=sim.ctx.max_vbc_val, sgrid=None)
     ctx = sim.ctx
 
     s2 = allocate_state(topo2.nnode, topo2.nelem, ndims, param.mat.nmat,

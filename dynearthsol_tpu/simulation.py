@@ -46,7 +46,7 @@ from .state import State, allocate_state
     jax.tree_util.register_dataclass,
     data_fields=["conn", "gather_idx", "gather_mask", "elem_mask",
                  "top_mask", "pp_bc_mask", "vbc", "sbc", "mat", "surf"],
-    meta_fields=["ndims", "nnode", "nelem", "max_vbc_val", "axis"])
+    meta_fields=["ndims", "nnode", "nelem", "max_vbc_val", "axis", "sgrid"])
 @dataclass(frozen=True)
 class StepCtx:
     """Per-mesh context for the step function.
@@ -73,6 +73,9 @@ class StepCtx:
     surf: SP.SurfInfo
     max_vbc_val: float
     axis: Optional[str] = None  # shard_map element-axis name, else None
+    # (nx, nz) when the mesh is a raster structured grid: element<->node
+    # transfers then run as stencil slices instead of gathers (structured.py)
+    sgrid: Optional[tuple] = None
 
 
 def _elem_props(ctx: StepCtx, s: State):
@@ -113,7 +116,8 @@ def _update_stress(param: Param, ctx: StepCtx, s: State, bulkm, shearm,
         # Biot-scaled element-mean pore-pressure increment
         # (rheology.cxx:696-755): added to the diagonal of the trial stress
         alpha_b = M.alpha_biot(ctx.mat, s.emw)
-        dpp = alpha_b * s.dppressure[ctx.conn].mean(axis=1)
+        from .ops.structured import make_corner_gather as _mcg
+        dpp = alpha_b * _mcg(ctx)(s.dppressure).mean(axis=1)
     else:
         dpp = None
 
@@ -212,8 +216,10 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
 
     def step(ctx: StepCtx, s: State) -> State:
         from .ops.assembly import make_asm
+        from .ops.structured import make_corner_gather
 
         asm = make_asm(ctx)
+        gather = make_corner_gather(ctx)
         ndims = ctx.ndims
         npe = ndims + 1
         pseudo_speed = ctx.max_vbc_val * ctrl.inertial_scaling
@@ -229,7 +235,7 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
 
         nodal_pack = jnp.concatenate(
             [s.coord, s.vel, s.temperature[:, None]], axis=1)
-        slots = nodal_pack[ctx.conn]          # (nelem, npe, 2*ndims+1)
+        slots = gather(nodal_pack)            # (nelem, npe, 2*ndims+1)
         coord_e = slots[..., :ndims]
         vel_e = slots[..., ndims:2 * ndims]
         temp_e = slots[..., 2 * ndims]
@@ -255,7 +261,7 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
         strain_rate = F.update_strain_rate(vel_e, None, dnd)
         dvoldt = G.compute_dvoldt(strain_rate, s.volume, s.volume_n,
                                   ctx.conn, asm)
-        edvoldt = G.compute_edvoldt(dvoldt, ctx.conn)
+        edvoldt = gather(dvoldt).mean(axis=1)
         s1 = State(**{**s.__dict__, "edvoldt": edvoldt, "dt": s.dt,
                       "temperature": temperature,
                       "old_mean_stress": old_mean_stress})
@@ -267,7 +273,7 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
 
         if ctrl.is_using_mixed_stress:
             stress = G.nmd_stress(stress, dpressure, s.volume, s.volume_n,
-                                  ctx.conn, asm)
+                                  ctx.conn, asm, gather=gather)
 
         # force assembly (fields.cxx:612-703)
         phi_e = M.phi_porosity(ctx.mat, s.emw)
@@ -312,13 +318,17 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
                 "temperature": temperature, "l2_residual": l2_res,
                 "time": time, "steps": steps})
 
+            temp_e_pt = gather(s_mid.temperature)  # PT-loop invariant
+
             def pt_body(carry):
                 sc, res_old, _, k = carry
                 velp = bc_mod.apply_vbcs(vbc0, sc.vel, sc.coord, sc.time)
+                vp_e = gather(velp)
                 if ctrl.has_moving_mesh:
                     coordp = F.update_coordinate(sc.coord, velp, sc.dt)
+                    cp_e = gather(coordp)
                     volp_old = sc.volume
-                    volp = compute_volume(coordp, ctx.conn)
+                    volp = compute_volume_slots(cp_e)
                     if ctx.axis is not None:
                         volp = jnp.where(ctx.elem_mask > 0, volp, 1.0)
                     voln_p, mass_p, tmass_p, hmass_p, ymass_p = \
@@ -340,19 +350,21 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
                 else:
                     coordp, volp_old, volp = sc.coord, sc.volume_old, \
                         sc.volume
+                    cp_e = gather(coordp)
                     voln_p, mass_p, tmass_p, hmass_p, ymass_p = (
                         sc.volume_n, sc.mass, sc.tmass, sc.hmass, sc.ymass)
-                dndp = shape_fn_gradients(coordp, ctx.conn, volp)
-                srp = F.update_strain_rate(velp, ctx.conn, dndp)
+                dndp = shape_fn_gradients_slots(cp_e, volp)
+                srp = F.update_strain_rate(vp_e, None, dndp)
                 dvp = G.compute_dvoldt(srp, volp, voln_p, ctx.conn, asm)
-                edvp = G.compute_edvoldt(dvp, ctx.conn)
+                edvp = gather(dvp).mean(axis=1)
                 s1p = State(**{**sc.__dict__, "vel": velp, "coord": coordp,
                                "volume": volp, "volume_old": volp_old,
                                "volume_n": voln_p, "mass": mass_p,
                                "tmass": tmass_p, "hmass": hmass_p,
                                "ymass": ymass_p, "edvoldt": edvp})
                 (stp, syyp, stnp, srp2, plsp, dplsp, viscp, dprp, dfcp,
-                 svp) = _update_stress(param, ctx, s1p, bulkm, shearm, srp)
+                 svp) = _update_stress(param, ctx, s1p, bulkm, shearm, srp,
+                                       temp_e=temp_e_pt, vel_e=vp_e)
                 contribp = F.internal_force_contrib(stp, volp, dndp, buoy)
                 forcep = F.assemble_force(contribp, asm)
                 resp = F.residual_l2(forcep)
@@ -417,14 +429,14 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
 
         # update_mesh (dynearthsol.cxx:431-473)
         dhacc, edvacc_surf = s.dhacc, s.edvacc_surf
-        vel2_e = vel[ctx.conn]  # post-vbc velocities at corner slots
+        vel2_e = gather(vel)  # post-vbc velocities at corner slots
         if ctrl.has_moving_mesh:
             coord = F.update_coordinate(s.coord, vel, s.dt)
             coord2_e = coord_e + vel2_e * s.dt
             if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
                 coord, dhacc, edvacc_surf, _dh = SP.apply_surface_processes(
                     param, ctx.surf, coord, s.dt, dhacc, edvacc_surf)
-                coord2_e = coord[ctx.conn]  # surface moved some nodes
+                coord2_e = gather(coord)  # surface moved some nodes
             volume_old = s.volume
             volume = compute_volume_slots(coord2_e)
             if ctx.axis is not None:
@@ -526,6 +538,16 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
     return step
 
 
+def _detect_sgrid(topo) -> Optional[tuple]:
+    """(nx, nz) when the mesh is the raster structured grid (stencil fast
+    path, ops/structured.py); None otherwise (e.g. after any remesh)."""
+    if topo.ndims != 2:
+        return None
+    from .ops.structured import detect_structured_2d
+
+    return detect_structured_2d(topo.connectivity, topo.nnode)
+
+
 class Simulation:
     """End-to-end simulation: mesh/topology/IC on host, stepping on device."""
 
@@ -562,7 +584,7 @@ class Simulation:
             vbc=bc_mod.VBCSpec.from_param(param, topo.bcflag),
             sbc=bc_mod.StressBCSpec.from_topo(param, topo),
             mat=mat_tables, surf=SP.make_surf_info(topo),
-            max_vbc_val=max_vbc_val)
+            max_vbc_val=max_vbc_val, sgrid=_detect_sgrid(topo))
 
         # driver/aux bookkeeping (parameters.hpp Variables scalars)
         self.hydrous_markers = None

@@ -1,0 +1,89 @@
+"""Structured-grid stencil fast path (ops/structured.py): the slice-based
+corner gather / nodal assembly must match conn-indexed forms exactly, and a
+full step on a structured mesh must match the generic gather path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dynearthsol_tpu as des
+from dynearthsol_tpu.mesh.generate import regular_grid_2d
+from dynearthsol_tpu.ops.structured import (detect_structured_2d,
+                                            gather_corners_2d,
+                                            scatter_corners_2d)
+from dynearthsol_tpu.simulation import make_step_fn
+
+
+@pytest.mark.parametrize("equilateral", [False, True])
+def test_gather_scatter_match_conn(equilateral):
+    m = regular_grid_2d(10e3, 5e3, 10e3 / 16, equilateral=equilateral)
+    sg = detect_structured_2d(m.connectivity, m.nnode)
+    assert sg == (17, 9)
+    nx, nz = sg
+    rng = np.random.default_rng(0)
+
+    nodal = rng.normal(size=(m.nnode, 3))
+    got = np.asarray(gather_corners_2d(jnp.asarray(nodal), nx, nz))
+    np.testing.assert_array_equal(nodal[m.connectivity], got)
+    n1 = rng.normal(size=m.nnode)
+    np.testing.assert_array_equal(
+        n1[m.connectivity],
+        np.asarray(gather_corners_2d(jnp.asarray(n1), nx, nz)))
+
+    contrib = rng.normal(size=(m.nelem, 3, 2))
+    ref = np.zeros((m.nnode, 2))
+    np.add.at(ref, m.connectivity.ravel(),
+              contrib.reshape(-1, 2))
+    got2 = np.asarray(scatter_corners_2d(jnp.asarray(contrib), nx, nz))
+    np.testing.assert_allclose(ref, got2, rtol=1e-12)
+    c1 = rng.normal(size=(m.nelem, 3))
+    r1 = np.zeros(m.nnode)
+    np.add.at(r1, m.connectivity.ravel(), c1.ravel())
+    np.testing.assert_allclose(
+        r1, np.asarray(scatter_corners_2d(jnp.asarray(c1), nx, nz)),
+        rtol=1e-12)
+
+
+def test_detect_rejects_unstructured():
+    from dynearthsol_tpu.mesh.generate import unstructured_box_2d
+
+    m = unstructured_box_2d(10e3, 5e3, 10e3 / 8)
+    assert detect_structured_2d(m.connectivity, m.nnode) is None
+
+
+def _small_sim():
+    param = des.param_from_dict({
+        "sim": {"ndims": 2},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 10e3, "ylength": 0.0, "zlength": 5e3,
+                 "resolution": 10e3 / 16,
+                 "quality_check_step_interval": 10**8},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "has_thermal_diffusion": True},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": -1e-9,
+               "vbc_x1": 1, "vbc_val_x1": 1e-9},
+        "mat": {"rheology_type": "elasto-visco-plastic",
+                "is_plane_strain": True,
+                "rho0": [2800.0], "bulk_modulus": [50e9],
+                "shear_modulus": [30e9],
+                "visc_max": 1e24, "visc_min": 1e19},
+    })
+    return des.Simulation(param)
+
+
+def test_step_structured_matches_gather_path():
+    sim = _small_sim()
+    assert sim.ctx.sgrid == (17, 9)
+    step = make_step_fn(sim.param)
+    s_fast = jax.jit(step)(sim.ctx, sim.state)
+    ctx_gen = dataclasses.replace(sim.ctx, sgrid=None)
+    s_ref = jax.jit(step)(ctx_gen, sim.state)
+    for f in ["coord", "vel", "stress", "strain", "temperature",
+              "plstrain", "volume", "mass", "dt"]:
+        a = np.asarray(getattr(s_fast, f))
+        b = np.asarray(getattr(s_ref, f))
+        scale = max(float(np.abs(b).max()), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-5, f
