@@ -115,18 +115,20 @@ class MatTables:
 
 
 def harmonic_mean(values: jnp.ndarray, emw: jnp.ndarray) -> jnp.ndarray:
-    """(nmat,), (nelem, nmat) -> (nelem,).  matprops.cxx:131-144."""
+    """(nmat,), (..., nmat) -> (...,).  matprops.cxx:131-144.
+    emw may be flat (nelem, nmat) or structured-grid planes
+    (2, nxc, nzc, nmat)."""
     if values.shape[0] == 1:
-        return jnp.full(emw.shape[0], values[0], dtype=values.dtype)
-    n = emw.sum(axis=1)
-    return n / (emw / values[None, :]).sum(axis=1)
+        return jnp.full(emw.shape[:-1], values[0], dtype=values.dtype)
+    n = emw.sum(axis=-1)
+    return n / (emw / values).sum(axis=-1)
 
 
 def arithmetic_mean(values: jnp.ndarray, emw: jnp.ndarray) -> jnp.ndarray:
     """matprops.cxx:115-129."""
     if values.shape[0] == 1:
-        return jnp.full(emw.shape[0], values[0], dtype=values.dtype)
-    return (emw * values[None, :]).sum(axis=1) / emw.sum(axis=1)
+        return jnp.full(emw.shape[:-1], values[0], dtype=values.dtype)
+    return (emw * values).sum(axis=-1) / emw.sum(axis=-1)
 
 
 def bulkm(tab: MatTables, emw) -> jnp.ndarray:
@@ -146,10 +148,14 @@ def elem_temperature(temperature, conn) -> jnp.ndarray:
 
 def rho(tab: MatTables, emw, temperature, conn) -> jnp.ndarray:
     """rho0 * (1 - alpha*(T - 273C)) mixture (matprops.cxx:565-587)."""
-    T = elem_temperature(temperature, conn)
+    return rho_from_T(tab, emw, elem_temperature(temperature, conn))
+
+
+def rho_from_T(tab: MatTables, emw, T) -> jnp.ndarray:
+    """rho mixture from element-mean temperature; emw (..., nmat), T (...)."""
     TinC = T - CELSIUS0
-    per_mat = tab.rho0[None, :] * (1.0 - tab.alpha[None, :] * TinC[:, None])
-    return (per_mat * emw).sum(axis=1) / emw.sum(axis=1)
+    per_mat = tab.rho0 * (1.0 - tab.alpha * TinC[..., None])
+    return (per_mat * emw).sum(axis=-1) / emw.sum(axis=-1)
 
 
 def cp(tab: MatTables, emw) -> jnp.ndarray:
@@ -169,19 +175,24 @@ def visc(tab: MatTables, emw, temperature, conn, stress, strain_rate
     ndims = 2 if stress.shape[-1] == 3 else 3
     s0 = trace(stress) / ndims
     edot = jnp.maximum(second_invariant(strain_rate), MIN_STRAIN_RATE)
+    return visc_core(tab, emw, T, s0, edot)
 
+
+def visc_core(tab: MatTables, emw, T, s0, edot) -> jnp.ndarray:
+    """Creep viscosity from element-mean T, mean stress s0 and strain-rate
+    invariant edot; all (...) shaped, emw (..., nmat)."""
     pw = 1.0 / tab.visc_exponent - 1.0  # (nmat,)
     pw1 = -1.0 / tab.visc_exponent
     # visc0[e,m] = 0.25 * edot^pow * (0.75 A)^pow1 * exp((E + V s0)/(n R T)) * 1e6
-    log_edot = jnp.log(edot)  # (nelem,)
+    log_edot = jnp.log(edot)  # (...)
     log_coef = jnp.log(0.75 * tab.visc_coefficient)  # (nmat,)
-    expo = ((tab.visc_activation_energy[None, :]
-             + tab.visc_activation_volume[None, :] * s0[:, None])
-            / (tab.visc_exponent[None, :] * GAS_CONSTANT * T[:, None]))
-    log_visc0 = (jnp.log(0.25) + pw[None, :] * log_edot[:, None]
-                 + pw1[None, :] * log_coef[None, :] + expo + jnp.log(1e6))
+    expo = ((tab.visc_activation_energy
+             + tab.visc_activation_volume * s0[..., None])
+            / (tab.visc_exponent * GAS_CONSTANT * T[..., None]))
+    log_visc0 = (jnp.log(0.25) + pw * log_edot[..., None]
+                 + pw1 * log_coef + expo + jnp.log(1e6))
     inv_visc0 = jnp.exp(-log_visc0)
-    v = emw.sum(axis=1) / (emw * inv_visc0).sum(axis=1)
+    v = emw.sum(axis=-1) / (emw * inv_visc0).sum(axis=-1)
     return jnp.clip(v, tab.visc_min, tab.visc_max)
 
 
@@ -189,28 +200,28 @@ def plastic_weakening(tab: MatTables, emw, pls):
     """Weight-averaged cohesion/friction/dilation/hardening with linear
     strain softening between pls0 and pls1 (matprops.cxx:303-341).
 
-    pls: (nelem,) accumulated plastic strain.
-    Returns (cohesion, friction_angle, dilation_angle, hardening), each (nelem,).
+    pls: (...) accumulated plastic strain; emw (..., nmat).
+    Returns (cohesion, friction_angle, dilation_angle, hardening), each (...).
     """
-    p = jnp.clip((pls[:, None] - tab.pls0[None, :])
-                 / jnp.maximum(tab.pls1 - tab.pls0, 1e-300)[None, :], 0.0, 1.0)
-    c_m = tab.cohesion0[None, :] + p * (tab.cohesion1 - tab.cohesion0)[None, :]
-    f_m = (tab.friction_angle0[None, :]
-           + p * (tab.friction_angle1 - tab.friction_angle0)[None, :])
-    d_m = (tab.dilation_angle0[None, :]
-           + p * (tab.dilation_angle1 - tab.dilation_angle0)[None, :])
-    in_weakening = ((pls[:, None] >= tab.pls0[None, :])
-                    & (pls[:, None] < tab.pls1[None, :]))
+    pls_m = pls[..., None]
+    p = jnp.clip((pls_m - tab.pls0)
+                 / jnp.maximum(tab.pls1 - tab.pls0, 1e-300), 0.0, 1.0)
+    c_m = tab.cohesion0 + p * (tab.cohesion1 - tab.cohesion0)
+    f_m = tab.friction_angle0 + p * (tab.friction_angle1
+                                     - tab.friction_angle0)
+    d_m = tab.dilation_angle0 + p * (tab.dilation_angle1
+                                     - tab.dilation_angle0)
+    in_weakening = (pls_m >= tab.pls0) & (pls_m < tab.pls1)
     h_m = jnp.where(
         in_weakening,
-        (tab.cohesion1 - tab.cohesion0)[None, :]
-        / jnp.maximum(tab.pls1 - tab.pls0, 1e-300)[None, :],
+        (tab.cohesion1 - tab.cohesion0)
+        / jnp.maximum(tab.pls1 - tab.pls0, 1e-300),
         0.0)
-    n = emw.sum(axis=1)
-    cohesion = (c_m * emw).sum(axis=1) / n
-    friction = (f_m * emw).sum(axis=1) / n
-    dilation = (d_m * emw).sum(axis=1) / n
-    hardening = (h_m * emw).sum(axis=1) / n
+    n = emw.sum(axis=-1)
+    cohesion = (c_m * emw).sum(axis=-1) / n
+    friction = (f_m * emw).sum(axis=-1) / n
+    dilation = (d_m * emw).sum(axis=-1) / n
+    hardening = (h_m * emw).sum(axis=-1) / n
     return cohesion, friction, dilation, hardening
 
 

@@ -20,11 +20,27 @@ from .tensor import second_invariant2, trace
 _EPS = 1e-15
 
 
+def elastic2_c(bulkm, shearm, de, s, dpp=None):
+    """Componentwise 2D incremental elasticity (rheology.cxx:235-261).
+    de/s are (xx, zz, xz) tuples of same-shape arrays — any shape works
+    ((nelem,) columns or structured-grid planes)."""
+    lam = bulkm - 2.0 / 3.0 * shearm
+    diag_inc = lam * (de[0] + de[1]) + (0.0 if dpp is None else dpp)
+    return (s[0] + 2.0 * shearm * de[0] + diag_inc,
+            s[1] + 2.0 * shearm * de[1] + diag_inc,
+            s[2] + 2.0 * shearm * de[2])
+
+
 def elastic(bulkm, shearm, de, s, dpp=None):
     """Incremental linear elasticity (rheology.cxx:235-246); with the
     effective-stress pore-pressure increment on the diagonal when dpp is
     given (rheology.cxx:250-261)."""
     ndims = 2 if s.shape[-1] == 3 else 3
+    if ndims == 2:
+        out = elastic2_c(bulkm, shearm,
+                         (de[:, 0], de[:, 1], de[:, 2]),
+                         (s[:, 0], s[:, 1], s[:, 2]), dpp)
+        return jnp.stack(out, axis=1)
     lam = bulkm - 2.0 / 3.0 * shearm
     dev = trace(de)
     diag_inc = lam * dev + (0.0 if dpp is None else dpp)
@@ -33,9 +49,29 @@ def elastic(bulkm, shearm, de, s, dpp=None):
     return s + inc
 
 
+def maxwell2_c(bulkm, shearm, viscosity, dt, dv, de, s):
+    """Componentwise 2D Maxwell viscoelasticity (rheology.cxx:264-281)."""
+    tmp = 0.5 * dt * shearm / viscosity
+    f1 = 1.0 - tmp
+    f2 = 1.0 / (1.0 + tmp)
+    dev = (de[0] + de[1]) / 2.0
+    s0 = (s[0] + s[1]) / 2.0
+    bdv = bulkm * dv
+    return (((s[0] - s0) * f1 + 2.0 * shearm * (de[0] - dev)) * f2 + s0
+            + bdv,
+            ((s[1] - s0) * f1 + 2.0 * shearm * (de[1] - dev)) * f2 + s0
+            + bdv,
+            (s[2] * f1 + 2.0 * shearm * de[2]) * f2)
+
+
 def maxwell(bulkm, shearm, viscosity, dt, dv, de, s):
     """Maxwell viscoelasticity (rheology.cxx:264-281)."""
     ndims = 2 if s.shape[-1] == 3 else 3
+    if ndims == 2:
+        out = maxwell2_c(bulkm, shearm, viscosity, dt, dv,
+                         (de[:, 0], de[:, 1], de[:, 2]),
+                         (s[:, 0], s[:, 1], s[:, 2]))
+        return jnp.stack(out, axis=1)
     tmp = 0.5 * dt * shearm / viscosity
     f1 = 1.0 - tmp
     f2 = 1.0 / (1.0 + tmp)
@@ -49,10 +85,22 @@ def maxwell(bulkm, shearm, viscosity, dt, dv, de, s):
     return jnp.concatenate([out_iso, out_dev], axis=1)
 
 
+def viscous2_c(bulkm, viscosity, total_dv, edot):
+    """Componentwise 2D viscous flow (rheology.cxx:284-296)."""
+    dev = (edot[0] + edot[1]) / 2.0
+    return (2.0 * viscosity * (edot[0] - dev) + bulkm * total_dv,
+            2.0 * viscosity * (edot[1] - dev) + bulkm * total_dv,
+            2.0 * viscosity * edot[2])
+
+
 def viscous(bulkm, viscosity, total_dv, edot, s):
     """Pure viscous with bulk-modulus incompressibility penalty
     (rheology.cxx:284-296)."""
     ndims = 2 if s.shape[-1] == 3 else 3
+    if ndims == 2:
+        out = viscous2_c(bulkm, viscosity, total_dv,
+                         (edot[:, 0], edot[:, 1], edot[:, 2]))
+        return jnp.stack(out, axis=1)
     dev = trace(edot) / ndims
     out_iso = (2.0 * viscosity[:, None] * (edot[:, :ndims] - dev[:, None])
                + (bulkm * total_dv)[:, None])
@@ -172,12 +220,25 @@ def elasto_plastic2d(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
     Three principal stresses; syy (out-of-plane) carried separately.
     Returns (s_new (N,3), syy_new, depls, failure_mode).
     """
+    out, syy_n, depls, fmode = elasto_plastic2d_c(
+        bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+        (de[:, 0], de[:, 1], de[:, 2]),
+        (s[:, 0], s[:, 1], s[:, 2]), syy, dpp)
+    return jnp.stack(out, axis=1), syy_n, depls, fmode
+
+
+def elasto_plastic2d_c(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+                       de, s, syy, dpp=None):
+    """Componentwise geoFLAC plane-strain Mohr-Coulomb return map
+    (rheology.cxx:459-674).  de/s are (xx, zz, xz) tuples of same-shape
+    arrays (flat element columns or structured-grid planes).
+    Returns ((sxx, szz, sxz), syy_new, depls, failure_mode)."""
     a1 = bulkm + 4.0 / 3.0 * shearm
     a2 = bulkm - 2.0 / 3.0 * shearm
-    sxx = s[:, 0] + de[:, 1] * a2 + de[:, 0] * a1
-    szz = s[:, 1] + de[:, 0] * a2 + de[:, 1] * a1
-    sxz = s[:, 2] + de[:, 2] * 2.0 * shearm
-    syy_t = syy + (de[:, 0] + de[:, 1]) * a2
+    sxx = s[0] + de[1] * a2 + de[0] * a1
+    szz = s[1] + de[0] * a2 + de[1] * a1
+    sxz = s[2] + de[2] * 2.0 * shearm
+    syy_t = syy + (de[0] + de[1]) * a2
     if dpp is not None:
         sxx = sxx + dpp
         syy_t = syy_t + dpp
@@ -204,7 +265,7 @@ def elasto_plastic2d(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
     idx_sii = jnp.where(caseA, 1, jnp.where(caseB, 2, 2))
     idx_syy = jnp.where(caseA, 2, jnp.where(caseB, 0, 1))
 
-    fmode = jnp.zeros(s.shape[0], dtype=jnp.int32)
+    fmode = jnp.zeros_like(sxx, dtype=jnp.int32)
 
     # tensile scenario 1: p0 >= ten_max -> everything capped, done
     # (rheology.cxx:587-592)
@@ -238,11 +299,11 @@ def elasto_plastic2d(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
     p2s = jnp.where(u2 | u3, ten_max, p2s)
     fmode = fmode + jnp.where(u1 | u2 | u3, 20, 0)
 
-    # rotate principal stresses back (rheology.cxx:665-673)
-    p_stack = jnp.stack([p0s, p1s, p2s], axis=1)
-
+    # rotate principal stresses back (rheology.cxx:665-673).  idx is in
+    # {0,1,2}: a two-level select stays elementwise (a 3-wide
+    # take_along_axis lowers to a per-element gather on TPU)
     def pick(idx):
-        return jnp.take_along_axis(p_stack, idx[:, None], axis=1)[:, 0]
+        return jnp.where(idx == 0, p0s, jnp.where(idx == 1, p1s, p2s))
 
     pn1 = pick(idx_si)
     pn2 = pick(idx_sii)
@@ -262,8 +323,7 @@ def elasto_plastic2d(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
     syy_n = jnp.where(cap, ten_max, jnp.where(elastic_out, syy_t, syy_r))
     depls = jnp.where(cap & t1, 0.0, depls)
 
-    s_new = jnp.stack([sxx_n, szz_n, sxz_n], axis=1)
-    return s_new, syy_n, depls, fmode
+    return (sxx_n, szz_n, sxz_n), syy_n, depls, fmode
 
 
 def slip_rate2(s, vmean):

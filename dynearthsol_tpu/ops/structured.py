@@ -62,10 +62,16 @@ def detect_structured_2d(conn: np.ndarray, nnode: int) -> tuple | None:
     return None
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def _parity(nx: int, nz: int):
-    i = jnp.arange(nx - 1)[:, None]
-    j = jnp.arange(nz - 1)[None, :]
-    return (i + j) % 2 == 0  # (nx-1, nz-1) bool
+    # host-side checkerboard, embedded as an XLA constant: computing
+    # (i+j)%2 on-device lowers to thousands of emulated-rem shift ops
+    i = np.arange(nx - 1)[:, None]
+    j = np.arange(nz - 1)[None, :]
+    return jnp.asarray((i + j) % 2 == 0)  # (nx-1, nz-1) bool
 
 
 def gather_corners_2d(nodal: jnp.ndarray, nx: int, nz: int) -> jnp.ndarray:

@@ -972,14 +972,32 @@ class Simulation:
     # ---- stepping ----
     def _chunk_fn(self, n: int):
         if n not in self._chunk_fns:
-            step = self._step_fn
+            from .ops import grid2d
 
-            @jax.jit
-            def run_chunk(ctx, state):
-                def body(s, _):
-                    return step(ctx, s), None
-                out, _ = jax.lax.scan(body, state, length=n)
-                return out
+            step = self._step_fn
+            if grid2d.grid_step_applicable(self.param, self.ctx):
+                # structured-grid plane step (TPU production path): element
+                # state converts to SoA planes once per chunk, not per step
+                gstep = grid2d.make_grid_step(self.param, self.ctx,
+                                              self.compensation_pressure)
+                nx, nz = self.ctx.sgrid
+
+                @jax.jit
+                def run_chunk(ctx, state):
+                    g = grid2d.state_to_grid(state, nx, nz)
+
+                    def body(s, _):
+                        return gstep(ctx, s), None
+
+                    g, _ = jax.lax.scan(body, g, length=n)
+                    return grid2d.grid_to_state(g, nx, nz)
+            else:
+                @jax.jit
+                def run_chunk(ctx, state):
+                    def body(s, _):
+                        return step(ctx, s), None
+                    out, _ = jax.lax.scan(body, state, length=n)
+                    return out
 
             self._chunk_fns[n] = run_chunk
         return self._chunk_fns[n]

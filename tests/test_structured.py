@@ -87,3 +87,48 @@ def test_step_structured_matches_gather_path():
         b = np.asarray(getattr(s_ref, f))
         scale = max(float(np.abs(b).max()), 1e-30)
         assert np.abs(a - b).max() / scale < 1e-5, f
+
+
+def test_grid_step_matches_generic_f64():
+    """Plane-layout structured step (ops/grid2d.py) vs the generic step:
+    exact-math parity over 50 steps in f64 (f32 diverges via the
+    sign-sensitive damping, like the reference's OMP>1 runs)."""
+    import dynearthsol_tpu.ops.grid2d as grid2d
+
+    def mk():
+        param = des.param_from_dict({
+            "sim": {"ndims": 2, "float_dtype": "float64"},
+            "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                     "xlength": 10e3, "ylength": 0.0, "zlength": 5e3,
+                     "resolution": 10e3 / 16,
+                     "quality_check_step_interval": 10**8},
+            "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                        "has_thermal_diffusion": True},
+            "bc": {"vbc_x0": 1, "vbc_val_x0": -1e-9,
+                   "vbc_x1": 1, "vbc_val_x1": 1e-9},
+            "mat": {"rheology_type": "elasto-visco-plastic",
+                    "is_plane_strain": True,
+                    "rho0": [2800.0], "bulk_modulus": [50e9],
+                    "shear_modulus": [30e9],
+                    "visc_max": 1e24, "visc_min": 1e19},
+        })
+        return des.Simulation(param)
+
+    sim1 = mk()
+    assert grid2d.grid_step_applicable(sim1.param, sim1.ctx)
+    sim1.run_steps(50, chunk=25)
+
+    sim2 = mk()
+    sim2.ctx = dataclasses.replace(sim2.ctx, sgrid=None)  # generic path
+    sim2.run_steps(50, chunk=25)
+
+    for f in ["coord", "vel", "stress", "stressyy", "strain",
+              "strain_rate", "temperature", "plstrain", "delta_plstrain",
+              "viscosity", "dpressure", "volume", "volume_n", "mass",
+              "tmass", "hmass", "ymass", "force", "edvoldt", "dt", "time"]:
+        a = np.asarray(getattr(sim1.state, f))
+        b = np.asarray(getattr(sim2.state, f))
+        scale = max(float(np.abs(b).max()), 1e-30)
+        # 1e-8: dpressure is a difference of large stresses, so sum-order
+        # roundoff (the asm orderings differ) amplifies through cancellation
+        assert np.abs(a - b).max() / scale < 1e-8, f
