@@ -125,21 +125,17 @@ def principal_stresses2(s):
 
 
 def principal_stresses3(s):
-    """3D principal stresses and directions via symmetric eigendecomposition
-    (rheology.cxx:13-70 uses Kopp's dsyevh3; here batched jnp.linalg.eigh,
-    which XLA lowers natively; eigenvalues ascend as required)."""
-    n = s.shape[0]
-    a = jnp.empty((n, 3, 3), dtype=s.dtype)
-    a = a.at[:, 0, 0].set(s[:, 0])
-    a = a.at[:, 1, 1].set(s[:, 1])
-    a = a.at[:, 2, 2].set(s[:, 2])
-    a = a.at[:, 0, 1].set(s[:, 3])
-    a = a.at[:, 1, 0].set(s[:, 3])
-    a = a.at[:, 0, 2].set(s[:, 4])
-    a = a.at[:, 2, 0].set(s[:, 4])
-    a = a.at[:, 1, 2].set(s[:, 5])
-    a = a.at[:, 2, 1].set(s[:, 5])
-    p, v = jnp.linalg.eigh(a)
+    """3D principal stresses and directions via the branch-free analytic
+    symmetric eigensolver (rheology.cxx:13-70 uses Kopp's dsyevh3; eig3.py
+    is the TPU-native equivalent — jnp.linalg.eigh lowers to an iterative
+    QR custom call that neither tiles nor fuses).  Eigenvalues ascend."""
+    from .eig3 import eigh3_c
+
+    (l0, l1, l2), (v0, v1, v2) = eigh3_c(
+        s[:, 0], s[:, 1], s[:, 2], s[:, 3], s[:, 4], s[:, 5])
+    p = jnp.stack([l0, l1, l2], axis=1)
+    # v[:, comp, k] = component `comp` of eigenvector k (eigh convention)
+    v = jnp.stack([jnp.stack(vk, axis=1) for vk in (v0, v1, v2)], axis=2)
     return p, v
 
 
