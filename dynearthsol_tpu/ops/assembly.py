@@ -64,7 +64,7 @@ def make_asm(ctx):
     grid, gather-based on one device otherwise, scatter+psum inside
     shard_map (ctx.axis set)."""
     if ctx.axis is None:
-        if ctx.sgrid is not None:
+        if ctx.sgrid is not None and len(ctx.sgrid) == 2:
             from .structured import scatter_corners_2d
 
             nx, nz = ctx.sgrid

@@ -41,12 +41,98 @@ def elastic(bulkm, shearm, de, s, dpp=None):
                          (de[:, 0], de[:, 1], de[:, 2]),
                          (s[:, 0], s[:, 1], s[:, 2]), dpp)
         return jnp.stack(out, axis=1)
+    out = elastic3_c(bulkm, shearm, tuple(de[:, i] for i in range(6)),
+                     tuple(s[:, i] for i in range(6)), dpp)
+    return jnp.stack(out, axis=1)
+
+
+def elastic3_c(bulkm, shearm, de, s, dpp=None):
+    """Componentwise 3D incremental elasticity (rheology.cxx:235-261).
+    de/s are 6-tuples (xx, yy, zz, xy, xz, yz) of same-shape arrays."""
     lam = bulkm - 2.0 / 3.0 * shearm
-    dev = trace(de)
-    diag_inc = lam * dev + (0.0 if dpp is None else dpp)
-    inc = 2.0 * shearm[:, None] * de
-    inc = inc.at[:, :ndims].add(diag_inc[:, None])
-    return s + inc
+    diag_inc = lam * (de[0] + de[1] + de[2]) \
+        + (0.0 if dpp is None else dpp)
+    return (s[0] + 2.0 * shearm * de[0] + diag_inc,
+            s[1] + 2.0 * shearm * de[1] + diag_inc,
+            s[2] + 2.0 * shearm * de[2] + diag_inc,
+            s[3] + 2.0 * shearm * de[3],
+            s[4] + 2.0 * shearm * de[4],
+            s[5] + 2.0 * shearm * de[5])
+
+
+def maxwell3_c(bulkm, shearm, viscosity, dt, dv, de, s):
+    """Componentwise 3D Maxwell viscoelasticity (rheology.cxx:264-281)."""
+    tmp = 0.5 * dt * shearm / viscosity
+    f1 = 1.0 - tmp
+    f2 = 1.0 / (1.0 + tmp)
+    dev = (de[0] + de[1] + de[2]) / 3.0
+    s0 = (s[0] + s[1] + s[2]) / 3.0
+    bdv = bulkm * dv
+    iso = tuple(((s[i] - s0) * f1 + 2.0 * shearm * (de[i] - dev)) * f2
+                + s0 + bdv for i in range(3))
+    dev_c = tuple((s[i] * f1 + 2.0 * shearm * de[i]) * f2
+                  for i in range(3, 6))
+    return iso + dev_c
+
+
+def viscous3_c(bulkm, viscosity, total_dv, edot):
+    """Componentwise 3D viscous flow (rheology.cxx:284-296)."""
+    dev = (edot[0] + edot[1] + edot[2]) / 3.0
+    return tuple(2.0 * viscosity * (edot[i] - dev) + bulkm * total_dv
+                 for i in range(3)) \
+        + tuple(2.0 * viscosity * edot[i] for i in range(3, 6))
+
+
+def elasto_plastic3_c(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+                      de, s, dpp=None):
+    """Componentwise 3D Mohr-Coulomb return map in principal axes
+    (rheology.cxx:298-457) using the branch-free analytic eigensolver
+    (eig3.py; the reference uses dsyevh3).  de/s are 6-tuples.
+    Returns (s_new 6-tuple, depls, failure_mode)."""
+    from .eig3 import eigh3_c
+
+    st = elastic3_c(bulkm, shearm, de, s, dpp)
+    (pmin, pmid, pmax), (v0, v1, v2) = eigh3_c(*st)
+
+    a1 = bulkm + 4.0 / 3.0 * shearm
+    a2 = bulkm - 2.0 / 3.0 * shearm
+
+    fs = pmin - pmax * anphi + amc
+    ft = pmax - ten_max
+    no_fail = (fs > 0.0) & (ft < 0.0)
+
+    pa = jnp.sqrt(1.0 + anphi * anphi) + anphi
+    ps = ten_max * anphi - amc
+    h = pmax - ten_max + pa * (pmin - ps)
+    shear_fail = h < 0.0
+
+    alam_s = fs / (a1 - a2 * anpsi + a1 * anphi * anpsi - a2 * anphi
+                   + 2.0 * jnp.sqrt(anphi) * hardn)
+    alam_t = ft / a1
+    alam = jnp.where(shear_fail, alam_s, alam_t)
+
+    dpls_shear = jnp.abs(alam) * jnp.sqrt((7.0 + 4.0 * anpsi
+                                           + 7.0 * anpsi * anpsi) / 18.0)
+    dpls_tens = jnp.abs(alam) * jnp.sqrt(7.0 / 18.0)
+    depls = jnp.where(no_fail, 0.0,
+                      jnp.where(shear_fail, dpls_shear, dpls_tens))
+
+    d_min = jnp.where(shear_fail, alam * (a1 - a2 * anpsi), alam * a2)
+    d_mid = jnp.where(shear_fail, alam * (a2 - a2 * anpsi), alam * a2)
+    d_max = jnp.where(shear_fail, alam * (a2 - a1 * anpsi), alam * a1)
+    p_new = (pmin - d_min, pmid - d_mid, pmax - d_max)
+
+    # rotate back: ss_ab = sum_k p_k v_k[a] v_k[b]
+    vs = (v0, v1, v2)
+
+    def rec(a, b):
+        return sum(p_new[k] * vs[k][a] * vs[k][b] for k in range(3))
+
+    ret = (rec(0, 0), rec(1, 1), rec(2, 2), rec(0, 1), rec(0, 2),
+           rec(1, 2))
+    s_new = tuple(jnp.where(no_fail, t, r) for t, r in zip(st, ret))
+    failure_mode = jnp.where(no_fail, 0, jnp.where(shear_fail, 10, 1))
+    return s_new, depls, failure_mode
 
 
 def maxwell2_c(bulkm, shearm, viscosity, dt, dv, de, s):
@@ -72,17 +158,10 @@ def maxwell(bulkm, shearm, viscosity, dt, dv, de, s):
                          (de[:, 0], de[:, 1], de[:, 2]),
                          (s[:, 0], s[:, 1], s[:, 2]))
         return jnp.stack(out, axis=1)
-    tmp = 0.5 * dt * shearm / viscosity
-    f1 = 1.0 - tmp
-    f2 = 1.0 / (1.0 + tmp)
-    dev = trace(de) / ndims
-    s0 = trace(s) / ndims
-    out_iso = ((s[:, :ndims] - s0[:, None]) * f1[:, None]
-               + 2.0 * shearm[:, None] * (de[:, :ndims] - dev[:, None])
-               ) * f2[:, None] + s0[:, None] + (bulkm * dv)[:, None]
-    out_dev = (s[:, ndims:] * f1[:, None]
-               + 2.0 * shearm[:, None] * de[:, ndims:]) * f2[:, None]
-    return jnp.concatenate([out_iso, out_dev], axis=1)
+    out = maxwell3_c(bulkm, shearm, viscosity, dt, dv,
+                     tuple(de[:, i] for i in range(6)),
+                     tuple(s[:, i] for i in range(6)))
+    return jnp.stack(out, axis=1)
 
 
 def viscous2_c(bulkm, viscosity, total_dv, edot):
@@ -101,11 +180,9 @@ def viscous(bulkm, viscosity, total_dv, edot, s):
         out = viscous2_c(bulkm, viscosity, total_dv,
                          (edot[:, 0], edot[:, 1], edot[:, 2]))
         return jnp.stack(out, axis=1)
-    dev = trace(edot) / ndims
-    out_iso = (2.0 * viscosity[:, None] * (edot[:, :ndims] - dev[:, None])
-               + (bulkm * total_dv)[:, None])
-    out_dev = 2.0 * viscosity[:, None] * edot[:, ndims:]
-    return jnp.concatenate([out_iso, out_dev], axis=1)
+    out = viscous3_c(bulkm, viscosity, total_dv,
+                     tuple(edot[:, i] for i in range(6)))
+    return jnp.stack(out, axis=1)
 
 
 def principal_stresses2(s):
@@ -148,18 +225,20 @@ def elasto_plastic(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
     """
     nstr = s.shape[-1]
     ndims = 2 if nstr == 3 else 3
+    if ndims == 3:
+        out, depls, fmode = elasto_plastic3_c(
+            bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+            tuple(de[:, i] for i in range(6)),
+            tuple(s[:, i] for i in range(6)), dpp)
+        return jnp.stack(out, axis=1), depls, fmode
+
     s_trial = elastic(bulkm, shearm, de, s, dpp)
 
     a1 = bulkm + 4.0 / 3.0 * shearm
     a2 = bulkm - 2.0 / 3.0 * shearm
 
-    if ndims == 2:
-        p0, p1, cos2t, sin2t = principal_stresses2(s_trial)
-        pmin, pmax = p0, p1
-    else:
-        p, v = principal_stresses3(s_trial)
-        p0, p1_mid, p2 = p[:, 0], p[:, 1], p[:, 2]
-        pmin, pmax = p0, p2
+    p0, p1, cos2t, sin2t = principal_stresses2(s_trial)
+    pmin, pmax = p0, p1
 
     fs = pmin - pmax * anphi + amc
     ft = pmax - ten_max
@@ -175,14 +254,9 @@ def elasto_plastic(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
     alam_t = ft / a1
     alam = jnp.where(shear_fail, alam_s, alam_t)
 
-    if ndims == 2:
-        dpls_shear = jnp.abs(alam) * jnp.sqrt((3.0 + 2.0 * anpsi
-                                               + 3.0 * anpsi * anpsi) / 8.0)
-        dpls_tens = jnp.abs(alam) * jnp.sqrt(3.0 / 8.0)
-    else:
-        dpls_shear = jnp.abs(alam) * jnp.sqrt((7.0 + 4.0 * anpsi
-                                               + 7.0 * anpsi * anpsi) / 18.0)
-        dpls_tens = jnp.abs(alam) * jnp.sqrt(7.0 / 18.0)
+    dpls_shear = jnp.abs(alam) * jnp.sqrt((3.0 + 2.0 * anpsi
+                                           + 3.0 * anpsi * anpsi) / 8.0)
+    dpls_tens = jnp.abs(alam) * jnp.sqrt(3.0 / 8.0)
     depls = jnp.where(no_fail, 0.0,
                       jnp.where(shear_fail, dpls_shear, dpls_tens))
 
@@ -191,18 +265,11 @@ def elasto_plastic(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
     pmin_new = pmin - d_min
     pmax_new = pmax - d_max
 
-    if ndims == 2:
-        dc2 = (pmin_new - pmax_new) * cos2t
-        dss = pmin_new + pmax_new
-        s_ret = jnp.stack([0.5 * (dss + dc2),
-                           0.5 * (dss - dc2),
-                           0.5 * (pmin_new - pmax_new) * sin2t], axis=1)
-    else:
-        d_mid = jnp.where(shear_fail, alam * (a2 - a2 * anpsi), alam * a2)
-        p_new = jnp.stack([pmin_new, p1_mid - d_mid, pmax_new], axis=1)
-        ss = jnp.einsum("nik,njk,nk->nij", v, v, p_new)
-        s_ret = jnp.stack([ss[:, 0, 0], ss[:, 1, 1], ss[:, 2, 2],
-                           ss[:, 0, 1], ss[:, 0, 2], ss[:, 1, 2]], axis=1)
+    dc2 = (pmin_new - pmax_new) * cos2t
+    dss = pmin_new + pmax_new
+    s_ret = jnp.stack([0.5 * (dss + dc2),
+                       0.5 * (dss - dc2),
+                       0.5 * (pmin_new - pmax_new) * sin2t], axis=1)
 
     s_new = jnp.where(no_fail[:, None], s_trial, s_ret)
     failure_mode = jnp.where(no_fail, 0, jnp.where(shear_fail, 10, 1))

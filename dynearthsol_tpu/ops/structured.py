@@ -114,10 +114,83 @@ def scatter_corners_2d(contrib: jnp.ndarray, nx: int, nz: int
     return out[:, 0] if squeeze else out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def tet_tables():
+    """Post-orientation slot->cell-corner tables for the two parities of
+    the 5-tet cell decomposition (generate.regular_grid_3d + _orient_3d).
+    Cell corner id = a*4 + b*2 + d for offsets (a, b, d) in x/y/z.
+    Returns (even_table, odd_table), each a tuple of 5 4-tuples."""
+    corners = np.array([[a, b, d] for a in (0, 1) for b in (0, 1)
+                        for d in (0, 1)], dtype=float)
+    even = [(0, 1, 2, 4), (1, 2, 3, 7), (1, 4, 5, 7), (2, 4, 6, 7),
+            (1, 2, 4, 7)]
+    odd = [(0, 1, 3, 5), (0, 2, 3, 6), (0, 4, 5, 6), (3, 5, 6, 7),
+           (0, 3, 5, 6)]
+    out = []
+    for tets in (even, odd):
+        tt = []
+        for t in tets:
+            t = list(t)
+            d1 = corners[t[1]] - corners[t[0]]
+            d2 = corners[t[2]] - corners[t[0]]
+            d3 = corners[t[3]] - corners[t[0]]
+            if np.dot(d1, np.cross(d2, d3)) < 0:
+                t[2], t[3] = t[3], t[2]
+            tt.append(tuple(t))
+        out.append(tuple(tt))
+    return tuple(out)
+
+
+def structured_conn_3d(nx: int, ny: int, nz: int) -> np.ndarray:
+    """Reconstruct the raster connectivity of generate.regular_grid_3d
+    (after orientation) for an (nx, ny, nz) node grid."""
+    nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
+    i, j, k = np.meshgrid(np.arange(nxc), np.arange(nyc), np.arange(nzc),
+                          indexing="ij")
+    cn = np.stack([((i + a) * ny + (j + b)) * nz + (k + d)
+                   for a in (0, 1) for b in (0, 1) for d in (0, 1)])
+    P = (i + j + k) % 2 == 0
+    even_t, odd_t = tet_tables()
+    conn = np.empty((nxc, nyc, nzc, 5, 4), dtype=np.int32)
+    for t in range(5):
+        for s in range(4):
+            conn[..., t, s] = np.where(P, cn[even_t[t][s]],
+                                       cn[odd_t[t][s]])
+    return conn.reshape(-1, 4)
+
+
+def detect_structured_3d(conn: np.ndarray, nnode: int) -> tuple | None:
+    """Return (nx, ny, nz) if ``conn`` is exactly the raster 5-tet
+    structured pattern, else None."""
+    nelem = conn.shape[0]
+    if conn.shape[1] != 4 or nelem % 5:
+        return None
+    ncell = nelem // 5
+    for nx in range(2, int(nnode ** (1 / 3)) + 2):
+        if nnode % nx:
+            continue
+        rem = nnode // nx
+        for ny in range(2, rem):
+            if rem % ny:
+                continue
+            nz = rem // ny
+            for dims in {(nx, ny, nz), (ny, nz, nx), (nz, nx, ny),
+                         (nx, nz, ny), (ny, nx, nz), (nz, ny, nx)}:
+                a, b, c = dims
+                if (a - 1) * (b - 1) * (c - 1) != ncell:
+                    continue
+                if np.array_equal(conn, structured_conn_3d(a, b, c)):
+                    return dims
+    return None
+
+
 def make_corner_gather(ctx):
     """Closure nodal -> (nelem, npe[, k]) corner slots for a StepCtx:
     stencil when the mesh is structured, index gather otherwise."""
-    if ctx.sgrid is not None and ctx.axis is None:
+    if ctx.sgrid is not None and len(ctx.sgrid) == 2 and ctx.axis is None:
         nx, nz = ctx.sgrid
         return lambda nodal: gather_corners_2d(nodal, nx, nz)
     return lambda nodal: nodal[ctx.conn]

@@ -539,13 +539,14 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
 
 
 def _detect_sgrid(topo) -> Optional[tuple]:
-    """(nx, nz) when the mesh is the raster structured grid (stencil fast
-    path, ops/structured.py); None otherwise (e.g. after any remesh)."""
-    if topo.ndims != 2:
-        return None
-    from .ops.structured import detect_structured_2d
+    """(nx, nz) / (nx, ny, nz) when the mesh is the raster structured grid
+    (stencil fast path, ops/structured.py and ops/grid2d.py/grid3d.py);
+    None otherwise (e.g. after any remesh)."""
+    from .ops.structured import detect_structured_2d, detect_structured_3d
 
-    return detect_structured_2d(topo.connectivity, topo.nnode)
+    if topo.ndims == 2:
+        return detect_structured_2d(topo.connectivity, topo.nnode)
+    return detect_structured_3d(topo.connectivity, topo.nnode)
 
 
 class Simulation:
@@ -972,25 +973,32 @@ class Simulation:
     # ---- stepping ----
     def _chunk_fn(self, n: int):
         if n not in self._chunk_fns:
-            from .ops import grid2d
+            from .ops import grid2d, grid3d
 
             step = self._step_fn
+            gridmod = None
             if grid2d.grid_step_applicable(self.param, self.ctx):
+                gridmod = grid2d
+            elif grid3d.grid_step_applicable(self.param, self.ctx):
+                gridmod = grid3d
+            if gridmod is not None:
                 # structured-grid plane step (TPU production path): element
                 # state converts to SoA planes once per chunk, not per step
-                gstep = grid2d.make_grid_step(self.param, self.ctx,
-                                              self.compensation_pressure)
-                nx, nz = self.ctx.sgrid
+                gstep = gridmod.make_grid_step(self.param, self.ctx,
+                                               self.compensation_pressure)
+                dims = self.ctx.sgrid
+                to_grid, from_grid = gridmod.state_to_grid, \
+                    gridmod.grid_to_state
 
                 @jax.jit
                 def run_chunk(ctx, state):
-                    g = grid2d.state_to_grid(state, nx, nz)
+                    g = to_grid(state, *dims)
 
                     def body(s, _):
                         return gstep(ctx, s), None
 
                     g, _ = jax.lax.scan(body, g, length=n)
-                    return grid2d.grid_to_state(g, nx, nz)
+                    return from_grid(g, *dims)
             else:
                 @jax.jit
                 def run_chunk(ctx, state):

@@ -132,3 +132,63 @@ def test_grid_step_matches_generic_f64():
         # 1e-8: dpressure is a difference of large stresses, so sum-order
         # roundoff (the asm orderings differ) amplifies through cancellation
         assert np.abs(a - b).max() / scale < 1e-8, f
+
+
+def _sim3d(dtype="float64"):
+    param = des.param_from_dict({
+        "sim": {"ndims": 3, "float_dtype": dtype},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 10e3, "ylength": 8e3, "zlength": 5e3,
+                 "resolution": 10e3 / 8,
+                 "quality_check_step_interval": 10**8},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "has_thermal_diffusion": True},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": -1e-9,
+               "vbc_x1": 1, "vbc_val_x1": 1e-9},
+        "mat": {"rheology_type": "elasto-visco-plastic",
+                "is_plane_strain": False,
+                "rho0": [2800.0], "bulk_modulus": [50e9],
+                "shear_modulus": [30e9],
+                "visc_max": 1e24, "visc_min": 1e19},
+    })
+    return des.Simulation(param)
+
+
+def test_grid3d_step_matches_generic():
+    """3D plane step (ops/grid3d.py) vs the generic step: exact single-step
+    parity, and 50-step agreement within f64 roundoff amplification."""
+    import dynearthsol_tpu.ops.grid3d as grid3d
+    from dynearthsol_tpu.simulation import make_step_fn
+
+    sim = _sim3d()
+    assert sim.ctx.sgrid == (9, 7, 5)
+    assert grid3d.grid_step_applicable(sim.param, sim.ctx)
+    nx, ny, nz = sim.ctx.sgrid
+
+    gstep = grid3d.make_grid_step(sim.param, sim.ctx,
+                                  sim.compensation_pressure)
+    g1 = jax.jit(gstep)(sim.ctx, grid3d.state_to_grid(sim.state,
+                                                      nx, ny, nz))
+    s_grid = grid3d.grid_to_state(g1, nx, ny, nz)
+    s_ref = jax.jit(make_step_fn(sim.param, sim.compensation_pressure))(
+        sim.ctx, sim.state)
+    for f in ["coord", "vel", "stress", "strain", "strain_rate",
+              "temperature", "plstrain", "viscosity", "dpressure",
+              "volume", "volume_n", "mass", "tmass", "hmass", "ymass",
+              "force", "edvoldt", "dt"]:
+        a = np.asarray(getattr(s_grid, f))
+        b = np.asarray(getattr(s_ref, f))
+        scale = max(float(np.abs(b).max()), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-12, f
+
+    sim1 = _sim3d()
+    sim1.run_steps(50, chunk=25)
+    sim2 = _sim3d()
+    sim2.ctx = dataclasses.replace(sim2.ctx, sgrid=None)
+    sim2.run_steps(50, chunk=25)
+    for f in ["coord", "vel", "stress", "strain", "temperature",
+              "plstrain", "volume", "mass", "dt", "time"]:
+        a = np.asarray(getattr(sim1.state, f))
+        b = np.asarray(getattr(sim2.state, f))
+        scale = max(float(np.abs(b).max()), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-6, f
