@@ -39,26 +39,29 @@ E_TENSORS = ("stress", "strain", "strain_rate", "stress_avg", "strain_avg0")
 
 @functools.lru_cache(maxsize=None)
 def _parity3(nx: int, ny: int, nz: int):
-    i = np.arange(nx - 1)[:, None, None]
+    k = np.arange(nz - 1)[:, None, None]
     j = np.arange(ny - 1)[None, :, None]
-    k = np.arange(nz - 1)[None, None, :]
-    return jnp.asarray((i + j + k) % 2 == 0)  # (nxc, nyc, nzc)
+    i = np.arange(nx - 1)[None, None, :]
+    return jnp.asarray((i + j + k) % 2 == 0)  # (nzc, nyc, nxc), x-minor
 
 
 def state_to_grid(s, nx: int, ny: int, nz: int):
     nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
 
-    def e2p(a):  # (nelem,) -> (5, nxc, nyc, nzc)
-        return a.reshape(nxc, nyc, nzc, 5).transpose(3, 0, 1, 2)
+    # planes are stored x-minor — (5, nzc, nyc, nxc) — so the (8,128)
+    # tile pads the (usually largest) x extent instead of the shallow
+    # vertical axis (a z-minor (..., nzc=32) plane wastes 4x of every pass)
+    def e2p(a):  # (nelem,) -> (5, nzc, nyc, nxc)
+        return a.reshape(nxc, nyc, nzc, 5).transpose(3, 2, 1, 0)
 
-    def t2p(a):  # (nelem, 6) -> (6, 5, nxc, nyc, nzc)
+    def t2p(a):  # (nelem, 6) -> (6, 5, nzc, nyc, nxc)
         return a.reshape(nxc, nyc, nzc, 5, a.shape[1]) \
-            .transpose(4, 3, 0, 1, 2)
+            .transpose(4, 3, 2, 1, 0)
 
     upd = {f: e2p(getattr(s, f)) for f in E_SCALARS}
     upd.update({f: t2p(getattr(s, f)) for f in E_TENSORS})
     upd["emw"] = s.emw.reshape(nxc, nyc, nzc, 5, s.emw.shape[1]) \
-        .transpose(3, 0, 1, 2, 4)
+        .transpose(3, 2, 1, 0, 4)
     return dataclasses.replace(s, **upd)
 
 
@@ -66,15 +69,15 @@ def grid_to_state(g, nx: int, ny: int, nz: int):
     nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
     nelem = nxc * nyc * nzc * 5
 
-    def p2e(p):
-        return p.transpose(1, 2, 3, 0).reshape(nelem)
+    def p2e(p):  # (5, nzc, nyc, nxc) -> (nelem,)
+        return p.transpose(3, 2, 1, 0).reshape(nelem)
 
-    def p2t(p):
-        return p.transpose(2, 3, 4, 1, 0).reshape(nelem, p.shape[0])
+    def p2t(p):  # (6, 5, nzc, nyc, nxc) -> (nelem, 6)
+        return p.transpose(4, 3, 2, 1, 0).reshape(nelem, p.shape[0])
 
     upd = {f: p2e(getattr(g, f)) for f in E_SCALARS}
     upd.update({f: p2t(getattr(g, f)) for f in E_TENSORS})
-    upd["emw"] = g.emw.transpose(1, 2, 3, 0, 4).reshape(nelem,
+    upd["emw"] = g.emw.transpose(3, 2, 1, 0, 4).reshape(nelem,
                                                         g.emw.shape[4])
     return dataclasses.replace(g, **upd)
 
@@ -109,13 +112,14 @@ def make_grid_step(param: Param, ctx, compensation_pressure: float = 0.0):
     npe = 4.0
 
     def _views(g):
-        """8 shifted cell-corner views of a node grid (nx, ny, nz)."""
-        return [g[a:a + nxc, b:b + nyc, d:d + nzc]
+        """8 shifted cell-corner views of an x-minor node grid
+        (nz, ny, nx); corner code = a*4 + b*2 + d for x/y/z offsets."""
+        return [g[d:d + nzc, b:b + nyc, a:a + nxc]
                 for a in (0, 1) for b in (0, 1) for d in (0, 1)]
 
     def gather(nodal):
-        """(nnode,) -> 4 slot planes, each (5, nxc, nyc, nzc)."""
-        c = _views(nodal.reshape(nx, ny, nz))
+        """(nnode,) -> 4 slot planes, each (5, nzc, nyc, nxc)."""
+        c = _views(nodal.reshape(nx, ny, nz).transpose(2, 1, 0))
         slots = []
         for s in range(4):
             slots.append(jnp.stack(
@@ -124,8 +128,8 @@ def make_grid_step(param: Param, ctx, compensation_pressure: float = 0.0):
         return tuple(slots)
 
     def _scatter(per_corner):
-        """Add 8 per-corner cell planes into the node grid."""
-        out = jnp.zeros((nx, ny, nz),
+        """Add 8 per-corner cell planes into the (x-minor) node grid."""
+        out = jnp.zeros((nz, ny, nx),
                         dtype=next(v for v in per_corner
                                    if v is not None).dtype)
         code = 0
@@ -134,15 +138,15 @@ def make_grid_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 for d in (0, 1):
                     v = per_corner[code]
                     if v is not None:
-                        out = out.at[a:a + nxc, b:b + nyc,
-                                     d:d + nzc].add(v)
+                        out = out.at[d:d + nzc, b:b + nyc,
+                                     a:a + nxc].add(v)
                     code += 1
-        return out.reshape(nnode)
+        return out.transpose(2, 1, 0).reshape(nnode)
 
     def asm(*cs):
         """Transpose of gather: 4 slot planes -> nodal sums (nnode,)."""
         per_corner = []
-        zero = jnp.zeros((nxc, nyc, nzc), dtype=cs[0].dtype)
+        zero = jnp.zeros((nzc, nyc, nxc), dtype=cs[0].dtype)
         for code in range(8):
             acc_e = zero
             acc_o = zero
@@ -158,7 +162,7 @@ def make_grid_step(param: Param, ctx, compensation_pressure: float = 0.0):
     def asm_equal(v):
         """asm() when all 4 slots carry the same per-element value."""
         per_corner = []
-        zero = jnp.zeros((nxc, nyc, nzc), dtype=v.dtype)
+        zero = jnp.zeros((nzc, nyc, nxc), dtype=v.dtype)
         for code in range(8):
             acc_e = zero
             acc_o = zero
@@ -415,7 +419,7 @@ def make_grid_step(param: Param, ctx, compensation_pressure: float = 0.0):
 
         rho_eff = rho_e
         if ctrl.gravity != 0:
-            rho_flat = rho_eff.transpose(1, 2, 3, 0).reshape(-1)
+            rho_flat = rho_eff.transpose(3, 2, 1, 0).reshape(-1)
             force = bc_mod.apply_stress_bcs(
                 param, ctx.sbc, s.coord, force, rho_flat,
                 compensation_pressure, s.coord0)
