@@ -157,6 +157,8 @@ class Control:
     surf_depo_universal: float = 0.0
     surf_base_level: float = 0.0
     terrig_sediment_diffusivity: float = 3.17e-6
+    terrig_sediment_area: float = 3.17e-7  # m^2/s continental source flux
+    terrig_sediment_volume: float = 1.0    # m^3/s (3D source, input.cxx:365)
     terrig_depth_coefficient: float = 5e-4
     is_reporting_terrigenous_info: bool = False
     hemipelagic_sedimentation_rate: float = 3.17e-11

@@ -124,6 +124,108 @@ def surface_dh_3d(coord, surf: SurfInfo, surf_diff, dt):
     return -conv * surf.top_mask_f
 
 
+def _find_basin(depth, side: int):
+    """First (side 0) / last (side 1) submerged run bounded by land
+    (find_basin, bc.cxx:1389-1436).  depth > 0 = below base level.
+    Returns (b0, b1, found) as traced scalars; indices into the sorted
+    top-node arrays."""
+    n = depth.shape[0]
+    bnd = depth[:-1] * depth[1:]
+    idx = jnp.arange(n - 1)
+    if side == 0:
+        start_mask = (bnd <= 0.0) & (depth[:-1] < 0.0)
+        i0 = jnp.argmax(start_mask)
+        b0 = i0 + 1
+        end_mask = (bnd <= 0.0) & (depth[1:] < 0.0) & (idx >= b0)
+        b1 = jnp.argmax(end_mask)
+        return b0, b1, start_mask.any() & end_mask.any()
+    end_mask = (bnd <= 0.0) & (depth[1:] < 0.0)
+    b1 = n - 2 - jnp.argmax(end_mask[::-1])
+    start_mask = (bnd <= 0.0) & (depth[:-1] < 0.0) & (idx < b1)
+    b0 = n - 2 - jnp.argmax(start_mask[::-1]) + 1
+    return b0, b1, start_mask.any() & end_mask.any()
+
+
+def terrigenous_dh(param, x_top, z_top, dt):
+    """Depth-dependent terrigenous basin-fill sedimentation
+    (terrigenous_deposition + terrigenous_diffusion, bc.cxx:1341-1589),
+    2D only.  Source runs from both sides; each side fills the nearest
+    basin over 10 adaptive sub-cycles.  Returns dh over the sorted top
+    nodes (ntop,)."""
+    ctrl = param.control
+    S0 = ctrl.terrig_sediment_area
+    C0 = ctrl.terrig_sediment_diffusivity
+    C1 = ctrl.terrig_depth_coefficient
+    iters = 10
+    ntop = x_top.shape[0]
+    ar = jnp.arange(ntop)
+    top_depth = ctrl.surf_base_level - z_top
+    xm1 = jnp.roll(x_top, 1)
+    xp1 = jnp.roll(x_top, -1)
+    dxm = jnp.abs(xp1 - xm1) / 2.0  # basin_dx at node m (interior only)
+
+    no_basin_at_all = top_depth.max() * top_depth.min() >= 0.0
+
+    def run_side(side, dh0):
+        def cycle(_, carry):
+            dh_tmp, dt_next = carry
+            depth_tmp = top_depth - dh_tmp
+            b0, b1, found = _find_basin(depth_tmp, side)
+            in_basin = (ar >= b0) & (ar <= b1) & found
+            dt_cycle = jnp.where(dt_next > 0.0, dt_next, dt / iters)
+            area = jnp.where(in_basin,
+                             dxm * (depth_tmp + 1e-2), 0.0).sum()
+            area_ref = S0 * dt_cycle
+            fill = area <= area_ref
+            dt_next_new = jnp.where(
+                found & fill, dt_cycle * (1.0 - area / area_ref), 0.0)
+
+            # segment slopes with the source-side flux BC
+            # (terrigenous_diffusion, bc.cxx:1352-1361)
+            seg = -(depth_tmp[1:] - depth_tmp[:-1]) \
+                / (x_top[1:] - x_top[:-1])  # slope of segment m..m+1
+            idxs = jnp.arange(ntop - 1)
+            if side == 0:
+                seg = jnp.where(idxs == b0 - 1, -S0 / C0, seg)
+            else:
+                seg = jnp.where(idxs == b1, S0 / C0, seg)
+            # dh[m] = dt C0 exp(-C1 depth[m]) (seg[m] - seg[m-1]) / dx[m]
+            # (seg[k] = slope of segment k..k+1; interior nodes only —
+            # the basin bounds guarantee 1 <= b0 <= b1 <= ntop-2)
+            dslope = jnp.zeros(ntop, dtype=x_top.dtype) \
+                .at[1:-1].set(seg[1:] - seg[:-1])
+            dh_d = dt_cycle * C0 * jnp.exp(-C1 * depth_tmp) \
+                * dslope / jnp.where(dxm != 0, dxm, 1.0)
+            # multi-node basin: zero the far-end node (bc.cxx:1367-1372)
+            far = b1 if side == 0 else b0
+            dh_d = jnp.where((ar == far) & (b1 > b0), 0.0, dh_d)
+            dh_d = jnp.clip(dh_d, 0.0, None)
+            dh_d = jnp.where(dh_d > depth_tmp, depth_tmp + 1e-2, dh_d)
+            dh_b = jnp.where(fill, depth_tmp + 1e-2, dh_d)
+            return dh_tmp + jnp.where(in_basin, dh_b, 0.0), dt_next_new
+
+        out, _ = jax.lax.fori_loop(0, iters, cycle,
+                                   (dh0, jnp.zeros((), x_top.dtype)))
+        return out
+
+    dh = run_side(0, jnp.zeros_like(x_top))
+    dh = run_side(1, dh)
+    return jnp.where(no_basin_at_all, 0.0, dh)
+
+
+def hemipelagic_dh(param, z_top, dt):
+    """Hemipelagic + pelagic sedimentation, Emmerich et al. 2009
+    (hemipelagic_deposition, bc.cxx:1438-1474).  Returns dh (ntop,)."""
+    ctrl = param.control
+    depth = ctrl.surf_base_level - z_top
+    dhi = (ctrl.hemipelagic_sedimentation_rate * dt
+           * jnp.exp(-((depth - ctrl.hemipelagic_max_depth)
+                       / ctrl.hemipelagic_width) ** 2)
+           + ctrl.pelagic_sedimentation_rate * dt
+           * (1.0 - jnp.exp(-(depth / ctrl.pelagic_increasing_width) ** 2)))
+    return jnp.where(depth > 0.0, dhi, 0.0)
+
+
 def apply_surface_processes(param, surf: SurfInfo, coord, dt, dhacc,
                             edvacc_surf):
     """One step of surface processes (surface_processes, bc.cxx:1667-1831).
@@ -144,6 +246,20 @@ def apply_surface_processes(param, surf: SurfInfo, coord, dt, dhacc,
             dh = surface_dh_3d(coord, surf, ctrl.surface_diffusivity, dt)
     else:
         dh = jnp.zeros(coord.shape[0], dtype=coord.dtype)
+
+    if opt == 102 and ndims == 2:
+        # diffusion + terrigenous basin fill + hemi/pelagic rain
+        # (surface_processes case 102, bc.cxx:1810-1822); top_nodes are
+        # x-sorted so the basin scan is well-defined
+        # the reference computes both from the PRE-diffusion coordinates
+        # (dh is only applied to coord after all contributions accumulate)
+        x_top = coord[surf.top_nodes, 0]
+        z_top = coord[surf.top_nodes, 1]
+        dh_top = terrigenous_dh(param, x_top, z_top, dt)
+        if (ctrl.hemipelagic_sedimentation_rate > 0.0
+                or ctrl.pelagic_sedimentation_rate > 0.0):
+            dh_top = dh_top + hemipelagic_dh(param, z_top, dt)
+        dh = dh.at[surf.top_nodes].add(dh_top)
 
     coord2 = coord.at[:, ndims - 1].add(dh)
     dhacc2 = dhacc + dh

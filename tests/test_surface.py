@@ -145,3 +145,42 @@ def test_surface_3d_diffusion_runs():
     sim.run_steps(10, chunk=10)
     assert np.isfinite(np.asarray(sim.state.coord)).all()
     assert np.isfinite(np.asarray(sim.state.dhacc)).all()
+
+
+def test_terrigenous_basin_fill():
+    """Terrigenous deposition (bc.cxx:1341-1589): sediment fills a
+    submerged basin from both side sources, deposition is non-negative,
+    stays inside the basin, and never exceeds the accommodation depth."""
+    import jax.numpy as jnp
+
+    import dynearthsol_tpu as des
+    from dynearthsol_tpu.ops.surface import hemipelagic_dh, terrigenous_dh
+
+    param = des.param_from_dict({
+        "sim": {"ndims": 2},
+        "mesh": {"meshing_option": 1, "xlength": 10e3, "zlength": 5e3,
+                 "resolution": 500.0},
+        "control": {"surface_process_option": 102,
+                    "surf_base_level": 0.0,
+                    "terrig_sediment_area": 3.17e-5,
+                    "terrig_sediment_diffusivity": 3.17e-6},
+        "mat": {"rho0": [2800.0]},
+    })
+    n = 21
+    x = jnp.linspace(0.0, 10e3, n)
+    # topography: land at both ends, a 100 m deep basin in the middle
+    z = -100.0 * jnp.exp(-((x - 5e3) / 1.5e3) ** 2) + 10.0
+    dt = 1e10
+    dh = np.asarray(terrigenous_dh(param, x, z, dt))
+    depth = np.asarray(-z)  # base level 0
+    assert (dh >= 0.0).all()
+    assert dh[depth > 0].sum() > 0.0, "basin should receive sediment"
+    assert (dh[depth <= 0] == 0.0).all(), "no deposition on land"
+    filled = dh > 0
+    assert (dh[filled] <= depth[filled] + 2e-2).all(), \
+        "cannot overfill the basin"
+
+    dhh = np.asarray(hemipelagic_dh(param, z, dt))
+    assert (dhh >= 0.0).all()
+    assert (dhh[depth <= 0] == 0.0).all()
+    assert dhh[depth > 0].max() > 0.0
