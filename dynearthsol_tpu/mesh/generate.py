@@ -220,6 +220,128 @@ def unstructured_box_3d(xlength: float, ylength: float, zlength: float,
     return MeshData(3, coord, _orient_3d(coord, conn))
 
 
+def _spacing_fn(refined_lo, refined_hi, res, res_max, grade=0.3):
+    """Target node spacing h(p): `res` inside the refined box, growing at
+    slope `grade` with distance to it, capped at res_max (the functional
+    contract of new_mesh_refined_zone + Triangle's max-area grading,
+    mesh.cxx:1618-1846)."""
+    lo = np.asarray(refined_lo)
+    hi = np.asarray(refined_hi)
+
+    def h(p):
+        d = np.maximum(np.maximum(lo - p, p - hi), 0.0)
+        dist = np.sqrt((d * d).sum(axis=-1))
+        return np.minimum(res + grade * dist, res_max)
+
+    return h
+
+
+def _graded_points_1d(lo, hi, h, coords_fn):
+    """Walk [lo, hi] with spacing h(position); always ends exactly at hi."""
+    pts = [lo]
+    while pts[-1] < hi:
+        pts.append(pts[-1] + h(coords_fn(pts[-1])))
+    pts = np.asarray(pts)
+    return lo + (pts - lo) * (hi - lo) / (pts[-1] - lo)
+
+
+def refined_zone_box_2d(param) -> MeshData:
+    """Refined-zone box (meshing_option 2, mesh.cxx:1618-1846): node
+    spacing = resolution inside the refined sub-box, graded up to
+    resolution*sqrt(largest_size) outside.  Built as a deterministic
+    thinned lattice + Delaunay (no Triangle dependency)."""
+    m = param.mesh
+    Lx, Lz = m.xlength, m.zlength
+    res = m.resolution
+    res_max = res * np.sqrt(m.largest_size)
+    x0, x1 = (np.clip(v, res / Lx, 1 - res / Lx) for v in m.refined_zonex)
+    z0, z1 = (np.clip(v, res / Lz, 1 - res / Lz) for v in m.refined_zonez)
+    # refined box in physical coords (z in [-Lz, 0], zone measured from top)
+    lo = np.array([x0 * Lx, -z1 * Lz])
+    hi = np.array([x1 * Lx, -z0 * Lz])
+    h = _spacing_fn(lo, hi, res, res_max)
+    rng = np.random.default_rng(12345)
+
+    pts = []
+    # boundary: graded 1D walks along the four edges
+    for z in (0.0, -Lz):
+        xs = _graded_points_1d(0.0, Lx, h, lambda x, z=z: np.array([x, z]))
+        pts.extend((x, z) for x in xs)
+    for x in (0.0, Lx):
+        zs = _graded_points_1d(-Lz, 0.0, h, lambda z, x=x: np.array([x, z]))
+        pts.extend((x, z) for z in zs[1:-1])
+    # interior: fine lattice thinned by keep-probability (res/h)^2
+    nx = int(round(Lx / res)) + 1
+    nz = int(round(Lz / res)) + 1
+    xs = np.linspace(0.0, Lx, nx)[1:-1]
+    zs = np.linspace(-Lz, 0.0, nz)[1:-1]
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    P = np.stack([X.ravel(), Z.ravel()], axis=1)
+    keep = rng.random(P.shape[0]) < (res / h(P)) ** 2
+    inner = P[keep]
+    inner = inner + 0.35 * res * (rng.random(inner.shape) - 0.5)
+    # keep interior points away from the graded boundary
+    hmin = np.minimum.reduce([h(inner)])
+    margin = 0.55 * hmin
+    ok = ((inner[:, 0] > margin) & (inner[:, 0] < Lx - margin)
+          & (inner[:, 1] > -Lz + margin) & (inner[:, 1] < -margin))
+    coord = np.concatenate([np.asarray(pts, dtype=np.float64),
+                            inner[ok]], axis=0)
+
+    from scipy.spatial import Delaunay
+
+    tri = Delaunay(coord, qhull_options="Qbb Qc Qz")
+    conn = _drop_degenerate_2d(coord, tri.simplices.astype(np.int32))
+    return MeshData(2, coord, _orient_2d(coord, conn))
+
+
+def refined_zone_box_3d(param) -> MeshData:
+    """3D refined-zone box (mesh.cxx:1618-1846, THREED branch)."""
+    m = param.mesh
+    Lx, Ly, Lz = m.xlength, m.ylength, m.zlength
+    res = m.resolution
+    res_max = res * m.largest_size ** (1.0 / 3.0)
+    x0, x1 = (np.clip(v, res / Lx, 1 - res / Lx) for v in m.refined_zonex)
+    y0, y1 = (np.clip(v, res / Ly, 1 - res / Ly) for v in m.refined_zoney)
+    z0, z1 = (np.clip(v, res / Lz, 1 - res / Lz) for v in m.refined_zonez)
+    lo = np.array([x0 * Lx, y0 * Ly, -z1 * Lz])
+    hi = np.array([x1 * Lx, y1 * Ly, -z0 * Lz])
+    h = _spacing_fn(lo, hi, res, res_max)
+    rng = np.random.default_rng(12345)
+
+    nx = int(round(Lx / res)) + 1
+    ny = int(round(Ly / res)) + 1
+    nz = int(round(Lz / res)) + 1
+    xs = np.linspace(0.0, Lx, nx)
+    ys = np.linspace(0.0, Ly, ny)
+    zs = np.linspace(-Lz, 0.0, nz)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    P = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+    on_bnd = ((P[:, 0] == 0) | (P[:, 0] == Lx) | (P[:, 1] == 0)
+              | (P[:, 1] == Ly) | (P[:, 2] == -Lz) | (P[:, 2] == 0))
+    keep = rng.random(P.shape[0]) < (res / h(P)) ** 3
+    # boundary thinning uses the surface density (res/h)^2
+    keep_b = rng.random(P.shape[0]) < (res / h(P)) ** 2
+    corner = (np.isin(P[:, 0], (0.0, Lx)).astype(int)
+              + np.isin(P[:, 1], (0.0, Ly)).astype(int)
+              + np.isin(P[:, 2], (-Lz, 0.0)).astype(int)) >= 2
+    sel = np.where(on_bnd, keep_b | corner, keep)
+    coord = P[sel].copy()
+    inner = ~on_bnd[sel]
+    coord[inner] += 0.25 * res * (rng.random((inner.sum(), 3)) - 0.5)
+
+    from scipy.spatial import Delaunay
+
+    tet = Delaunay(coord, qhull_options="Qbb Qc Qz")
+    conn = tet.simplices.astype(np.int32)
+    a = coord[conn[:, 0]]
+    vol6 = np.abs(np.einsum(
+        "ij,ij->i", coord[conn[:, 1]] - a,
+        np.cross(coord[conn[:, 2]] - a, coord[conn[:, 3]] - a)))
+    conn = conn[vol6 > 1e-12 * vol6.max()]
+    return MeshData(3, coord, _orient_3d(coord, conn))
+
+
 def create_new_mesh(param) -> MeshData:
     """Dispatch like mesh.cxx:3407-3453 ``create_new_mesh``."""
     m = param.mesh
@@ -227,7 +349,10 @@ def create_new_mesh(param) -> MeshData:
     if m.meshing_option not in (1, 2):
         raise NotImplementedError(
             f"meshing_option {m.meshing_option} not implemented yet "
-            "(supported: 1 uniform box, 2 refined-zone box[=uniform for now])")
+            "(supported: 1 uniform box, 2 refined-zone box)")
+    if m.meshing_option == 2 and m.meshing_elem_shape == 0:
+        return (refined_zone_box_2d(param) if ndims == 2
+                else refined_zone_box_3d(param))
     if ndims == 2:
         if m.meshing_elem_shape == 1:
             return regular_grid_2d(m.xlength, m.zlength, m.resolution)

@@ -56,3 +56,38 @@ def test_broadcast_per_material():
         "mesh": {"resolution": 1.0}})
     assert p.mat.rho0 == [2800.0] * 3
     assert len(p.mat.bulk_modulus) == 3
+
+
+def test_refined_zone_mesh():
+    """meshing_option 2 (mesh.cxx:1618-1846): element size ~resolution^2
+    inside the refined zone, graded up to ~largest_size*resolution^2
+    outside."""
+    import numpy as np
+
+    import dynearthsol_tpu as des
+
+    param = des.param_from_dict({
+        "sim": {"ndims": 2},
+        "mesh": {"meshing_option": 2, "meshing_elem_shape": 0,
+                 "xlength": 100e3, "zlength": 50e3,
+                 "resolution": 2e3, "largest_size": 16.0,
+                 "refined_zonex": [0.4, 0.6],
+                 "refined_zonez": [0.7, 1.0],
+                 "quality_check_step_interval": 10**8},
+        "control": {"gravity": 0.0},
+        "mat": {"rheology_type": "elastic", "rho0": [2800.0],
+                "bulk_modulus": [50e9], "shear_modulus": [30e9]},
+    })
+    sim = des.Simulation(param)
+    vol = np.asarray(sim.state.volume)
+    assert (vol > 0).all()
+    cen = np.asarray(sim.mesh.coord)[sim.topo.connectivity].mean(axis=1)
+    # refined_zonez is measured downward from the surface: [0.7, 1] is the
+    # bottom 30%; refined_zonex [0.4, 0.6] the middle fifth
+    fine = ((cen[:, 0] > 42e3) & (cen[:, 0] < 58e3)
+            & (cen[:, 1] < -37e3))
+    coarse = (cen[:, 1] > -20e3) & ((cen[:, 0] < 20e3)
+                                    | (cen[:, 0] > 80e3))
+    res2 = 2e3 ** 2
+    assert np.median(vol[fine]) < 2.5 * res2
+    assert np.median(vol[coarse]) > 4 * res2
