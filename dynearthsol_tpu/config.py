@@ -576,6 +576,8 @@ def validate(param: Param) -> Param:
 
 
 def load_config(path: str) -> Param:
+    import os
+
     with open(path) as fh:
         text = fh.read()
     param = Param()
@@ -583,7 +585,18 @@ def load_config(path: str) -> Param:
     if unknowns:
         import warnings
         warnings.warn(f"ignoring unknown config options: {', '.join(unknowns)}")
-    return validate(param)
+    param = validate(param)
+    # auxiliary input files are referenced relative to the config file
+    # (the reference is run from the cfg's directory)
+    cfg_dir = os.path.dirname(os.path.abspath(path))
+    for attr_obj, attr in ((param.mesh, "poly_filename"),
+                           (param.ic, "temperature_filename")):
+        fn = getattr(attr_obj, attr, "")
+        if fn and not os.path.isabs(fn) and not os.path.exists(fn):
+            cand = os.path.join(cfg_dir, fn)
+            if os.path.exists(cand):
+                setattr(attr_obj, attr, cand)
+    return param
 
 
 def param_from_dict(d: dict) -> Param:

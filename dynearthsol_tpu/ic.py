@@ -267,19 +267,23 @@ def initial_weak_zone(param, coord: np.ndarray, conn: np.ndarray
     raise NotImplementedError(f"weakzone_option {opt} not yet implemented")
 
 
-def initial_material_weights(param, coord: np.ndarray, conn: np.ndarray
-                             ) -> np.ndarray:
+def initial_material_weights(param, coord: np.ndarray, conn: np.ndarray,
+                             regattr: np.ndarray = None) -> np.ndarray:
     """Element material weights standing in for marker histograms until the
     marker subsystem takes over (ic.cxx mattype layers, ic.cxx:652-713).
 
-    mattype_option 0: depth layers from mattype_layer_depths (fractions of
-    zlength) with materials layer_mattypes.
+    mattype_option 0 with a .poly mesh: per-element regattr from the
+    mesher's regional attributes; otherwise depth layers from
+    mattype_layer_depths (fractions of zlength) with layer_mattypes.
     """
     nmat = param.mat.nmat
     nelem = conn.shape[0]
     emw = np.zeros((nelem, nmat))
     if nmat == 1:
         emw[:, 0] = 1.0
+        return emw
+    if param.ic.mattype_option == 0 and regattr is not None:
+        emw[np.arange(nelem), regattr.astype(int)] = 1.0
         return emw
     ndims = coord.shape[1]
     zc = coord[conn, ndims - 1].mean(axis=1)

@@ -206,7 +206,8 @@ def _mattype_from_depth(param, pts: np.ndarray) -> np.ndarray:
     return mt
 
 
-def create_markers(param, coord: np.ndarray, conn: np.ndarray) -> MarkerSet:
+def create_markers(param, coord: np.ndarray, conn: np.ndarray,
+                   regattr: np.ndarray = None) -> MarkerSet:
     """Initial marker population (markerset.cxx:510-649).
 
     init_marker_option 1: `markers_per_element` random markers per element.
@@ -224,7 +225,12 @@ def create_markers(param, coord: np.ndarray, conn: np.ndarray) -> MarkerSet:
     elems = np.repeat(np.arange(nelem, dtype=np.int32), mpe)
     eta = random_barycentric(nelem * mpe, npe, rng)
     pts = bary_to_coord(coord, conn, elems, eta)
-    mattype = _mattype_from_depth(param, pts)
+    if param.ic.mattype_option == 0 and regattr is not None:
+        # mattype from the mesher's regional attribute
+        # (initial_mattype, markerset.cxx:652-659)
+        mattype = regattr[elems].astype(np.int32)
+    else:
+        mattype = _mattype_from_depth(param, pts)
     ms.append(eta, elems, mattype, time=0.0,
               z=pts[:, ndims - 1], distance=pts[:, 0], slope=0.0)
     return ms

@@ -25,11 +25,14 @@ import numpy as np
 @dataclass
 class MeshData:
     """A simplicial mesh: coords (nnode, ndims) f64, connectivity
-    (nelem, ndims+1) int32, with positively-oriented elements."""
+    (nelem, ndims+1) int32, with positively-oriented elements.
+    ``regattr`` carries per-element regional mattypes for .poly meshes
+    (Triangle regional attributes, mesh.cxx:2577-2621)."""
 
     ndims: int
     coord: np.ndarray
     connectivity: np.ndarray
+    regattr: np.ndarray = None
 
     @property
     def nnode(self) -> int:
@@ -346,10 +349,18 @@ def create_new_mesh(param) -> MeshData:
     """Dispatch like mesh.cxx:3407-3453 ``create_new_mesh``."""
     m = param.mesh
     ndims = param.sim.ndims
+    if m.meshing_option in (90, 91):
+        if ndims != 2:
+            raise NotImplementedError(
+                "3D .poly (TetGen format) meshing not supported; use "
+                "meshing_option 1/2")
+        from .poly import mesh_from_poly_2d
+
+        return mesh_from_poly_2d(param)
     if m.meshing_option not in (1, 2):
         raise NotImplementedError(
             f"meshing_option {m.meshing_option} not implemented yet "
-            "(supported: 1 uniform box, 2 refined-zone box)")
+            "(supported: 1 uniform box, 2 refined-zone box, 90/91 .poly)")
     if m.meshing_option == 2 and m.meshing_elem_shape == 0:
         return (refined_zone_box_2d(param) if ndims == 2
                 else refined_zone_box_3d(param))

@@ -1,0 +1,228 @@
+"""Meshing from Triangle-format .poly files (meshing_option 90/91).
+
+The reference hands the PSLG to Shewchuk's Triangle
+(new_mesh_from_polyfile, mesh.cxx:1848-2230; points_to_new_mesh,
+mesh.cxx:2577-2621) with regional attributes (mattype) and per-region
+max-area constraints.  Here the same contract is met without a native
+mesher: segments are sampled at the local target spacing, a graded
+thinned lattice fills the interior, scipy/Qhull triangulates, and region
+ids (regattr) propagate by flood fill across non-constrained edges from
+the region seed points — segments act as barriers exactly like
+Triangle's regional attributes.
+
+Only 2D .poly is supported (3D poly/TetGen format is a different,
+richer format; the 3D examples use meshing_option 2 instead).
+"""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+
+from .generate import MeshData, _drop_degenerate_2d, _orient_2d
+
+
+def read_poly_2d(path: str):
+    """Parse a 2D Triangle .poly file (format: quake/triangle.poly.html,
+    subset accepted by mesh.cxx:1848-2230).  Returns (points, segments,
+    segflags, regions) where regions rows are (x, z, mattype, size)."""
+    tokens = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                tokens.extend(line.split())
+    it = iter(tokens)
+
+    def nxt(cast=float):
+        return cast(next(it))
+
+    npoints = nxt(int)
+    ndims = nxt(int)
+    nattr = nxt(int)
+    nbdrym = nxt(int)
+    if ndims != 2 or nattr != 0 or nbdrym != 0:
+        raise ValueError(f"unsupported .poly header in {path}")
+    pts = np.zeros((npoints, 2))
+    for i in range(npoints):
+        k = nxt(int)
+        if k != i:
+            raise ValueError(f"{path}: node ids must count from 0")
+        pts[i, 0] = nxt()
+        pts[i, 1] = nxt()
+    nseg = nxt(int)
+    has_flag = nxt(int)
+    segs = np.zeros((nseg, 2), dtype=np.int64)
+    flags = np.zeros(nseg, dtype=np.int64)
+    for i in range(nseg):
+        k = nxt(int)
+        if k != i:
+            raise ValueError(f"{path}: segment ids must count from 0")
+        segs[i, 0] = nxt(int)
+        segs[i, 1] = nxt(int)
+        if has_flag:
+            flags[i] = nxt(int)
+    nholes = nxt(int)
+    if nholes != 0:
+        raise ValueError(f"{path}: holes not supported (must be 0)")
+    nreg = nxt(int)
+    regions = np.zeros((nreg, 4))
+    for i in range(nreg):
+        k = nxt(int)
+        if k != i:
+            raise ValueError(f"{path}: region ids must count from 0")
+        regions[i] = [nxt(), nxt(), nxt(), nxt()]
+    return pts, segs, flags, regions
+
+
+def _sample_segments(pts, segs, h_of_seg):
+    """Split each segment at its target spacing.  Returns (points,
+    sub_edges) where sub_edges index into the returned points."""
+    out_pts = [p for p in pts]
+    index = {i: i for i in range(len(pts))}
+    edges = []
+    for si, (a, b) in enumerate(segs):
+        pa, pb = pts[a], pts[b]
+        length = float(np.hypot(*(pb - pa)))
+        nsub = max(1, int(round(length / h_of_seg[si])))
+        prev = a
+        for k in range(1, nsub):
+            p = pa + (pb - pa) * (k / nsub)
+            out_pts.append(p)
+            cur = len(out_pts) - 1
+            edges.append((prev, cur, si))
+            prev = cur
+        edges.append((prev, b, si))
+    return np.asarray(out_pts), edges
+
+
+def _flood_fill_regions(coord, conn, barrier_edges, seeds):
+    """Assign each triangle the region of the seed it can reach without
+    crossing a barrier (constrained) edge."""
+    from scipy.spatial import Delaunay  # noqa: F401  (doc only)
+
+    edge_tris = collections.defaultdict(list)
+    for t, tri in enumerate(conn):
+        for i in range(3):
+            e = tuple(sorted((tri[i], tri[(i + 1) % 3])))
+            edge_tris[e].append(t)
+    barrier = set(tuple(sorted(e)) for e in barrier_edges)
+
+    regattr = np.full(conn.shape[0], -1, dtype=np.int32)
+    # locate seed triangles
+    cen = coord[conn].mean(axis=1)
+    for rid, (sx, sz) in enumerate(seeds):
+        # barycentric containment test against every triangle (meshes are
+        # small at poly-build time; one-off host cost)
+        a, b, c = coord[conn[:, 0]], coord[conn[:, 1]], coord[conn[:, 2]]
+        det = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+               - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+        w0 = ((b[:, 0] - sx) * (c[:, 1] - sz)
+              - (b[:, 1] - sz) * (c[:, 0] - sx)) / det
+        w1 = ((c[:, 0] - sx) * (a[:, 1] - sz)
+              - (c[:, 1] - sz) * (a[:, 0] - sx)) / det
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= -1e-12) & (w1 >= -1e-12) & (w2 >= -1e-12)
+        if not inside.any():
+            continue
+        t0 = int(np.nonzero(inside)[0][0])
+        # BFS
+        stack = [t0]
+        while stack:
+            t = stack.pop()
+            if regattr[t] != -1:
+                continue
+            regattr[t] = rid
+            for i in range(3):
+                e = tuple(sorted((conn[t, i], conn[t, (i + 1) % 3])))
+                if e in barrier:
+                    continue
+                for t2 in edge_tris[e]:
+                    if regattr[t2] == -1:
+                        stack.append(t2)
+    if (regattr == -1).any():
+        # unreachable pockets: nearest seed fallback
+        for t in np.nonzero(regattr == -1)[0]:
+            d = ((np.asarray(seeds) - cen[t]) ** 2).sum(axis=1)
+            regattr[t] = int(np.argmin(d))
+    return regattr
+
+
+def mesh_from_poly_2d(param) -> MeshData:
+    """Graded triangulation of a 2D .poly PSLG with regional mattypes
+    (meshing_option 90: sizes in m^2; 91: in resolution^2 units)."""
+    m = param.mesh
+    pts, segs, flags, regions = read_poly_2d(m.poly_filename)
+    res = m.resolution
+    std_size = 1.5 * res * res  # mesh.cxx:1868
+    unit = 1.0 if m.meshing_option == 90 else res * res
+    sizes = np.where(regions[:, 3] > 0, regions[:, 3] * unit,
+                     std_size * m.largest_size)
+    h_region = np.sqrt(2.0 * sizes)
+    seeds = regions[:, :2]
+    rng = np.random.default_rng(12345)
+
+    # probe triangulation (vertices + finest segment sampling) to get a
+    # region-membership oracle for grading
+    h_min = float(h_region.min())
+    probe_pts, probe_edges = _sample_segments(pts, segs,
+                                              [h_min] * len(segs))
+    from scipy.spatial import Delaunay
+
+    probe = Delaunay(probe_pts, qhull_options="Qbb Qc Qz")
+    # NOTE: keep the unfiltered simplices — find_simplex ids index them
+    probe_conn = probe.simplices.astype(np.int32)
+    probe_reg = _flood_fill_regions(
+        probe_pts, probe_conn, [(a, b) for a, b, _ in probe_edges], seeds)
+
+    def h_at(p):
+        t = probe.find_simplex(p)
+        # map qhull simplex ids onto the filtered conn via centroid lookup
+        t = np.clip(t, 0, len(probe_reg) - 1)
+        return h_region[probe_reg[t]]
+
+    # final segment sampling at the local spacing (min of both sides)
+    h_seg = []
+    for a, b in segs:
+        mid = (pts[a] + pts[b]) / 2.0
+        d = pts[b] - pts[a]
+        nrm = np.array([-d[1], d[0]])
+        nrm /= max(np.hypot(*nrm), 1e-300)
+        eps = 0.01 * np.hypot(*d)
+        h_seg.append(float(min(h_at(mid + eps * nrm),
+                               h_at(mid - eps * nrm))))
+    final_pts, final_edges = _sample_segments(pts, segs, h_seg)
+
+    # graded interior lattice, thinned to the local target density
+    lo = pts.min(axis=0)
+    hi = pts.max(axis=0)
+    nx = int(np.ceil((hi[0] - lo[0]) / h_min)) + 1
+    nz = int(np.ceil((hi[1] - lo[1]) / h_min)) + 1
+    X, Z = np.meshgrid(np.linspace(lo[0], hi[0], nx),
+                       np.linspace(lo[1], hi[1], nz), indexing="ij")
+    P = np.stack([X.ravel(), Z.ravel()], axis=1)
+    hP = h_at(P)
+    keep = rng.random(P.shape[0]) < (h_min / hP) ** 2
+    P = P[keep]
+    hP = hP[keep]
+    P = P + 0.35 * h_min * (rng.random(P.shape) - 0.5)
+    # drop lattice points crowding any segment
+    dmin = np.full(P.shape[0], np.inf)
+    for a, b in segs:
+        pa, pb = pts[a], pts[b]
+        d = pb - pa
+        L2 = float(d @ d)
+        t = np.clip(((P - pa) @ d) / L2, 0.0, 1.0)
+        proj = pa + t[:, None] * d
+        dmin = np.minimum(dmin, np.hypot(*(P - proj).T))
+    P = P[dmin > 0.55 * hP]
+
+    coord = np.concatenate([final_pts, P], axis=0)
+    tri = Delaunay(coord, qhull_options="Qbb Qc Qz")
+    conn = _drop_degenerate_2d(coord, tri.simplices.astype(np.int32))
+    conn = _orient_2d(coord, conn)
+    regattr = _flood_fill_regions(
+        coord, conn, [(a, b) for a, b, _ in final_edges], seeds)
+    mattype = regions[regattr.astype(int), 2].astype(np.int32)
+    return MeshData(2, coord, conn, regattr=mattype)

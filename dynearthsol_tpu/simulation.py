@@ -626,9 +626,11 @@ class Simulation:
                 param, self.mesh.coord, topo.bcflag)
         else:
             pp0 = None
+        regattr = getattr(self.mesh, "regattr", None)
         if param.markers.markers_per_element > 0:
             self.markers = mk.create_markers(param, self.mesh.coord,
-                                             topo.connectivity)
+                                             topo.connectivity,
+                                             regattr=regattr)
             emw = jnp.asarray(
                 mk.emw_from_markers(self.markers, topo.nelem,
                                     param.mat.nmat),
@@ -637,7 +639,8 @@ class Simulation:
             self.markers = None
             emw = jnp.asarray(
                 ic_mod.initial_material_weights(param, self.mesh.coord,
-                                                topo.connectivity),
+                                                topo.connectivity,
+                                                regattr=regattr),
                 dtype=self.dtype)
 
         if param.mat.rheol_type in (RH_EP_RSF, RH_EVP_RSF):
