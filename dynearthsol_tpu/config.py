@@ -314,6 +314,10 @@ class IC:
     radiogenic_crustal_thickness: float = 3e4
     radiogenic_folding_depth: float = 1e4
     radiogenic_heating_of_crust: float = 2e-10
+    # layered radiogenic geotherm (temperature_option 2, ic.cxx:907-1010)
+    nhlayer: int = 1  # cfg key: num_radiogenic_heat_layer
+    radiogenic_heat_boundry: List[float] = _dlist(-1.0, -1.0)
+    radiogenic_heat_mat_in_layer: List[int] = _dlist(0)
     lithospheric_thickness: float = 1e5
     isostasy_adjustment_time_in_yr: float = 0.0
     has_body_force_adjustment: bool = False
@@ -518,13 +522,17 @@ def _apply_entries(param: Param, entries):
                    "max_thermal_diffusivity": "therm_diff_max"}[key]
         if section == "monitor" and key == "remesh_rebind_mode":
             key = "remesh_rebind"
+        if section == "ic" and key == "num_radiogenic_heat_layer":
+            key = "nhlayer"
         if key not in fields:
             unknowns.append(f"[{section}] {key}")
             continue
         f = fields[key]
         current = getattr(sec_obj, key)
         if isinstance(current, list):
-            elem_type = int if (key == "layer_mattypes") else float
+            elem_type = int if (key in ("layer_mattypes",
+                                        "radiogenic_heat_mat_in_layer")) \
+                else float
             setattr(sec_obj, key, _parse_list(raw, elem_type))
         else:
             setattr(sec_obj, key, _parse_scalar(raw, type(current)))
@@ -534,6 +542,19 @@ def _apply_entries(param: Param, entries):
 def validate(param: Param) -> Param:
     """Cross-option validation, following input.cxx:969-1474."""
     mat, ctrl, sim, bc = param.mat, param.control, param.sim, param.bc
+
+    # Exodus meshes are tetrahedral: the reference only supports them in
+    # the 3D binary (mesh.cxx:2234); ndims is compile-time there, so cfgs
+    # don't set it — infer it
+    if param.mesh.meshing_option == 95:
+        sim_ndims = param.sim.ndims = 3
+
+    # -1 sentinels in the radiogenic layer boundaries (input.cxx:1405-1409)
+    rb = param.ic.radiogenic_heat_boundry
+    if rb and rb[0] == -1:
+        rb[0] = 0.0
+    if len(rb) > param.ic.nhlayer and rb[param.ic.nhlayer] == -1:
+        rb[param.ic.nhlayer] = param.mesh.zlength
 
     if mat.rheology_type:
         name = mat.rheology_type.strip().lower()
@@ -590,6 +611,7 @@ def load_config(path: str) -> Param:
     # (the reference is run from the cfg's directory)
     cfg_dir = os.path.dirname(os.path.abspath(path))
     for attr_obj, attr in ((param.mesh, "poly_filename"),
+                           (param.mesh, "exo_filename"),
                            (param.ic, "temperature_filename")):
         fn = getattr(attr_obj, attr, "")
         if fn and not os.path.isabs(fn) and not os.path.exists(fn):

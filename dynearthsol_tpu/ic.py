@@ -108,10 +108,91 @@ def initial_temperature(param, coord: np.ndarray) -> np.ndarray:
         T = np.where((T > t_bot) | (y >= hl), t_bot, T)
         T = np.where(y == 0.0, t_top, T)
         return T
+    if ic.temperature_option == 2:
+        return _layered_radiogenic_geotherm(param, coord)[0]
     if ic.temperature_option == 90:
         return read_external_temperature(param, coord)
     raise NotImplementedError(
         f"temperature_option {ic.temperature_option} not yet implemented")
+
+
+def _layered_geotherm_coeffs(param):
+    """Per-layer conductive coefficients for the layered radiogenic
+    geotherm (ic.cxx:907-1010; Turcotte & Schubert, H = H0 exp(-z/hr))."""
+    ic, mat = param.ic, param.mat
+    nlayer = ic.nhlayer
+    t_top = param.bc.surface_temperature
+    t_bot = param.bc.mantle_temperature
+    hr = ic.radiogenic_folding_depth
+    bdy = np.asarray(ic.radiogenic_heat_boundry, dtype=float)
+
+    def mat_val(vec, m):
+        return vec[0] if len(vec) == 1 else vec[m]
+
+    cond = np.zeros(nlayer)
+    rho = np.zeros(nlayer)
+    hp = np.zeros(nlayer)
+    for i in range(nlayer):
+        m = ic.radiogenic_heat_mat_in_layer[i]
+        cond[i] = mat_val(mat.therm_cond, m)
+        rho[i] = mat_val(mat.rho0, m)
+        hp[i] = mat_val(mat.radiogenic_heat_prod, m)
+    rhohp = hp * rho
+    thickness = bdy[1:nlayer + 1] - bdy[:nlayer]
+    total = bdy[nlayer] - bdy[0]
+    dT_layer = np.zeros(nlayer)
+    dTh_sum = 0.0
+    avg_cond = 0.0
+    for i in range(nlayer):
+        dT_layer[i] = dTh_sum
+        dTh_sum += rhohp[i] * hr * hr * (1 - np.exp(-thickness[i] / hr)) \
+            / cond[i]
+        avg_cond += thickness[i] / cond[i]
+    avg_cond = total / avg_cond
+    qm = (t_bot - t_top - dTh_sum) / total * avg_cond
+    dTc = 0.0
+    for i in range(nlayer):
+        dT_layer[i] += dTc
+        dTc += thickness[i] * qm / cond[i]
+    return bdy, cond, rhohp, hp, dT_layer, qm, hr, t_top, t_bot
+
+
+def _layered_radiogenic_geotherm(param, coord: np.ndarray):
+    """Nodal temperature for temperature_option 2 (ic.cxx:907-1010).
+    Returns (temperature, (coeffs tuple for the element source))."""
+    ic = param.ic
+    nlayer = ic.nhlayer
+    ndims = coord.shape[1]
+    bdy, cond, rhohp, hp, dT_layer, qm, hr, t_top, t_bot = \
+        _layered_geotherm_coeffs(param)
+    y = -coord[:, ndims - 1]
+    T = np.where(y >= bdy[nlayer], t_bot, t_top)
+    for j in range(nlayer):
+        in_l = (y >= bdy[j]) & (y < bdy[j + 1])
+        dTr = rhohp[j] * hr * hr * (1 - np.exp(-(y - bdy[j]) / hr)) \
+            / cond[j]
+        T = np.where(in_l,
+                     t_top + dT_layer[j] + qm * (y - bdy[j]) / cond[j]
+                     + dTr, T)
+    return T, (bdy, hp, hr, nlayer)
+
+
+def initial_radiogenic_source(param, coord: np.ndarray, conn: np.ndarray
+                              ) -> np.ndarray:
+    """Per-element radiogenic heat source for temperature_option 2
+    (ic.cxx:980-1008); zero otherwise (matching allocate_state)."""
+    nelem = conn.shape[0]
+    if param.ic.temperature_option != 2:
+        return np.zeros(nelem)
+    ndims = coord.shape[1]
+    bdy, hp, hr, nlayer = _layered_radiogenic_geotherm(
+        param, coord[:1])[1]
+    y = -coord[conn, ndims - 1].mean(axis=1)
+    src = np.where(y <= bdy[0], hp[0], 0.0)
+    for k in range(nlayer):
+        in_l = (y >= bdy[k]) & (y < bdy[k + 1])
+        src = np.where(in_l, hp[k] * np.exp(-(y - bdy[k]) / hr), src)
+    return src
 
 
 def read_external_temperature(param, coord: np.ndarray) -> np.ndarray:

@@ -33,6 +33,10 @@ class MeshData:
     coord: np.ndarray
     connectivity: np.ndarray
     regattr: np.ndarray = None
+    # explicit boundary segments + flags (Exodus side sets); when present
+    # the topology build uses them instead of box coordinate tests
+    segment: np.ndarray = None
+    segflag: np.ndarray = None
 
     @property
     def nnode(self) -> int:
@@ -357,6 +361,10 @@ def create_new_mesh(param) -> MeshData:
         from .poly import mesh_from_poly_2d
 
         return mesh_from_poly_2d(param)
+    if m.meshing_option == 95:
+        from .exo import mesh_from_exofile
+
+        return mesh_from_exofile(param)
     if m.meshing_option not in (1, 2):
         raise NotImplementedError(
             f"meshing_option {m.meshing_option} not implemented yet "

@@ -69,9 +69,8 @@ def read_poly_2d(path: str):
     nreg = nxt(int)
     regions = np.zeros((nreg, 4))
     for i in range(nreg):
-        k = nxt(int)
-        if k != i:
-            raise ValueError(f"{path}: region ids must count from 0")
+        nxt(int)  # region id: the reference reads exactly nreg rows and
+        # ignores the id column (some example files misnumber it)
         regions[i] = [nxt(), nxt(), nxt(), nxt()]
     return pts, segs, flags, regions
 

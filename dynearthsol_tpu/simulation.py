@@ -560,8 +560,23 @@ class Simulation:
 
         if _restart is None:
             mesh = create_new_mesh(param)
-            topo = build_topology(mesh, param.mesh.xlength,
-                                  param.mesh.ylength, param.mesh.zlength)
+            if getattr(mesh, "segment", None) is not None \
+                    and mesh.segment.size:
+                # explicit boundary segments (Exodus side sets) override
+                # the box coordinate tests (create_boundary_flags from
+                # segment flags, mesh.cxx:2811)
+                from .mesh.topology import build_topology_from_arrays
+
+                bcflag = np.zeros(mesh.nnode, dtype=np.uint32)
+                for seg, fl in zip(mesh.segment, mesh.segflag):
+                    bcflag[seg] |= np.uint32(fl)
+                topo = build_topology_from_arrays(
+                    ndims, mesh.connectivity, bcflag, mesh.segment,
+                    mesh.segflag)
+            else:
+                topo = build_topology(mesh, param.mesh.xlength,
+                                      param.mesh.ylength,
+                                      param.mesh.zlength)
         else:
             from .mesh.generate import MeshData
             mesh = MeshData(ndims, _restart["coord"], _restart["conn"])
@@ -658,6 +673,10 @@ class Simulation:
                                                     dtype=self.dtype),
                      "strain": jnp.asarray(strain, dtype=self.dtype),
                      "plstrain": jnp.asarray(plstrain, dtype=self.dtype),
+                     "radiogenic_source": jnp.asarray(
+                         ic_mod.initial_radiogenic_source(
+                             param, self.mesh.coord, topo.connectivity),
+                         dtype=self.dtype),
                      "emw": emw,
                      **({"ppressure": jnp.asarray(pp0, dtype=self.dtype)}
                         if pp0 is not None else {}),

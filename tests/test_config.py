@@ -91,3 +91,40 @@ def test_refined_zone_mesh():
     res2 = 2e3 ** 2
     assert np.median(vol[fine]) < 2.5 * res2
     assert np.median(vol[coarse]) > 4 * res2
+
+
+def test_models_registry_and_utils():
+    """models/ registry constructors all validate; utils/geotherm matches
+    the ic.py layered geotherm analytically."""
+    import warnings
+
+    import numpy as np
+
+    import dynearthsol_tpu as des
+    import dynearthsol_tpu.ic as ic_mod
+    from dynearthsol_tpu import models
+    from dynearthsol_tpu.mesh import create_new_mesh
+    from dynearthsol_tpu.utils.geotherm import layered_radiogenic_T
+
+    for name, fn in models.REGISTRY.items():
+        p = fn()
+        assert p.sim.ndims in (2, 3), name
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        p = des.load_config("/root/reference/examples/test-geotherm.cfg")
+    mesh = create_new_mesh(p)
+    T = ic_mod.initial_temperature(p, mesh.coord)
+
+    def mv(vec, m):
+        return vec[m] if len(vec) > 1 else vec[0]
+
+    mats = p.ic.radiogenic_heat_mat_in_layer
+    k = [mv(p.mat.therm_cond, m) for m in mats]
+    rh = [mv(p.mat.radiogenic_heat_prod, m) * mv(p.mat.rho0, m)
+          for m in mats]
+    Ta, _ = layered_radiogenic_T(
+        -mesh.coord[:, 1], p.bc.surface_temperature,
+        p.bc.mantle_temperature, np.asarray(p.ic.radiogenic_heat_boundry),
+        k, rh, p.ic.radiogenic_folding_depth)
+    assert np.abs(T - Ta).max() < 1e-9

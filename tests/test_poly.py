@@ -40,3 +40,33 @@ def test_poly_mesh_steps(rifting_sim):
     s = sim.run_steps(10, chunk=5)
     assert np.isfinite(np.asarray(s.stress)).all()
     assert np.isfinite(np.asarray(s.vel)).all()
+
+
+def test_exodus_import():
+    """meshing_option 95 (new_mesh_from_exofile, mesh.cxx:2231-2487):
+    Exodus/NetCDF mesh with block mattypes and side-set boundaries."""
+    p = des.load_config("/root/reference/examples/kenner_and_segall.cfg")
+    assert p.sim.ndims == 3
+    sim = des.Simulation(p)
+    assert sim.topo.nelem == 46369
+    assert sim.topo.nnode == 8923
+    vol = np.asarray(sim.state.volume)
+    assert (vol > 0).all()
+    assert set(np.unique(sim.mesh.regattr)) == {0, 1}
+    # side sets provided all six box boundaries
+    assert all(len(b) > 0 for b in sim.topo.bnodes[:6])
+
+
+def test_layered_radiogenic_geotherm():
+    """temperature_option 2 (ic.cxx:907-1010): conductive layered geotherm
+    with exponentially folded radiogenic heating."""
+    p = des.load_config("/root/reference/examples/test-geotherm.cfg")
+    sim = des.Simulation(p)
+    T = np.asarray(sim.state.temperature)
+    z = np.asarray(sim.state.coord)[:, 1]
+    assert np.isfinite(T).all()
+    # surface at t_top, bottom at t_bot, monotonic-ish in depth
+    assert abs(T[z == 0.0].max() - p.bc.surface_temperature) < 1e-6
+    assert abs(T[z == z.min()].mean() - p.bc.mantle_temperature) < 1.0
+    src = np.asarray(sim.state.radiogenic_source)
+    assert src.max() > 0.0 and np.isfinite(src).all()
