@@ -76,8 +76,10 @@ def run(param, argv_echo: str = ""):
             out.write_checkpoint(sim)
         out.write_exact(sim)
 
-    print(f"# mesh: {sim.topo.nnode} nodes, {sim.topo.nelem} elements, "
-          f"{sim.topo.nseg} segments")
+    from .runtime_info import report_mesh_info, report_runtime_status
+
+    print(report_runtime_status())
+    print(report_mesh_info(sim))
 
     mon = Monitor(p, sim)
     mon.write_if_due(sim)  # row at the starting step (monitor_initialize)

@@ -1,0 +1,115 @@
+"""GoSPL landscape-evolution coupling (surface_process_option 11).
+
+The reference embeds a CPython interpreter and calls GoSPL through a C++
+extension (gospl_driver/gospl-driver.{hpp,cxx}, bc.cxx:1104-1256,
+dynearthsol.cxx:632-709).  This framework is already Python, so the
+coupling is a direct import: when the ``gospl`` package is available,
+the driver builds a GoSPL mesh from the DES surface, pushes surface
+velocities each coupling event, advances GoSPL, and pulls back
+erosion/deposition increments which are applied like any other surface
+dh.  Without GoSPL installed the driver raises a clear error at
+construction (the reference behaves the same when built without
+HAS_GOSPL_CPP_INTERFACE).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import YEAR2SEC
+
+
+def gospl_available() -> bool:
+    try:
+        import gospl  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class GoSPLDriver:
+    """Direct-Python port of GoSPLDriver (gospl-driver.hpp).
+
+    Coupling cadence mirrors the reference: every ``coupling_frequency``
+    steps or every ``coupling_interval_in_yr`` model years; the driver
+    accumulates DES surface velocities between events and exchanges
+    elevation with GoSPL at each event."""
+
+    def __init__(self, param):
+        if not gospl_available():
+            raise ImportError(
+                "surface_process_option 11 requires the `gospl` package "
+                "(pip install gospl); see gospl_driver/gospl-driver.hpp "
+                "in the reference for the coupled model description")
+        ctrl = param.control
+        self.param = param
+        self.coupling_by_time = getattr(
+            ctrl, "gospl_coupling_by_time", False)
+        self.coupling_frequency = getattr(
+            ctrl, "gospl_coupling_frequency", 10)
+        self.coupling_interval = getattr(
+            ctrl, "gospl_coupling_interval_in_yr", 0.0) * YEAR2SEC
+        self.step_counter = 0
+        self.accumulated_dt = 0.0
+        self.needs_elevation_reset = True
+        self.model = None
+        self.elevation_history: list = []
+        self.time_history: list = []
+
+    # -- mesh/elevation exchange (generate_mesh / reset_elevation) --
+    def initialize(self, yml_path: str, surface_xy: np.ndarray,
+                   surface_elev: np.ndarray):
+        """Create the GoSPL model over the DES surface nodes."""
+        from gospl.model import Model  # type: ignore
+
+        self.model = Model(yml_path, verbose=False)
+        self._set_elevation(surface_xy, surface_elev)
+        self.needs_elevation_reset = False
+
+    def _set_elevation(self, xy, elev):
+        # nearest-node transfer onto the GoSPL mesh
+        from scipy.spatial import cKDTree
+
+        gxy = self.model.mCoords[:, :2]
+        _, idx = cKDTree(xy).query(gxy)
+        self.model.hGlobal.setArray(elev[idx])
+
+    def should_couple(self, dt: float) -> bool:
+        self.step_counter += 1
+        self.accumulated_dt += dt
+        if self.coupling_by_time:
+            return self.accumulated_dt >= self.coupling_interval
+        return self.step_counter >= self.coupling_frequency
+
+    def run_and_get_erosion(self, surface_xy: np.ndarray,
+                            surface_elev: np.ndarray,
+                            surface_vel: np.ndarray) -> np.ndarray:
+        """Advance GoSPL over the accumulated interval and return the
+        erosion/deposition increment dh at the DES surface nodes."""
+        from scipy.spatial import cKDTree
+
+        if self.needs_elevation_reset:
+            self._set_elevation(surface_xy, surface_elev)
+            self.needs_elevation_reset = False
+        # push uplift = vertical surface velocity over the interval
+        gxy = self.model.mCoords[:, :2]
+        _, idx = cKDTree(surface_xy).query(gxy)
+        self.model.uplift = surface_vel[idx, -1]
+        t0 = self.model.tNow
+        self.model.runProcesses(self.accumulated_dt / YEAR2SEC)
+        elev_g = np.asarray(self.model.hGlobal.getArray())
+        # pull back to DES surface nodes
+        _, ridx = cKDTree(gxy).query(surface_xy)
+        new_elev = elev_g[ridx]
+        dh = new_elev - surface_elev
+        self.elevation_history.append(new_elev)
+        self.time_history.append(t0)
+        self.step_counter = 0
+        self.accumulated_dt = 0.0
+        return dh
+
+    def on_remesh(self):
+        """After remeshing GoSPL must re-initialize from the new DES
+        surface (needs_elevation_reset, gospl-driver.hpp)."""
+        self.needs_elevation_reset = True

@@ -184,3 +184,22 @@ def test_terrigenous_basin_fill():
     assert (dhh >= 0.0).all()
     assert (dhh[depth <= 0] == 0.0).all()
     assert dhh[depth > 0].max() > 0.0
+
+
+def test_gospl_driver_gated():
+    """GoSPL coupling (surface option 11) is import-gated: without the
+    gospl package the driver raises a clear ImportError, mirroring a
+    reference build without HAS_GOSPL_CPP_INTERFACE."""
+    import pytest
+
+    import dynearthsol_tpu as des
+    from dynearthsol_tpu import gospl_driver
+
+    if gospl_driver.gospl_available():
+        pytest.skip("gospl installed; exercised via integration runs")
+    param = des.param_from_dict({"sim": {"ndims": 2},
+                                 "mesh": {"xlength": 1e3, "zlength": 1e3,
+                                          "resolution": 500.0},
+                                 "mat": {"rho0": [2800.0]}})
+    with pytest.raises(ImportError, match="gospl"):
+        gospl_driver.GoSPLDriver(param)
