@@ -318,6 +318,14 @@ class IC:
     nhlayer: int = 1  # cfg key: num_radiogenic_heat_layer
     radiogenic_heat_boundry: List[float] = _dlist(-1.0, -1.0)
     radiogenic_heat_mat_in_layer: List[int] = _dlist(0)
+    # heat-flux dome geotherm (temperature_option 3, input.cxx:693-709)
+    radiogenic_heat_dome_center_x: float = 0.5
+    radiogenic_heat_dome_center_y: float = 0.5
+    surface_heat_flux: float = 70e-3
+    radiogenic_heat_dome_amplitude: float = 0.0
+    radiogenic_heat_dome_width: float = 0.0
+    radiogenic_heat_dome_width_y: float = 0.0
+    radiogenic_heat_dome_azimuth: float = 0.0
     lithospheric_thickness: float = 1e5
     isostasy_adjustment_time_in_yr: float = 0.0
     has_body_force_adjustment: bool = False
@@ -633,6 +641,10 @@ def param_from_dict(d: dict) -> Param:
                        "max_tension": "tension_max",
                        "max_thermal_diffusivity": "therm_diff_max",
                        }.get(key, key)
+            if section == "ic" and key == "num_radiogenic_heat_layer":
+                key = "nhlayer"
+            if section == "monitor" and key == "remesh_rebind_mode":
+                key = "remesh_rebind"
             if not hasattr(sec_obj, key):
                 raise KeyError(f"unknown option [{section}] {key}")
             setattr(sec_obj, key, val)

@@ -110,6 +110,8 @@ def initial_temperature(param, coord: np.ndarray) -> np.ndarray:
         return T
     if ic.temperature_option == 2:
         return _layered_radiogenic_geotherm(param, coord)[0]
+    if ic.temperature_option == 3:
+        return dome_geotherm(param, coord)[0]
     if ic.temperature_option == 90:
         return read_external_temperature(param, coord)
     raise NotImplementedError(
@@ -177,11 +179,100 @@ def _layered_radiogenic_geotherm(param, coord: np.ndarray):
     return T, (bdy, hp, hr, nlayer)
 
 
+def dome_geotherm(param, coord: np.ndarray):
+    """Heat-flux dome geotherm with mantle adiabat cap
+    (temperature_option 3; ic.cxx:727-830, after Hasterok & Chapman 2011).
+
+    A laterally-varying surface heat flux (background + Gaussian dome)
+    is conducted down through the radiogenic layers of the option-2
+    layer stack; where the conductive temperature exceeds the mantle
+    adiabat T_m * exp(g z 4e-8) the node is flagged asthenospheric and
+    clamped to the adiabat.  Returns (temperature, in_asth nodal bool,
+    rs nodal radiogenic heat production [W/kg])."""
+    ic, bc_p = param.ic, param.bc
+    ndims = coord.shape[1]
+    nlayer = ic.nhlayer
+    bdy = np.asarray(ic.radiogenic_heat_boundry, dtype=float)
+    F = 0.74  # partition coefficient (ic.cxx:732)
+
+    def mat_val(vec, m):
+        return vec[0] if len(vec) == 1 else vec[m]
+
+    cond = np.zeros(nlayer)
+    rho = np.zeros(nlayer)
+    hp = np.zeros(nlayer)
+    for i in range(nlayer):
+        m = ic.radiogenic_heat_mat_in_layer[i]
+        cond[i] = mat_val(param.mat.therm_cond, m)
+        rho[i] = mat_val(param.mat.rho0, m)
+        hp[i] = mat_val(param.mat.radiogenic_heat_prod, m)
+    thickness = bdy[1:nlayer + 1] - bdy[:nlayer]
+
+    z = -coord[:, ndims - 1]
+    zPotT = bc_p.mantle_temperature * np.exp(
+        param.control.gravity * z * 4e-8)
+
+    # Gaussian dome surface heat flux (ic.cxx:751-784)
+    wx_r = 1.0 / ic.radiogenic_heat_dome_width \
+        if ic.radiogenic_heat_dome_width != 0 else 0.0
+    dx = coord[:, 0] - ic.radiogenic_heat_dome_center_x * param.mesh.xlength
+    if ndims == 3:
+        az = np.deg2rad(ic.radiogenic_heat_dome_azimuth)
+        wy = ic.radiogenic_heat_dome_width_y
+        if wy == 0:
+            wy_r = wx_r
+        elif wy < 0:
+            wy_r = 0.0
+        else:
+            wy_r = 1.0 / wy
+        dy = coord[:, 1] \
+            - ic.radiogenic_heat_dome_center_y * param.mesh.ylength
+        dx_rot = dx * np.cos(az) - dy * np.sin(az)
+        dy_rot = dx * np.sin(az) + dy * np.cos(az)
+        radius_sq = (dx_rot * wx_r) ** 2 + (dy_rot * wy_r) ** 2
+    else:
+        radius_sq = (dx * wx_r) ** 2
+    xsfh = ic.surface_heat_flux \
+        + ic.radiogenic_heat_dome_amplitude / 1e6 * np.exp(-radius_sq)
+    # layer-0 heat production balances the local surface flux
+    # (ic.cxx:785: hp[0] = (1-F) xsfh / rho0 / bdy[1])
+    hp0_n = (1.0 - F) * xsfh / rho[0] / bdy[1]
+
+    t = np.full_like(z, bc_p.surface_temperature)
+    q = xsfh.copy()
+    in_asth = np.zeros(z.shape, dtype=bool)
+    for i in range(nlayer):
+        hp_i = hp0_n if i == 0 else np.full_like(z, hp[i])
+        upd = (~in_asth) & (z >= bdy[i])
+        dd = np.minimum(z - bdy[i], thickness[i])
+        t = np.where(upd,
+                     t + q * dd / cond[i]
+                     - (rho[i] * hp_i) / (2.0 * cond[i]) * dd * dd, t)
+        q = np.where(upd, q - rho[i] * hp_i * dd, q)
+        in_asth |= (~in_asth) & (t > zPotT)
+    t = np.where(in_asth, zPotT, t)
+
+    # nodal radiogenic heat production = hp of the deepest layer the node
+    # is in (ic.cxx:806-812); asthenospheric nodes contribute nothing
+    rs = np.zeros_like(z)
+    for i in range(nlayer):
+        hp_i = hp0_n if i == 0 else hp[i]
+        rs = np.where(z >= bdy[i], hp_i, rs)
+    rs = np.where(in_asth, 0.0, rs)
+    return t, in_asth, rs
+
+
 def initial_radiogenic_source(param, coord: np.ndarray, conn: np.ndarray
                               ) -> np.ndarray:
     """Per-element radiogenic heat source for temperature_option 2
-    (ic.cxx:980-1008); zero otherwise (matching allocate_state)."""
+    (ic.cxx:980-1008) and 3 (ic.cxx:806-812, nodal scatter of the layer
+    heat production over each node's support elements / NODES_PER_ELEM
+    == corner-mean of the nodal value); zero otherwise (matching
+    allocate_state)."""
     nelem = conn.shape[0]
+    if param.ic.temperature_option == 3:
+        rs = dome_geotherm(param, coord)[2]
+        return rs[conn].mean(axis=1)
     if param.ic.temperature_option != 2:
         return np.zeros(nelem)
     ndims = coord.shape[1]

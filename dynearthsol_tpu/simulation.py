@@ -646,6 +646,19 @@ class Simulation:
             self.markers = mk.create_markers(param, self.mesh.coord,
                                              topo.connectivity,
                                              regattr=regattr)
+            if param.ic.temperature_option == 3:
+                # markers inside the adiabatic region become
+                # asthenosphere (ic.cxx:820-830: eta-weighted nodal
+                # in_asth >= 0.5 flips the marker mattype)
+                in_asth = ic_mod.dome_geotherm(
+                    param, self.mesh.coord)[1].astype(float)
+                ms = self.markers
+                n = ms.n
+                w = (in_asth[topo.connectivity[ms.elem[:n]]]
+                     * ms.eta[:n]).sum(axis=1)
+                ms.mattype[:n] = np.where(
+                    w >= 0.5, param.mat.mattype_asthenosphere,
+                    ms.mattype[:n])
             emw = jnp.asarray(
                 mk.emw_from_markers(self.markers, topo.nelem,
                                     param.mat.nmat),

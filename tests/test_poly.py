@@ -70,3 +70,55 @@ def test_layered_radiogenic_geotherm():
     assert abs(T[z == z.min()].mean() - p.bc.mantle_temperature) < 1.0
     src = np.asarray(sim.state.radiogenic_source)
     assert src.max() > 0.0 and np.isfinite(src).all()
+
+
+def test_dome_geotherm():
+    """temperature_option 3 (radiogenic_heat_and_adiabat, ic.cxx:727-830):
+    Gaussian surface-heat-flux dome conducted through the layer stack,
+    clamped to the mantle adiabat; asthenospheric markers converted."""
+    param = des.param_from_dict({
+        "sim": {"ndims": 2, "float_dtype": "float64"},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 100e3, "ylength": 0.0, "zlength": 100e3,
+                 "resolution": 5e3},
+        "control": {"gravity": 10.0, "has_thermal_diffusion": True},
+        "ic": {"temperature_option": 3, "num_radiogenic_heat_layer": 2,
+               "radiogenic_heat_boundry": [0.0, 30e3, 100e3],
+               "radiogenic_heat_mat_in_layer": [0, 1],
+               "surface_heat_flux": 70e-3,
+               "radiogenic_heat_dome_amplitude": 20.0,
+               "radiogenic_heat_dome_width": 20e3,
+               "radiogenic_heat_dome_center_x": 0.5,
+               # keep depth-layer marker init away from the asth test
+               "mattype_layer_depths": [0.99]},
+        "bc": {"surface_temperature": 273.0, "mantle_temperature": 1600.0},
+        "mat": {"rheology_type": "elasto-plastic", "num_materials": 2,
+                "mattype_asthenosphere": 1,
+                "rho0": [2800.0, 3300.0], "bulk_modulus": [50e9],
+                "shear_modulus": [30e9], "therm_cond": [3.0, 3.3],
+                "radiogenic_heat_prod": [1e-9, 0.0]},
+        "markers": {"markers_per_element": 4},
+    })
+    sim = des.Simulation(param)
+    from dynearthsol_tpu import ic as ic_mod
+    T, in_asth, rs = ic_mod.dome_geotherm(param, sim.mesh.coord)
+    coord = sim.mesh.coord
+    z = coord[:, 1]
+    # surface at t_top; dome raises the geotherm under the center
+    assert abs(T[z == 0.0].max() - 273.0) < 1e-9
+    mid = np.abs(coord[:, 0] - 50e3) < 1e-6
+    edge = coord[:, 0] == 0.0
+    zsel = np.abs(z + 50e3) < 1e-6
+    assert T[mid & zsel][0] > T[edge & zsel][0]
+    # adiabat clamp: asthenospheric nodes sit on T_m exp(g z 4e-8)
+    adiab = 1600.0 * np.exp(10.0 * (-z) * 4e-8)
+    assert np.allclose(T[in_asth], adiab[in_asth])
+    assert (~in_asth).any() and in_asth.any()
+    # asthenospheric part contributes no radiogenic source
+    assert (rs[in_asth] == 0.0).all()
+    src = np.asarray(sim.state.radiogenic_source)
+    assert src.max() > 0 and np.isfinite(src).all()
+    # markers in the adiabatic region flipped to mattype_asthenosphere
+    ms = sim.markers
+    frac = (ms.mattype[: ms.n] == 1).mean()
+    assert 0.0 < frac < 0.9
