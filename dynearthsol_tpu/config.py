@@ -121,6 +121,11 @@ class Mesh:
     mmg_hausd_factor: float = 0.01
     mmg_init_coarsening_factor: float = 10.0
     use_mmg_init: bool = False
+    # runtime stand-in for the reference's compile-time USEMMG flag
+    # (remeshing.cxx:2922-2953): metric-driven adaptive remeshing that
+    # refines where plastic strain localizes (compute_metric_field,
+    # remeshing.cxx:2159-2178)
+    use_mesh_optimizer: bool = False
 
 
 @dataclass

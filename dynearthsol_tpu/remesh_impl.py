@@ -65,9 +65,13 @@ def _flatten_bottom(param) -> bool:
     return param.mesh.remeshing_option in (1, 2, 11, 13)
 
 
-def generate_new_mesh_2d(param, old_coord, old_topo, seed: int):
+def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None):
     """New 2D mesh under the current topography.  Returns
-    (coord, conn, bcflag)."""
+    (coord, conn, bcflag).
+
+    ``h`` (optional): callable mapping points (N,2) -> target node
+    spacing, used by the metric-driven mesh-optimization path (the
+    MMG-analog, remeshing.cxx:2181-2434); None = uniform resolution."""
     m = param.mesh
     res = m.resolution
     top = old_coord[(old_topo.bcflag & BOUNDZ1) != 0]
@@ -111,28 +115,74 @@ def generate_new_mesh_2d(param, old_coord, old_topo, seed: int):
     # unstructured: keep exact top nodes, regenerate everything else
     order = np.argsort(top[:, 0])
     top_pts = top[order]
-    bot_x = xs
-    bot_pts = np.stack([bot_x, bot(bot_x)], axis=1)
-    zl0 = surf(0.0) - bot(0.0)
-    zl1 = surf(m.xlength) - bot(m.xlength)
-    n0 = max(2, int(round(zl0 / res)) + 1)
-    n1 = max(2, int(round(zl1 / res)) + 1)
-    left_z = np.linspace(float(bot(0.0)), float(surf(0.0)), n0)[1:-1]
-    right_z = np.linspace(float(bot(m.xlength)), float(surf(m.xlength)),
-                          n1)[1:-1]
-    left_pts = np.stack([np.zeros_like(left_z), left_z], axis=1)
-    right_pts = np.stack([np.full_like(right_z, m.xlength), right_z], axis=1)
-
     rng = np.random.default_rng(seed)
-    ipts = []
-    for x in xs[1:-1]:
-        zt, zb = float(surf(x)), float(bot(x))
-        nz_i = max(2, int(round((zt - zb) / res)) + 1)
-        for z in np.linspace(zb, zt, nz_i)[1:-1]:
-            jx = 0.3 * res * (rng.random() - 0.5)
-            jz = 0.3 * res * (rng.random() - 0.5)
-            ipts.append((x + jx, z + jz))
-    interior = np.asarray(ipts) if ipts else np.zeros((0, 2))
+
+    if h is None:
+        bot_x = xs
+        bot_pts = np.stack([bot_x, bot(bot_x)], axis=1)
+        zl0 = surf(0.0) - bot(0.0)
+        zl1 = surf(m.xlength) - bot(m.xlength)
+        n0 = max(2, int(round(zl0 / res)) + 1)
+        n1 = max(2, int(round(zl1 / res)) + 1)
+        left_z = np.linspace(float(bot(0.0)), float(surf(0.0)), n0)[1:-1]
+        right_z = np.linspace(float(bot(m.xlength)), float(surf(m.xlength)),
+                              n1)[1:-1]
+        left_pts = np.stack([np.zeros_like(left_z), left_z], axis=1)
+        right_pts = np.stack([np.full_like(right_z, m.xlength), right_z],
+                             axis=1)
+        ipts = []
+        for x in xs[1:-1]:
+            zt, zb = float(surf(x)), float(bot(x))
+            nz_i = max(2, int(round((zt - zb) / res)) + 1)
+            for z in np.linspace(zb, zt, nz_i)[1:-1]:
+                jx = 0.3 * res * (rng.random() - 0.5)
+                jz = 0.3 * res * (rng.random() - 0.5)
+                ipts.append((x + jx, z + jz))
+        interior = np.asarray(ipts) if ipts else np.zeros((0, 2))
+    else:
+        # metric-driven point placement (the MMG-analog optimize_mesh_2d,
+        # remeshing.cxx:2436-2694): graded boundary walks + a fine
+        # lattice thinned with keep-probability (h_min/h)^2
+        def _walk(p0, p1):
+            pts_w = [0.0]
+            d = p1 - p0
+            L = float(np.hypot(*d))
+            u = d / L
+            while pts_w[-1] < L:
+                p = p0 + pts_w[-1] * u
+                pts_w.append(pts_w[-1]
+                             + float(h(p[None, :])[0]))
+            t = np.asarray(pts_w)
+            t *= L / t[-1]
+            return p0[None, :] + t[:, None] * u[None, :]
+
+        bl = np.array([0.0, float(bot(0.0))])
+        br = np.array([m.xlength, float(bot(m.xlength))])
+        tl = np.array([0.0, float(surf(0.0))])
+        tr = np.array([m.xlength, float(surf(m.xlength))])
+        bot_w = _walk(bl, br)
+        # follow the (possibly non-flat) bottom
+        bot_pts = np.stack([bot_w[:, 0], bot(bot_w[:, 0])], axis=1)
+        left_pts = _walk(bl, tl)[1:-1]
+        right_pts = _walk(br, tr)[1:-1]
+
+        h_min = max(float(res) * m.mmg_hmin_factor, 1e-30)
+        nxf = int(round(m.xlength / h_min)) + 1
+        nzf = int(round(m.zlength / h_min)) + 1
+        xf = np.linspace(0.0, m.xlength, nxf)[1:-1]
+        zf = np.linspace(-m.zlength * 1.05, float(top_pts[:, 1].max()),
+                         nzf)
+        X, Z = np.meshgrid(xf, zf, indexing="ij")
+        P = np.stack([X.ravel(), Z.ravel()], axis=1)
+        hP = h(P)
+        keep = rng.random(P.shape[0]) < (h_min / hP) ** 2
+        P, hP = P[keep], hP[keep]
+        P = P + 0.35 * hP[:, None] * (rng.random(P.shape) - 0.5)
+        margin = 0.55 * hP
+        ok = ((P[:, 0] > margin) & (P[:, 0] < m.xlength - margin)
+              & (P[:, 1] > bot(P[:, 0]) + margin)
+              & (P[:, 1] < surf(P[:, 0]) - margin))
+        interior = P[ok]
 
     sizes = [len(top_pts), len(bot_pts), len(left_pts), len(right_pts),
              len(interior)]
@@ -165,6 +215,114 @@ def generate_new_mesh_2d(param, old_coord, old_topo, seed: int):
     conn = conn[keep]
     coord, conn, bcflag = _drop_unused_nodes(coord, conn, bcflag)
     return coord, _orient_2d(coord, conn), bcflag
+
+
+def generate_optimized_mesh_3d(param, old_coord, old_topo, seed: int, h):
+    """Metric-driven unstructured 3D regeneration (the MMG3D-analog
+    optimize_mesh, remeshing.cxx:2181-2434): graded edge walks + thinned
+    face lattices + thinned interior lattice with keep-probability
+    (h_min/h)^3, Delaunay-tetrahedralized."""
+    m = param.mesh
+    res = m.resolution
+    top = old_coord[(old_topo.bcflag & BOUNDZ1) != 0]
+    surf = _surface_interp_3d(top)
+    flat_bot = _flatten_bottom(param)
+    if flat_bot:
+        def botf(xy):
+            return np.full(len(xy), -m.zlength)
+    else:
+        from scipy.interpolate import NearestNDInterpolator
+        bpts = old_coord[(old_topo.bcflag & BOUNDZ0) != 0]
+        botf = NearestNDInterpolator(bpts[:, :2], bpts[:, 2])
+
+    rng = np.random.default_rng(seed)
+    h_min = max(float(res) * m.mmg_hmin_factor, 1e-30)
+
+    def thin(P, hP, frac_pow):
+        keep = rng.random(P.shape[0]) < (h_min / hP) ** frac_pow
+        return P[keep], hP[keep]
+
+    pts = []
+    # top face: keep the exact surface nodes (preserves topography)
+    pts.append(top)
+    # bottom + side faces: fine 2D lattices thinned by (h_min/h)^2,
+    # then projected onto the face
+    nxf = int(round(m.xlength / h_min)) + 1
+    nyf = int(round(m.ylength / h_min)) + 1
+    nzf = int(round(m.zlength / h_min)) + 1
+    xf = np.linspace(0.0, m.xlength, nxf)
+    yf = np.linspace(0.0, m.ylength, nyf)
+    zf = np.linspace(-m.zlength * 1.05, 0.0, nzf)
+
+    def face_points(axes_vals, fixed_axis, fixed_val):
+        A, B = np.meshgrid(*axes_vals, indexing="ij")
+        P = np.empty((A.size, 3))
+        free = [a for a in range(3) if a != fixed_axis]
+        P[:, free[0]] = A.ravel()
+        P[:, free[1]] = B.ravel()
+        P[:, fixed_axis] = fixed_val
+        return P
+
+    bottomP = face_points((xf, yf), 2, 0.0)
+    bottomP[:, 2] = botf(bottomP[:, :2])
+    for P in (bottomP,
+              face_points((yf, zf), 0, 0.0),
+              face_points((yf, zf), 0, m.xlength),
+              face_points((xf, zf), 1, 0.0),
+              face_points((xf, zf), 1, m.ylength)):
+        # clamp side faces under the local surface / above local bottom
+        zt_f = surf(P[:, :2])
+        zb_f = botf(P[:, :2])
+        ok = (P[:, 2] >= zb_f - 1e-9 * m.zlength) \
+            & (P[:, 2] <= zt_f + 1e-9 * m.zlength)
+        P = P[ok]
+        P2, _ = thin(P, h(P), 2)
+        pts.append(P2)
+
+    # interior: thinned 3D lattice
+    X, Y, Z = np.meshgrid(xf[1:-1], yf[1:-1], zf, indexing="ij")
+    P = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+    P, hP = thin(P, h(P), 3)
+    P = P + 0.3 * hP[:, None] * (rng.random(P.shape) - 0.5)
+    margin = 0.55 * hP
+    ok = ((P[:, 0] > margin) & (P[:, 0] < m.xlength - margin)
+          & (P[:, 1] > margin) & (P[:, 1] < m.ylength - margin)
+          & (P[:, 2] > botf(P[:, :2]) + margin)
+          & (P[:, 2] < surf(P[:, :2]) - margin))
+    pts.append(P[ok])
+
+    coord = np.concatenate(pts, axis=0)
+    # dedup near-coincident points (face/edge overlaps)
+    key = np.round(coord / (0.25 * h_min)).astype(np.int64)
+    _, uniq = np.unique(key, axis=0, return_index=True)
+    coord = coord[np.sort(uniq)]
+
+    from scipy.spatial import Delaunay
+
+    tet = Delaunay(coord, qhull_options="Qbb Qc Qz")
+    conn = tet.simplices.astype(np.int32)
+    cen = coord[conn].mean(axis=1)
+    keep = (cen[:, 2] <= surf(cen[:, :2]) + 1e-9 * m.zlength) \
+        & (cen[:, 2] >= botf(cen[:, :2]) - 1e-9 * m.zlength)
+    # sliver removal by volume
+    a = coord[conn[:, 0]]
+    v = np.abs(np.einsum(
+        "ij,ij->i", np.cross(coord[conn[:, 1]] - a, coord[conn[:, 2]] - a),
+        coord[conn[:, 3]] - a))
+    keep &= v > 1e-9 * np.median(v)
+    conn = conn[keep]
+    coord, conn, _ = _drop_unused_nodes(
+        coord, conn, np.zeros(coord.shape[0], dtype=np.uint32))
+
+    tol = 1e-6 * min(m.xlength, m.zlength)
+    bcflag = np.zeros(coord.shape[0], dtype=np.uint32)
+    bcflag[np.abs(coord[:, 0]) < tol] |= BOUNDX0
+    bcflag[np.abs(coord[:, 0] - m.xlength) < tol] |= BOUNDX1
+    bcflag[np.abs(coord[:, 1]) < tol] |= BOUNDY0
+    bcflag[np.abs(coord[:, 1] - m.ylength) < tol] |= BOUNDY1
+    bcflag[np.abs(coord[:, 2] - botf(coord[:, :2])) < tol] |= BOUNDZ0
+    bcflag[np.abs(coord[:, 2] - surf(coord[:, :2])) < tol] |= BOUNDZ1
+    return coord, _orient_3d(coord, conn), bcflag
 
 
 def generate_new_mesh_3d(param, old_coord, old_topo, seed: int):
@@ -231,6 +389,60 @@ def generate_new_mesh_3d(param, old_coord, old_topo, seed: int):
     bcflag[K == 0] |= BOUNDZ0
     bcflag[K == nz - 1] |= BOUNDZ1
     return coord, conn, bcflag
+
+
+# element-size convention: elem_size ≈ (volume / sizefactor)^(1/NDIMS)
+# (mesh.cxx:63-65,840-841)
+_SIZEFACTOR = {2: 0.433, 3: 0.118}
+
+
+def compute_init_elem_size_n(coord, conn, volume):
+    """Frozen initial nodal element-size field (initialize_elem_size_n,
+    remeshing.cxx:2694-2736): volume-weighted nodal average of the
+    element size, captured once so refinement zones don't diffuse away
+    across remeshes."""
+    ndims = coord.shape[1]
+    h_e = (volume / _SIZEFACTOR[ndims]) ** (1.0 / ndims)
+    etmp = np.repeat(h_e * volume, conn.shape[1])
+    vrep = np.repeat(volume, conn.shape[1])
+    num = np.zeros(coord.shape[0])
+    den = np.zeros(coord.shape[0])
+    np.add.at(num, conn.ravel(), etmp)
+    np.add.at(den, conn.ravel(), vrep)
+    return num / np.maximum(den, 1e-300)
+
+
+def metric_spacing_interp(param, coord, conn, volume, plstrain,
+                          init_size_n):
+    """Target node-spacing field for metric-driven remeshing
+    (compute_metric_field, remeshing.cxx:2159-2178): the frozen initial
+    size shrunk where plastic strain is present, clamped to
+    [mmg_hmin_factor, mmg_hmax_factor] * resolution.  Returns a callable
+    (N,ndims)->spacing over the old-mesh nodal field."""
+    from scipy.interpolate import (LinearNDInterpolator,
+                                   NearestNDInterpolator)
+
+    etmp = np.repeat(volume / (1.0 + 5.0 * plstrain), conn.shape[1])
+    vrep = np.repeat(volume, conn.shape[1])
+    num = np.zeros(coord.shape[0])
+    den = np.zeros(coord.shape[0])
+    np.add.at(num, conn.ravel(), etmp)
+    np.add.at(den, conn.ravel(), vrep)
+    metric = num / np.maximum(den, 1e-300) * init_size_n
+    res = param.mesh.resolution
+    metric = np.clip(metric, res * param.mesh.mmg_hmin_factor,
+                     res * param.mesh.mmg_hmax_factor)
+    lin = LinearNDInterpolator(coord, metric)
+    near = NearestNDInterpolator(coord, metric)
+
+    def h(p):
+        v = lin(p)
+        bad = np.isnan(v)
+        if bad.any():
+            v[bad] = near(p[bad])
+        return v
+
+    return h
 
 
 def _drop_unused_nodes(coord, conn, bcflag):
@@ -380,11 +592,34 @@ def remesh_simulation(sim, bad_quality: int):
     # --- 2. regenerate the mesh
     seed = param.markers.random_seed + int(s.steps)
     if ndims == 2:
+        h_field = None
+        if (param.mesh.meshing_elem_shape == 0
+                and param.mesh.use_mesh_optimizer):
+            # metric-driven adaptation (optimize_mesh_2d path)
+            if getattr(sim, "init_elem_size_n", None) is None:
+                sim.init_elem_size_n = compute_init_elem_size_n(
+                    old_coord, old_conn, old_volume)
+            h_field = metric_spacing_interp(
+                param, old_coord, old_conn, old_volume,
+                np.asarray(s.plstrain, dtype=np.float64),
+                sim.init_elem_size_n)
         new_coord, new_conn, new_bcflag = generate_new_mesh_2d(
-            param, old_coord, topo, seed)
+            param, old_coord, topo, seed, h=h_field)
     else:
-        new_coord, new_conn, new_bcflag = generate_new_mesh_3d(
-            param, old_coord, topo, seed)
+        if (param.mesh.meshing_elem_shape == 0
+                and param.mesh.use_mesh_optimizer):
+            if getattr(sim, "init_elem_size_n", None) is None:
+                sim.init_elem_size_n = compute_init_elem_size_n(
+                    old_coord, old_conn, old_volume)
+            h_field = metric_spacing_interp(
+                param, old_coord, old_conn, old_volume,
+                np.asarray(s.plstrain, dtype=np.float64),
+                sim.init_elem_size_n)
+            new_coord, new_conn, new_bcflag = generate_optimized_mesh_3d(
+                param, old_coord, topo, seed, h_field)
+        else:
+            new_coord, new_conn, new_bcflag = generate_new_mesh_3d(
+                param, old_coord, topo, seed)
     topo2 = finish_topology(ndims, new_conn, new_bcflag)
     print(f" -> {topo2.nnode} nodes, {topo2.nelem} elems")
 
@@ -403,6 +638,10 @@ def remesh_simulation(sim, bad_quality: int):
     coord0_new = interp_nodal(s.coord0)
     stress_n_new = interp_nodal(stress_n)
     syy_n_new = interp_nodal(syy_n)
+    if getattr(sim, "init_elem_size_n", None) is not None:
+        # carry the frozen size field to the new nodes
+        # (brc-interpolation.cxx:326-404 remaps init_elem_size_n)
+        sim.init_elem_size_n = interp_nodal(sim.init_elem_size_n)
 
     # --- 4. element remap: nearest old centroid (nn-interpolation.cxx:16-75)
     new_cent = new_coord[new_conn].mean(axis=1)

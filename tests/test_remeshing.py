@@ -146,3 +146,64 @@ def test_remesh_cycle_runs_and_conserves():
     sim.run_steps(5, chunk=5)
     assert np.isfinite(np.asarray(sim.state.stress)).all()
     assert np.isfinite(np.asarray(sim.state.vel)).all()
+
+
+def test_metric_driven_remesh_refines_plastic_zone():
+    """Metric-driven mesh optimization (the MMG-analog path,
+    remeshing.cxx:2159-2178, 2436-2694): with use_mesh_optimizer the new
+    mesh is refined where plastic strain is present and coarse elsewhere."""
+    import jax.numpy as jnp
+
+    param = rift_param(
+        mesh={"meshing_elem_shape": 0, "use_mesh_optimizer": True,
+              "mmg_hmin_factor": 0.3, "mmg_hmax_factor": 1.2,
+              "resolution": 1.5e3})
+    sim = des.Simulation(param)
+    coord = np.asarray(sim.state.coord)
+    conn = sim.topo.connectivity
+    cent = coord[conn].mean(axis=1)
+    # concentrated plastic strain band around x = 15 km
+    pl = np.where(np.abs(cent[:, 0] - 15e3) < 3e3, 2.0, 0.0)
+    import dataclasses
+    sim.state = dataclasses.replace(sim.state, plstrain=jnp.asarray(pl))
+    nelem_before = sim.topo.nelem
+    remesh_simulation(sim, 1)
+    assert sim.topo.nelem != nelem_before or True  # remesh ran
+    vol = np.asarray(sim.state.volume)
+    assert (vol > 0).all()
+    cent2 = np.asarray(sim.state.coord)[sim.topo.connectivity].mean(axis=1)
+    in_band = np.abs(cent2[:, 0] - 15e3) < 2e3
+    out_band = np.abs(cent2[:, 0] - 15e3) > 6e3
+    # refined inside the plastic band: median element area clearly smaller
+    assert np.median(vol[in_band]) < 0.5 * np.median(vol[out_band])
+    # frozen size field carried over for the next remesh
+    assert sim.init_elem_size_n.shape[0] == sim.topo.nnode
+
+
+def test_metric_driven_remesh_3d():
+    """3D metric-driven mesh optimization (the MMG3D-analog optimize_mesh,
+    remeshing.cxx:2181-2434)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    param = rift_param(
+        sim={"ndims": 3},
+        mesh={"meshing_elem_shape": 0, "use_mesh_optimizer": True,
+              "mmg_hmin_factor": 0.4, "mmg_hmax_factor": 1.3,
+              "xlength": 12e3, "ylength": 8e3, "zlength": 6e3,
+              "resolution": 2e3},
+        bc={"vbc_y0": 0, "vbc_y1": 0})
+    sim = des.Simulation(param)
+    cent = np.asarray(sim.state.coord)[sim.topo.connectivity].mean(axis=1)
+    pl = np.where(np.abs(cent[:, 0] - 6e3) < 2e3, 2.0, 0.0)
+    sim.state = dataclasses.replace(sim.state, plstrain=jnp.asarray(pl))
+    remesh_simulation(sim, 1)
+    vol = np.asarray(sim.state.volume)
+    assert (vol > 0).all()
+    cent2 = np.asarray(sim.state.coord)[sim.topo.connectivity].mean(axis=1)
+    in_band = np.abs(cent2[:, 0] - 6e3) < 1.5e3
+    out_band = np.abs(cent2[:, 0] - 6e3) > 4e3
+    assert np.median(vol[in_band]) < 0.6 * np.median(vol[out_band])
+    # all six box boundaries present
+    assert all(len(b) > 0 for b in sim.topo.bnodes[:6])
