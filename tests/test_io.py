@@ -200,3 +200,44 @@ def test_postproc_reader_and_vtk(tmp_path):
     assert "UNSTRUCTURED_GRID" in text
     assert "stress_II" in text
     assert f"POINTS {sim.topo.nnode} double" in text
+
+
+def test_compare_harness(tmp_path):
+    """The golden-run comparator (benchmarks-cores/compare.py port):
+    identical runs are BIT-EXACT (exit 0), perturbed runs are flagged
+    (exit 1)."""
+    from dynearthsol_tpu.compare import compare_runs, main as compare_main
+
+    # run A: 10 steps, write frame 0 and 1
+    pa = small_param(tmp_path, name="runa")
+    sima = des.Simulation(pa)
+    outa = Output(pa)
+    outa.write_exact(sima)
+    sima.run_steps(10, chunk=5)
+    outa.write(sima)
+
+    # run B: identical settings
+    pb = small_param(tmp_path, name="runb")
+    simb = des.Simulation(pb)
+    outb = Output(pb)
+    outb.write_exact(simb)
+    simb.run_steps(10, chunk=5)
+    outb.write(simb)
+
+    n_fail, n_nonzero = compare_runs(pa.sim.modelname, pb.sim.modelname, 1,
+                                     verbose=False)
+    assert n_fail == 0 and n_nonzero == 0  # deterministic: bit-exact
+    assert compare_main([pa.sim.modelname, pb.sim.modelname, "1"]) == 0
+
+    # run C: different boundary velocity -> SOMETHING WRONG
+    pc = small_param(tmp_path, name="runc",
+                     bc={"vbc_val_x0": -2e-9})
+    simc = des.Simulation(pc)
+    outc = Output(pc)
+    outc.write_exact(simc)
+    simc.run_steps(10, chunk=5)
+    outc.write(simc)
+    n_fail, _ = compare_runs(pa.sim.modelname, pc.sim.modelname, 1,
+                             verbose=False)
+    assert n_fail > 0
+    assert compare_main([pa.sim.modelname, pc.sim.modelname, "1"]) == 1
