@@ -37,7 +37,10 @@ def flagship_param(nx_cells=512, nz_cells=256, dtype="float32"):
     xlength, zlength = 100e3, 50e3
     resolution = xlength / nx_cells
     return des.param_from_dict({
-        "sim": {"max_steps": 10**9, "ndims": 2, "float_dtype": dtype},
+        "sim": {"max_steps": 10**9, "ndims": 2, "float_dtype": dtype,
+                # measure the hot loop itself, not the output-averaging
+                # accumulators (output.cxx:300-340 is an output feature)
+                "is_outputting_averaged_fields": False},
         "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
                  "xlength": xlength, "ylength": 0.0, "zlength": zlength,
                  "resolution": resolution,

@@ -312,9 +312,13 @@ def elasto_plastic2d_c(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
     si = s0 - rad
     sii = s0 + rad
     ok = rad > _EPS
-    safe_rad = jnp.where(ok, rad, 1.0)
-    cos2t = jnp.where(ok, 0.5 * (szz - sxx) / safe_rad, 1.0)
-    sin2t = jnp.where(ok, -sxz / safe_rad, 0.0)
+    # typed scalar branches: weak python-float scalars in where() become
+    # f64 scalar constants + truncf under x64, which Mosaic rejects
+    one = jnp.asarray(1.0, dtype=rad.dtype)
+    zero = jnp.asarray(0.0, dtype=rad.dtype)
+    safe_rad = jnp.where(ok, rad, one)
+    cos2t = jnp.where(ok, 0.5 * (szz - sxx) / safe_rad, one)
+    sin2t = jnp.where(ok, -sxz / safe_rad, zero)
 
     # sort syy into the (si, sii) pair -> sorted p[0..2] and the positions of
     # the in-plane pair and syy within it (rheology.cxx:537-568)
@@ -323,10 +327,16 @@ def elasto_plastic2d_c(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
     p0 = jnp.where(caseA, si, jnp.where(caseB, syy_t, si))
     p1 = jnp.where(caseA, sii, jnp.where(caseB, si, syy_t))
     p2 = jnp.where(caseA, syy_t, jnp.where(caseB, sii, sii))
-    # sorted-slot indices of si / sii / syy:
-    idx_si = jnp.where(caseA, 0, jnp.where(caseB, 1, 0))
-    idx_sii = jnp.where(caseA, 1, jnp.where(caseB, 2, 2))
-    idx_syy = jnp.where(caseA, 2, jnp.where(caseB, 0, 1))
+    # sorted-slot indices of si / sii / syy: keep everything int32
+    # explicitly -- weak python ints promote to int64 under x64, which the
+    # Pallas TPU trace path cannot convert (infinite recursion in
+    # convert_element_type), and Mosaic has no int64 anyway
+    def _i(v):
+        return jnp.asarray(v, dtype=jnp.int32)
+
+    idx_si = jnp.where(caseA, _i(0), jnp.where(caseB, _i(1), _i(0)))
+    idx_sii = jnp.where(caseA, _i(1), jnp.where(caseB, _i(2), _i(2)))
+    idx_syy = jnp.where(caseA, _i(2), jnp.where(caseB, _i(0), _i(1)))
 
     fmode = jnp.zeros_like(sxx, dtype=jnp.int32)
 
@@ -339,8 +349,8 @@ def elasto_plastic2d_c(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
     t3 = (~t1) & (~t2) & (p2 >= ten_max)
     p1 = jnp.where(t2, ten_max, p1)
     p2 = jnp.where(t2 | t3, ten_max, p2)
-    fmode = fmode + jnp.where(t1, 1, 0) + jnp.where(t2, 2, 0) \
-        + jnp.where(t3, 3, 0)
+    fmode = fmode + jnp.where(t1, _i(1), _i(0)) \
+        + jnp.where(t2, _i(2), _i(0)) + jnp.where(t3, _i(3), _i(0))
 
     # shear yield (rheology.cxx:611-631)
     fs = p0 - p2 * anphi + amc
@@ -352,7 +362,7 @@ def elasto_plastic2d_c(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
     p1s = p1 - alams * (a2 - a2 * anpsi)
     p2s = p2 - alams * (a2 - a1 * anpsi)
     depls = jnp.where(shear, 0.5 * jnp.abs(alams + alams * anpsi), 0.0)
-    fmode = fmode + jnp.where(shear, 10, 0)
+    fmode = fmode + jnp.where(shear, _i(10), _i(0))
 
     # post-shear tensile recheck (rheology.cxx:640-661)
     u1 = shear & (p0s >= ten_max)
@@ -360,7 +370,7 @@ def elasto_plastic2d_c(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
     u3 = shear & (~u1) & (~u2) & (p2s >= ten_max)
     p1s = jnp.where(u2, ten_max, p1s)
     p2s = jnp.where(u2 | u3, ten_max, p2s)
-    fmode = fmode + jnp.where(u1 | u2 | u3, 20, 0)
+    fmode = fmode + jnp.where(u1 | u2 | u3, _i(20), _i(0))
 
     # rotate principal stresses back (rheology.cxx:665-673).  idx is in
     # {0,1,2}: a two-level select stays elementwise (a 3-wide

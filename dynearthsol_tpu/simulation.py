@@ -1008,9 +1008,18 @@ class Simulation:
     # ---- stepping ----
     def _chunk_fn(self, n: int):
         if n not in self._chunk_fns:
-            from .ops import grid2d, grid3d
+            import os
+
+            from .ops import grid2d, grid3d, pallas2d
 
             step = self._step_fn
+            if (pallas2d.pallas_step_applicable(self.param, self.ctx)
+                    and not os.environ.get("DES_NO_PALLAS")):
+                # fused single-kernel Pallas step (ops/pallas2d.py): the
+                # whole dynearthsol.cxx:746-956 sequence in one kernel
+                self._chunk_fns[n] = pallas2d.make_chunk_runner(
+                    self.param, self.ctx, self.compensation_pressure, n)
+                return self._chunk_fns[n]
             gridmod = None
             if grid2d.grid_step_applicable(self.param, self.ctx):
                 gridmod = grid2d
