@@ -132,6 +132,11 @@ def pallas_step_applicable(param: Param, ctx) -> bool:
 
 
 def _pick_tc(nxc: int):
+    import os
+
+    force = os.environ.get("DES_PALLAS_TC")
+    if force and nxc % int(force) == 0:
+        return int(force)
     for tc in (64, 32, 16, 8):
         if nxc % tc == 0:
             return tc
@@ -348,6 +353,35 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
     # dt_maxwell is constant through a chunk: shearm is emw-only
     nmd = bool(ctrl.is_using_mixed_stress)
 
+    # Single-material models have spatially uniform properties: embed them
+    # as compile-time scalars and skip the const-pack DMA entirely (the
+    # mixing means of one material are the material values regardless of
+    # marker weights, matprops.cxx:115-144)
+    uniform_mat = (nmat == 1
+                   and param.ic.temperature_option in (0, 1, 90))
+    CE_CONST = {}
+    if uniform_mat:
+        phi_s = float(tabn.porosity[0])
+        rho0_s = float(tabn.rho0[0])
+        alpha_s = float(tabn.alpha[0])
+        g_s = float(ctrl.gravity)
+        K_s = float(tabn.bulk_modulus[0])
+        G_s = float(tabn.shear_modulus[0])
+        cp_s = float(tabn.heat_capacity[0])
+        ab_s = float(tabn.biot_coeff[0])
+        bf_s = 1.0 / float(tabn.fluid_bulk_modulus[0])
+        CE_CONST = {
+            "radiogenic_source": 0.0,
+            "bulkm": K_s, "shearm": G_s,
+            "kappa": float(tabn.therm_cond[0]),
+            "rhoA": rho0_s, "rhoB": rho0_s * alpha_s,
+            "buoyA": ((1 - phi_s) * rho0_s + 1000.0 * phi_s) * g_s / npe,
+            "buoyB": (1 - phi_s) * rho0_s * alpha_s * g_s / npe,
+            "cpA": cp_s * rho0_s, "cpB": cp_s * rho0_s * alpha_s,
+            "hmA": ((ab_s + phi_s - ab_s * phi_s)
+                    / (K_s + G_s / 3.0) + phi_s * bf_s) / npe,
+        }
+
     # ---------------- kernel-local physics helpers ----------------
 
     def _c(v):
@@ -532,9 +566,10 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         dma_n = pltpu.make_async_copy(
             npack_hbm.at[:, pl.ds(c0, NW), :], n_vm,
             sems.at[jnp.asarray(1, jnp.int32)])
-        dma_ce = pltpu.make_async_copy(
-            cep_hbm.at[:, :, pl.ds(c0, NW), :], ce_vm,
-            sems.at[jnp.asarray(2, jnp.int32)])
+        if not uniform_mat:
+            dma_ce = pltpu.make_async_copy(
+                cep_hbm.at[:, :, pl.ds(c0, NW), :], ce_vm,
+                sems.at[jnp.asarray(2, jnp.int32)])
         dma_cn = pltpu.make_async_copy(
             cnp_hbm.at[:, pl.ds(c0, NW), :], cn_vm,
             sems.at[jnp.asarray(3, jnp.int32)])
@@ -543,12 +578,14 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             sems.at[jnp.asarray(4, jnp.int32)])
         dma_e.start()
         dma_n.start()
-        dma_ce.start()
+        if not uniform_mat:
+            dma_ce.start()
         dma_cn.start()
         dma_t.start()
         dma_e.wait()
         dma_n.wait()
-        dma_ce.wait()
+        if not uniform_mat:
+            dma_ce.wait()
         dma_cn.wait()
         dma_t.wait()
 
@@ -565,17 +602,28 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             return (e_vm[k][:, :CW, :], e_vm[k + 1][:, :CW, :],
                     e_vm[k + 2][:, :CW, :])
 
-        def CE(nm):
-            return ce_vm[_ceslot(nm)][:, :CW, :]
-
         def N(nm):
             return n_vm[_nslot(nm)]
 
-        valid = CE("valid")
-        w = [ce_vm[len(CE_SLOTS) + m][:, :CW, :] for m in range(nmat)]
+        if uniform_mat:
+            def CE(nm):
+                return CE_CONST[nm]
+
+            w = [1.0]
+            # validity from the global column index (ghost cols < 0 or
+            # >= nxc contribute nothing to real nodes)
+            kk = jax.lax.broadcasted_iota(jnp.int32, (CW, nzc), 0) \
+                + (a - jnp.asarray(H, jnp.int32))
+            vmask = (kk >= 0) & (kk < jnp.asarray(nxc, jnp.int32))
+        else:
+            def CE(nm):
+                return ce_vm[_ceslot(nm)][:, :CW, :]
+
+            w = [ce_vm[len(CE_SLOTS) + m][:, :CW, :] for m in range(nmat)]
+            vmask = CE("valid") > 0
 
         vol = E("volume")
-        vol_safe = jnp.where(valid > 0, vol, _c(1.0))
+        vol_safe = jnp.where(vmask, vol, _c(1.0))
         xs = gather_local(N("coord_x"), par)
         zs = gather_local(N("coord_z"), par)
         vxs = gather_local(N("vel_x"), par)
@@ -597,7 +645,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             gtx = dndx[0] * ts[0] + dndx[1] * ts[1] + dndx[2] * ts[2]
             gtz = dndz[0] * ts[0] + dndz[1] * ts[1] + dndz[2] * ts[2]
             contrib = tuple(
-                jnp.where(valid > 0,
+                jnp.where(vmask,
                           kv * (dndx[i] * gtx + dndz[i] * gtz) - source,
                           _c(0.0))
                 for i in range(3))
@@ -615,7 +663,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         sr = (lxx, lzz, lxz)
 
         # dvoldt / edvoldt anti-locking (geometry.cxx:202-276)
-        etmp = jnp.where(valid > 0, (lxx + lzz) * vol, _c(0.0))
+        etmp = jnp.where(vmask, (lxx + lzz) * vol, _c(0.0))
         dvoldt = asm_equal_local(etmp, par) / N("volume_n")
         dvs = gather_local(dvoldt, par)
         edvoldt = (dvs[0] + dvs[1] + dvs[2]) / npe
@@ -639,7 +687,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             s0 = (stress_old[0] + stress_old[1]) / 2.0
             rII2 = 0.25 * (sr[0] - sr[1]) ** 2 + sr[2] ** 2
             ed = jnp.maximum(jnp.sqrt(rII2), MIN_STRAIN_RATE)
-            Tm_safe = jnp.where(valid > 0, temp_e, _c(300.0))
+            Tm_safe = jnp.where(vmask, temp_e, _c(300.0))
             return visc_core_local(w, Tm_safe, s0, ed)
 
         if rheol == RH_ELASTIC:
@@ -650,12 +698,12 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             stress_c = R.viscous2_c(bulkm, viscosity, total_dv, edot)
         elif rheol == RH_MAXWELL:
             viscosity = creep_visc()
-            dv = vol / jnp.where(valid > 0, E("volume_old"), _c(1.0)) \
+            dv = vol / jnp.where(vmask, E("volume_old"), _c(1.0)) \
                 - 1.0
             stress_c = R.maxwell2_c(bulkm, shearm, viscosity, dt, dv, de,
                                     stress_old)
         elif rheol == RH_EP:
-            pls_safe = jnp.where(valid > 0, plstrain, _c(0.0))
+            pls_safe = jnp.where(vmask, plstrain, _c(0.0))
             amc, anphi, anpsi, hardn, ten_max = plastic_props_local(
                 w, pls_safe)
             stress_c, stressyy, depls, _ = R.elasto_plastic2d_c(
@@ -665,12 +713,12 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             delta_plstrain = depls
         elif rheol == RH_EVP:
             viscosity = creep_visc()
-            dv = vol / jnp.where(valid > 0, E("volume_old"), _c(1.0)) \
+            dv = vol / jnp.where(vmask, E("volume_old"), _c(1.0)) \
                 - 1.0
             sv = R.maxwell2_c(bulkm, shearm, viscosity, dt, dv, de,
                               stress_old)
             svII = 0.25 * (sv[0] - sv[1]) ** 2 + sv[2] ** 2
-            pls_safe = jnp.where(valid > 0, plstrain, _c(0.0))
+            pls_safe = jnp.where(vmask, plstrain, _c(0.0))
             amc, anphi, anpsi, hardn, ten_max = plastic_props_local(
                 w, pls_safe)
             sp, spyy, depls, _ = R.elasto_plastic2d_c(
@@ -689,7 +737,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         dpressure = E("dpressure")
         if nmd:
             dpressure = stress_c[0] + stress_c[1] - old_tr
-            dpe = jnp.where(valid > 0, dpressure * vol, _c(0.0))
+            dpe = jnp.where(vmask, dpressure * vol, _c(0.0))
             dp_nd = asm_equal_local(dpe, par) / N("volume_n")
             dps = gather_local(dp_nd, par)
             ddp = ((dps[0] + dps[1] + dps[2]) / npe - dpressure) / 2.0
@@ -699,12 +747,12 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         buoy = CE("buoyA") - CE("buoyB") * TinC if ctrl.gravity != 0 \
             else jnp.zeros_like(vol)
         fx = tuple(jnp.where(
-            valid > 0,
+            vmask,
             (stress_c[0] * dndx[i] + stress_c[2] * dndz[i]) * vol,
             _c(0.0))
             for i in range(3))
         fz = tuple(jnp.where(
-            valid > 0,
+            vmask,
             (stress_c[2] * dndx[i] + stress_c[1] * dndz[i] + buoy) * vol,
             _c(0.0))
             for i in range(3))
@@ -771,19 +819,27 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         vxs2 = gather_local(vel_x, par)
         vzs2 = gather_local(vel_z, par)
         volume_new = volume_of(xs2, zs2)
-        vol2_safe = jnp.where(valid > 0, volume_new, _c(1.0))
+        vol2_safe = jnp.where(vmask, volume_new, _c(1.0))
 
-        # CFL partials over owned cells (geometry.cxx:756-923)
+        # CFL partials over owned cells (geometry.cxx:756-923), only on
+        # dt-refresh steps (every 10th, dynearthsol.cxx:861-871): the
+        # metrics + reductions are ~10% of the kernel's VPU work
         own_c = slice(H, H + TC)
-        vx_m = (vxs2[0] + vxs2[1] + vxs2[2]) / npe
-        vz_m = (vzs2[0] + vzs2[1] + vzs2[2]) / npe
-        vmag = jnp.sqrt(vx_m * vx_m + vz_m * vz_m)
-        minh = min_height(xs2, zs2, vol2_safe)
-        swave = jnp.sqrt(shearm / rho_e)
-        red_ref[0, 0] = jnp.minimum(red_ref[0, 0], minh[:, own_c].min())
-        red_ref[0, 1] = jnp.minimum(red_ref[0, 1],
-                                    (minh / swave)[:, own_c].min())
-        red_ref[0, 2] = jnp.maximum(red_ref[0, 2], vmag[:, own_c].max())
+
+        @pl.when(dt_ref[0, 2] > 0)
+        def _():
+            vx_m = (vxs2[0] + vxs2[1] + vxs2[2]) / npe
+            vz_m = (vzs2[0] + vzs2[1] + vzs2[2]) / npe
+            vmag = jnp.sqrt(vx_m * vx_m + vz_m * vz_m)
+            minh = min_height(xs2, zs2, vol2_safe)
+            swave = jnp.sqrt(shearm / rho_e)
+            red_ref[0, 0] = jnp.minimum(red_ref[0, 0],
+                                        minh[:, own_c].min())
+            red_ref[0, 1] = jnp.minimum(red_ref[0, 1],
+                                        (minh / swave)[:, own_c].min())
+            red_ref[0, 2] = jnp.maximum(red_ref[0, 2],
+                                        vmag[:, own_c].max())
+
         red_ref[0, 3] = red_ref[0, 3] + r2
 
         # (pseudo-)mass matrices (geometry.cxx:1020-1154)
@@ -795,12 +851,12 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         else:
             rho_q = bulkm / (pseudo_speed * pseudo_speed)
         rho_m = rho_q if ctrl.is_quasi_static else rho_e
-        m_c = jnp.where(valid > 0, rho_m * volume_new / npe, _c(0.0))
-        tm_c = jnp.where(valid > 0,
+        m_c = jnp.where(vmask, rho_m * volume_new / npe, _c(0.0))
+        tm_c = jnp.where(vmask,
                          (CE("cpA") - CE("cpB") * TinC) * volume_new / npe,
                          _c(0.0))
-        hm_c = jnp.where(valid > 0, CE("hmA") * volume_new, _c(0.0))
-        vn_c = jnp.where(valid > 0, volume_new, _c(0.0))
+        hm_c = jnp.where(vmask, CE("hmA") * volume_new, _c(0.0))
+        vn_c = jnp.where(vmask, volume_new, _c(0.0))
         volume_n = asm_equal_local(vn_c, par)
         mass_new = asm_equal_local(m_c, par)
         tmass_new = asm_equal_local(tm_c, par)
@@ -900,7 +956,8 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         scratch_shapes=[
             pltpu.VMEM((NE, 2, NW, nzc), dtype),
             pltpu.VMEM((NN, NW, NZP), dtype),
-            pltpu.VMEM((NCE, 2, NW, nzc), dtype),
+            pltpu.VMEM((1, 1, 8, 128) if uniform_mat
+                       else (NCE, 2, NW, nzc), dtype),
             pltpu.VMEM((NCN, NW, NZP), dtype),
             pltpu.VMEM((2, NW, NZP), dtype),
             pltpu.VMEM((NE, 2, TC, nzc), dtype),
@@ -935,14 +992,24 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             ((0, 0), (PADL, PADR), (0, NZP - nz)))
 
         gvs = (s.max_global_vel_mag * ctrl.inertial_scaling).astype(dtype)
-        dt_in = jnp.stack([dt.astype(dtype), gvs]).reshape(1, 2)
+        refresh = (steps % 10 == 0) | bool(ctrl.use_global_velocity_scaling)
+        dt_in = jnp.stack([dt.astype(dtype), gvs,
+                           refresh.astype(dtype),
+                           jnp.asarray(0.0, dtype)]).reshape(1, 4)
+        if uniform_mat:
+            cepack = jnp.zeros((1, 1, 8, 128), dtype)
         eout, nout, red = pallas_fn(dt_in, epack, npack, cepack, cnpack,
                                     tgt_planes)
 
-        # finish the scalar reductions (geometry.cxx:756-923)
+        # finish the scalar reductions (geometry.cxx:756-923); the CFL
+        # metrics only exist on refresh steps -- carry the previous
+        # scalars otherwise (the reference also refreshes dt/vmax on the
+        # 10-step cadence, dynearthsol.cxx:861-871)
         minh = red[0, 0]
-        gdtmin = red[0, 1] / 5.0
-        vmax = jnp.maximum(red[0, 2], max_vbc_val)
+        gdtmin = jnp.where(refresh, red[0, 1] / 5.0, s.global_dt_min)
+        vmax = jnp.where(refresh,
+                         jnp.maximum(red[0, 2], max_vbc_val),
+                         s.max_global_vel_mag)
         l2_res = jnp.sqrt(red[0, 3] / (nx * nz * 2))
 
         big = jnp.asarray(jnp.finfo(dtype).max, dtype=dtype)

@@ -194,3 +194,48 @@ def to_vtk(modelname: str, frame: int, outpath: str | None = None) -> str:
                         "LOOKUP_TABLE default\n")
                 np.savetxt(f, inv, fmt="%.10g")
     return outpath
+
+
+def main(argv=None):
+    """CLI: convert output frames to legacy VTK (the 2vtk.py workflow,
+    2vtk.py:829-889).
+
+    usage: python -m dynearthsol_tpu.postproc modelname [start [end [delta]]]
+    """
+    import sys as _sys
+
+    argv = _sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print(main.__doc__)
+        return 0 if argv else 1
+    modelname = argv[0]
+    r = OutputReader(modelname)
+    frames = sorted(r.frames) if hasattr(r, "frames") else None
+    if frames is None:
+        frames = []
+        k = 0
+        while True:
+            try:
+                r.read_field(k, "coordinate")
+                frames.append(k)
+                k += 1
+            except Exception:
+                break
+    start = int(argv[1]) if len(argv) > 1 else 0
+    end = int(argv[2]) if len(argv) > 2 else (frames[-1] if frames else -1)
+    delta = int(argv[3]) if len(argv) > 3 else 1
+    n = 0
+    for fr in range(start, end + 1, delta):
+        if frames and fr not in frames:
+            continue
+        path = to_vtk(modelname, fr)
+        print(f"frame {fr} -> {path}")
+        n += 1
+    print(f"{n} frames converted")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
