@@ -32,7 +32,133 @@ import jax.numpy as jnp
 import numpy as np
 
 from .constants import (BOUNDX0, BOUNDX1, BOUNDY0, BOUNDY1, BOUNDZ0, BOUNDZ1,
-                        YEAR2SEC)
+                        IBOUNDN0, IBOUNDN3, NBDRYTYPES, YEAR2SEC, dim)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["bcflag"],
+    meta_fields=["normals", "values", "all_types", "edge_vecs", "present"])
+@dataclass(frozen=True)
+class InclinedVBC:
+    """Inclined (BOUNDN0-3) velocity BCs: planar boundaries with an
+    arbitrary unit normal (bc.cxx:462-560; normals and boundary-pair edge
+    vectors from create_boundary_normals, bc.cxx:94-198)."""
+
+    bcflag: jnp.ndarray          # (nnode,) uint32
+    normals: tuple               # 4 tuples of ndims floats (n0..n3)
+    values: tuple                # 4 floats
+    all_types: tuple             # vbc type of each of the 10 boundaries
+    edge_vecs: tuple             # ((i, j, (ndims floats)), ...)
+    present: tuple               # 4 bools
+
+
+def compute_boundary_normals(topo, coord: np.ndarray):
+    """Unit outward normal of each boundary (from its first facet; inclined
+    boundaries are planar by contract) and intersection edge vectors
+    (bc.cxx:94-198)."""
+    ndims = coord.shape[1]
+    d = dim(ndims)
+    nof = np.asarray(d.node_of_facet)
+    normals = np.zeros((NBDRYTYPES, ndims))
+    have = np.zeros(NBDRYTYPES, dtype=bool)
+    for i in range(NBDRYTYPES):
+        bf = topo.bfacets[i]
+        if len(bf) == 0:
+            continue
+        e, f = bf[0]
+        idx = topo.connectivity[e][nof[f]]
+        fc = coord[idx]
+        if ndims == 2:
+            v01 = fc[1] - fc[0]
+            n = np.array([v01[1], -v01[0]])
+        else:
+            n = 0.5 * np.cross(fc[1] - fc[0], fc[2] - fc[0])
+        n = n / max(np.linalg.norm(n), 1e-300)
+        normals[i] = n
+        have[i] = True
+    edge_vecs = []
+    eps = 1e-15
+    for i in range(NBDRYTYPES):
+        if not have[i]:
+            continue
+        for j in range(i + 1, NBDRYTYPES):
+            if not have[j]:
+                continue
+            if ndims == 2:
+                sv = np.array([0.0, 1.0])
+            elif abs(normals[i][-1]) < eps and abs(normals[j][-1]) < eps:
+                sv = np.array([0.0, 0.0, 1.0])
+            else:
+                sv = np.cross(normals[i], normals[j])
+            edge_vecs.append((i, j, tuple(float(x) for x in sv)))
+    return normals, have, edge_vecs
+
+
+def _apply_inclined(spec, vel):
+    """Inclined-boundary vbcs (bc.cxx:462-560): applied after the lateral
+    faces and before Z, sequentially n0..n3 like the reference."""
+    inc = spec.incl
+    flags = inc.bcflag
+    ndims = spec.ndims
+    for ib in range(IBOUNDN0, IBOUNDN3 + 1):
+        k = ib - IBOUNDN0
+        if not inc.present[k]:
+            continue
+        ti = inc.all_types[ib]
+        if ti not in (1, 3, 11, 13):
+            continue
+        n = np.asarray(inc.normals[k])
+        val = inc.values[k]
+        bit = np.uint32(1 << ib)
+        on = (flags & bit) != 0
+        exact = flags == bit
+        nvec = jnp.asarray(n, dtype=vel.dtype)
+        if ti == 3:
+            vel = jnp.where(on[:, None], val * nvec[None, :], vel)
+            continue
+        if ti == 13:
+            fac = 1.0 / np.sqrt(max(1.0 - n[-1] * n[-1], 1e-30))
+            tgt = np.zeros(ndims)
+            tgt[:ndims - 1] = val * fac * n[:ndims - 1]
+            vel = jnp.where(on[:, None],
+                            jnp.asarray(tgt, dtype=vel.dtype)[None, :],
+                            vel)
+            continue
+        # types 1 / 11: set the (horizontal) normal velocity component
+        if ti == 1:
+            nd = ndims
+            fac = 1.0
+        else:
+            nd = ndims - 1
+            fac = 1.0 / np.sqrt(max(1.0 - n[-1] * n[-1], 1e-30))
+
+        def project(v):
+            vn = sum(v[:, dd] * float(n[dd]) for dd in range(nd))
+            upd = v
+            for dd in range(nd):
+                upd = upd.at[:, dd].add((val * fac - vn) * float(n[dd]))
+            return upd
+
+        vel = jnp.where((on & exact)[:, None], project(vel), vel)
+        # intersections with lower-numbered boundaries (bc.cxx:479-506)
+        for ic in range(0, ib):
+            tc = inc.all_types[ic]
+            m_ic = on & (~exact) & ((flags & np.uint32(1 << ic)) != 0)
+            if tc == 0:
+                vel = jnp.where(m_ic[:, None], project(vel), vel)
+            elif tc == 1:
+                ev = None
+                for (ei, ej, e) in inc.edge_vecs:
+                    if ei == ic and ej == ib:
+                        ev = np.asarray(e)
+                if ev is None:
+                    continue
+                ve = sum(vel[:, dd] * float(ev[dd]) for dd in range(ndims))
+                proj = jnp.stack([ve * float(ev[dd])
+                                  for dd in range(ndims)], axis=1)
+                vel = jnp.where(m_ic[:, None], proj, vel)
+    return vel
 
 
 @functools.partial(
@@ -40,7 +166,7 @@ from .constants import (BOUNDX0, BOUNDX1, BOUNDY0, BOUNDY1, BOUNDZ0, BOUNDZ1,
     data_fields=["x0", "x1", "y0", "y1", "z0", "z1",
                  "div_frac_x0", "div_frac_x1", "ratio_x0", "ratio_x1",
                  "period_time_x0", "period_ratio_x0",
-                 "period_time_x1", "period_ratio_x1"],
+                 "period_time_x1", "period_ratio_x1", "incl"],
     meta_fields=["ndims", "types", "values", "values_lateral",
                  "bottom_shear_zone_thickness", "vbc_val_z1_loading_period"])
 @dataclass(frozen=True)
@@ -70,16 +196,38 @@ class VBCSpec:
     period_ratio_x1: np.ndarray
     bottom_shear_zone_thickness: float
     vbc_val_z1_loading_period: float
+    incl: object = None  # InclinedVBC when BOUNDN boundaries exist
 
     @staticmethod
-    def from_param(param, bcflag: np.ndarray) -> "VBCSpec":
+    def from_param(param, bcflag: np.ndarray, topo=None,
+                   coord: np.ndarray = None) -> "VBCSpec":
         bc = param.bc
         flags = np.asarray(bcflag)
+
+        incl = None
+        n_bits = sum(1 << ib for ib in range(IBOUNDN0, IBOUNDN3 + 1))
+        if topo is not None and coord is not None \
+                and (flags & np.uint32(n_bits)).any():
+            normals, have, edge_vecs = compute_boundary_normals(topo, coord)
+            all_types = (bc.vbc_x0, bc.vbc_x1, bc.vbc_y0, bc.vbc_y1,
+                         bc.vbc_z0, bc.vbc_z1, bc.vbc_n0, bc.vbc_n1,
+                         bc.vbc_n2, bc.vbc_n3)
+            incl = InclinedVBC(
+                bcflag=jnp.asarray(flags.astype(np.uint32)),
+                normals=tuple(tuple(float(x)
+                                    for x in normals[IBOUNDN0 + k])
+                              for k in range(4)),
+                values=(bc.vbc_val_n0, bc.vbc_val_n1, bc.vbc_val_n2,
+                        bc.vbc_val_n3),
+                all_types=all_types,
+                edge_vecs=tuple(edge_vecs),
+                present=tuple(bool(have[IBOUNDN0 + k]) for k in range(4)))
 
         def mask(bit):
             return jnp.asarray((flags & bit) != 0)
 
         return VBCSpec(
+            incl=incl,
             ndims=param.sim.ndims,
             x0=mask(BOUNDX0), x1=mask(BOUNDX1),
             y0=mask(BOUNDY0), y1=mask(BOUNDY1),
@@ -231,6 +379,10 @@ def _apply_vbcs_2d(spec: VBCSpec, vel, coord, time):
     elif tx1 == 100:
         vel = _set(vel, m, 0, vx1 * x)
 
+    # --- inclined N boundaries (bc.cxx:462-560) ---
+    if spec.incl is not None:
+        vel = _apply_inclined(spec, vel)
+
     # --- Z last (bc.cxx:563-629) ---
     m = spec.z0
     if tz0 == 1:
@@ -304,6 +456,10 @@ def _apply_vbcs_3d(spec: VBCSpec, vel, coord, time):
             vel = _set(vel, m, li, 0.0)
         elif typ == 100:
             vel = _set(vel, m, ni, val * coord[:, ni])
+
+    # inclined N boundaries before Z (bc.cxx:462-563 ordering)
+    if spec.incl is not None:
+        vel = _apply_inclined(spec, vel)
 
     z = coord[:, 2]
     m = spec.z0

@@ -122,6 +122,10 @@ def pallas_step_applicable(param: Param, ctx) -> bool:
     if ctx.sbc.n_grav > 0 or ctx.sbc.n_neu > 0 \
             or param.bc.has_elastic_foundation:
         return False
+    if ctx.vbc.incl is not None:
+        # inclined-boundary projections depend on the current velocity,
+        # which the mask/target vbc extraction cannot represent
+        return False
     nx, nz = ctx.sgrid
     nxc, nzc = nx - 1, nz - 1
     if nzc % 128 != 0:

@@ -702,7 +702,8 @@ def remesh_simulation(sim, bad_quality: int):
         elem_mask=jnp.ones(topo2.nelem, dtype=dtype),
         top_mask=jnp.asarray((topo2.bcflag & BOUNDZ1) != 0),
         pp_bc_mask=jnp.asarray(bc_mod.pp_bc_mask(param.bc, topo2.bcflag)),
-        vbc=bc_mod.VBCSpec.from_param(param, topo2.bcflag),
+        vbc=bc_mod.VBCSpec.from_param(param, topo2.bcflag, topo=topo2,
+                                      coord=new_coord),
         sbc=bc_mod.StressBCSpec.from_topo(param, topo2),
         mat=mat_tables, surf=SP_mod.make_surf_info(topo2),
         max_vbc_val=sim.ctx.max_vbc_val, sgrid=None)

@@ -597,7 +597,8 @@ class Simulation:
             elem_mask=jnp.ones(topo.nelem, dtype=self.dtype),
             top_mask=jnp.asarray((topo.bcflag & BOUNDZ1) != 0),
             pp_bc_mask=jnp.asarray(bc_mod.pp_bc_mask(param.bc, topo.bcflag)),
-            vbc=bc_mod.VBCSpec.from_param(param, topo.bcflag),
+            vbc=bc_mod.VBCSpec.from_param(param, topo.bcflag, topo=topo,
+                                          coord=self.mesh.coord),
             sbc=bc_mod.StressBCSpec.from_topo(param, topo),
             mat=mat_tables, surf=SP.make_surf_info(topo),
             max_vbc_val=max_vbc_val, sgrid=_detect_sgrid(topo))

@@ -131,3 +131,60 @@ def test_pt_loop_accelerates_equilibrium():
     sim.run_steps(30, chunk=10)
     szz = np.asarray(sim.state.stress)[:, 1]
     assert abs(szz.mean() + 1e5) / 1e5 < 0.05, szz.mean()
+
+
+def test_inclined_boundary_vbcs():
+    """Inclined (BOUNDN) velocity BCs (bc.cxx:462-560): normal-velocity
+    projection (type 1), full normal prescription (type 3), and the
+    edge-parallel projection at intersections with a type-1 X face."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from dynearthsol_tpu import bc as bc_mod
+    from dynearthsol_tpu.constants import IBOUNDN0, IBOUNDX0
+
+    n = np.array([np.cos(np.deg2rad(30)), np.sin(np.deg2rad(30))])
+    nnode = 4
+    flags = np.zeros(nnode, dtype=np.uint32)
+    flags[0] = 1 << IBOUNDN0                      # pure inclined node
+    flags[1] = (1 << IBOUNDN0) | (1 << IBOUNDX0)  # corner with X0
+    flags[2] = 1 << IBOUNDN0
+    coord = np.zeros((nnode, 2))
+
+    class P:
+        pass
+
+    param = type("Param", (), {})()  # minimal param for from_param
+    from dynearthsol_tpu.config import Param as RealParam
+    param = RealParam()
+    param.sim.ndims = 2
+    param.bc.vbc_x0 = 1
+    param.bc.vbc_val_x0 = -2e-9
+    param.bc.vbc_n0 = 1
+    param.bc.vbc_val_n0 = 3e-9
+    spec = bc_mod.VBCSpec.from_param(param, np.zeros(nnode, np.uint32))
+    incl = bc_mod.InclinedVBC(
+        bcflag=jnp.asarray(flags),
+        normals=(tuple(n), (0.0, 0.0), (0.0, 0.0), (0.0, 0.0)),
+        values=(3e-9, 0.0, 0.0, 0.0),
+        all_types=(1, 0, 0, 0, 0, 0, 1, 0, 0, 0),
+        edge_vecs=((IBOUNDX0, IBOUNDN0, (0.0, 1.0)),),
+        present=(True, False, False, False))
+    spec = dc.replace(spec, incl=incl)
+
+    vel0 = jnp.asarray(np.array([[1e-9, -4e-10],
+                                 [1e-9, -4e-10],
+                                 [5e-10, 2e-10],
+                                 [7e-10, 7e-10]]))
+    out = np.asarray(bc_mod.apply_vbcs(spec, vel0, jnp.asarray(coord), 0.0))
+    # type-1 ordinary: normal component = value, tangential preserved
+    t = np.array([-n[1], n[0]])
+    for i in (0, 2):
+        assert abs(out[i] @ n - 3e-9) < 1e-18
+        assert abs(out[i] @ t - np.asarray(vel0)[i] @ t) < 1e-18
+    # corner with type-1 X0: velocity parallel to the edge vector (0,1)
+    assert abs(out[1][0]) < 1e-18
+    assert abs(out[1][1] - np.asarray(vel0)[1][1]) < 1e-18
+    # untouched node
+    assert np.allclose(out[3], np.asarray(vel0)[3])
