@@ -605,6 +605,12 @@ def remesh_simulation(sim, bad_quality: int):
                 sim.init_elem_size_n)
         new_coord, new_conn, new_bcflag = generate_new_mesh_2d(
             param, old_coord, topo, seed, h=h_field)
+        if param.mesh.meshing_elem_shape == 0:
+            # renumbering_mesh after unstructured regeneration
+            # (remeshing.cxx:2970-2974)
+            from .mesh.generate import renumber_mesh
+            new_coord, new_conn, _, new_bcflag = renumber_mesh(
+                new_coord, new_conn, bcflag=new_bcflag)
     else:
         if (param.mesh.meshing_elem_shape == 0
                 and param.mesh.use_mesh_optimizer):

@@ -78,3 +78,36 @@ def test_shape_fn_partition_of_unity(ndims):
     grad_x = jnp.einsum("nid,nie->nde", dnd, x)
     eye = np.broadcast_to(np.eye(ndims), grad_x.shape)
     np.testing.assert_allclose(np.asarray(grad_x), eye, atol=1e-9)
+
+
+def test_renumbering_mesh():
+    """renumbering_mesh (mesh.cxx:2675-2795): nodes sorted along the
+    longest axis, elements by centroid; geometry and regattr preserved."""
+    from dynearthsol_tpu.mesh.generate import (renumber_mesh,
+                                               unstructured_box_2d)
+
+    md = unstructured_box_2d(30e3, 10e3, 2e3)
+    rng = np.random.default_rng(0)
+    ra = rng.integers(0, 3, md.connectivity.shape[0])
+    # per-element signature (sorted coords) must survive the renumbering
+    def sig(coord, conn, order=None):
+        c = coord[conn]
+        cc = np.sort(c.reshape(c.shape[0], -1), axis=1)
+        return cc
+
+    coord2, conn2, ra2, _ = renumber_mesh(md.coord, md.connectivity, ra)
+    # nodes monotone along x (longest axis)
+    assert (np.diff(coord2[:, 0]) >= 0).all()
+    # same element set: match by sorted-coordinate signature
+    s1 = {tuple(r) for r in np.round(sig(md.coord, md.connectivity), 6)}
+    s2 = {tuple(r) for r in np.round(sig(coord2, conn2), 6)}
+    assert s1 == s2
+    # element centroids monotone along x
+    cx = coord2[conn2].mean(axis=1)[:, 0]
+    assert (np.diff(cx) >= 0).all()
+    # regattr follows its element
+    cent_old = md.coord[md.connectivity].mean(axis=1)
+    cent_new = coord2[conn2].mean(axis=1)
+    from scipy.spatial import cKDTree
+    _, idx = cKDTree(cent_old).query(cent_new)
+    assert (ra[idx] == ra2).all()
