@@ -24,6 +24,7 @@ class Monitor:
         self.param = param
         mon = param.monitor
         self.enabled = mon.enabled and mon.num_points > 0
+        self._files = []
         if not self.enabled:
             self.points = np.zeros((0, param.sim.ndims))
             return
