@@ -76,7 +76,12 @@ def run(param, argv_echo: str = ""):
             out.write_checkpoint(sim)
         out.write_exact(sim)
 
-    from .runtime_info import report_mesh_info, report_runtime_status
+    from .runtime_info import (report_mesh_info, report_runtime_status,
+                               write_provenance)
+    try:
+        write_provenance(p, argv_echo)
+    except OSError:
+        pass
 
     print(report_runtime_status())
     print(report_mesh_info(sim))

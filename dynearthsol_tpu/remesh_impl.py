@@ -804,21 +804,44 @@ def remap_markers(ms, old_coord, old_conn, new_coord, new_conn, param,
             k = param.markers.markers_per_element - int(count[e])
             if k <= 0:
                 continue
-            # inherit the element's dominant material; if empty, copy the
-            # nearest marker's material (markerset.cxx:1148-1278)
-            if count[e] > 0:
-                mat = int(np.argmax(hist[e]))
-            else:
-                cent = new_coord[new_conn[e]].mean(axis=0)
-                d2 = ((pts[: ms.n] - cent) ** 2).sum(axis=1) \
-                    if ms.n else None
-                mat = int(ms.mattype[int(np.argmin(d2))]) if ms.n else 0
             add_elems += [e] * k
-            add_mattype += [mat] * k
         if add_elems:
             eta_new = random_barycentric(len(add_elems), npe, rng)
             elems = np.asarray(add_elems, dtype=np.int32)
             p_new = bary_to_coord(new_coord, new_conn, elems, eta_new)
+            opt = param.markers.replenishment_option
+            if opt == 0:
+                # always material 0 (replenish_markers_with_mattype_0,
+                # markerset.cxx:1148-1174)
+                add_mattype = np.zeros(len(add_elems), dtype=np.int32)
+            elif opt == 1:
+                # sample from the element's marker histogram as a CPDF
+                # (replenish_markers_with_mattype_from_cpdf,
+                # markerset.cxx:1177-1303); empty elements fall back to
+                # the nearest marker's material
+                add_mattype = np.zeros(len(add_elems), dtype=np.int32)
+                mark_pts = (bary_to_coord(new_coord, new_conn,
+                                          ms.live("elem"), ms.live("eta"))
+                            if ms.n else None)
+                for i, e in enumerate(add_elems):
+                    tot = hist[e].sum()
+                    if tot > 0:
+                        add_mattype[i] = rng.choice(nmat, p=hist[e] / tot)
+                    elif ms.n:
+                        d2 = ((mark_pts - p_new[i]) ** 2).sum(axis=1)
+                        add_mattype[i] = ms.mattype[int(np.argmin(d2))]
+            else:
+                # nearest existing marker's material
+                # (replenish_markers_with_mattype_from_nn,
+                # markerset.cxx:1306-1475)
+                if ms.n:
+                    mark_pts = bary_to_coord(new_coord, new_conn,
+                                             ms.live("elem"),
+                                             ms.live("eta"))
+                    _, nn_i = cKDTree(mark_pts).query(p_new)
+                    add_mattype = ms.mattype[: ms.n][nn_i].astype(np.int32)
+                else:
+                    add_mattype = np.zeros(len(add_elems), dtype=np.int32)
             ms.append(eta_new, elems, np.asarray(add_mattype,
                                                  dtype=np.int32),
                       z=p_new[:, -1], distance=p_new[:, 0], genesis=1)
