@@ -26,11 +26,27 @@ import jax
 
 import dynearthsol_tpu as des
 
-# Estimated reference (DES3D, 64-core OpenMP) throughput on a ~260k-element
-# 2D EVP model: ~10 element passes + ~6 node passes per step, memory bound.
-# This stands in for the unpublished baseline until a reference measurement
-# exists (BASELINE.md: "publishes no absolute throughput numbers").
-REF_BASELINE_ELEMSTEPS_PER_S = 2.0e8
+def _reference_baseline():
+    """64-core OpenMP reference throughput on the flagship workload.
+
+    tools/measure_reference_baseline.py runs the in-container reference
+    build (refbuild/dynearthsol2d) on the SAME 512x256 EVP model and
+    records its own s/step metric; the baseline is that single-core
+    measurement x 64 (perfect-scaling assumption — real OpenMP scaling of
+    this memory-bound code is sublinear, so this overstates the baseline
+    and understates our speedup).  Falls back to the round-1 estimate when
+    the measurement file is absent."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "reference_baseline.json")
+    try:
+        with open(path) as f:
+            meas = json.load(f)
+        return meas["elemsteps_per_s_1core"] * 64.0
+    except (OSError, KeyError, ValueError):
+        return 2.0e8  # round-1 estimate
+
+
+REF_BASELINE_ELEMSTEPS_PER_S = _reference_baseline()
 
 
 def flagship_param(nx_cells=512, nz_cells=256, dtype="float32"):
@@ -66,30 +82,50 @@ def flagship_param(nx_cells=512, nz_cells=256, dtype="float32"):
     })
 
 
-def main():
-    chunk = 250
-    bench_steps = 500
-    param = flagship_param()
+def _measure(param, chunk=250, bench_steps=500):
     sim = des.Simulation(param)
     nelem = sim.topo.nelem
-
     # warmup run uses the SAME chunk length: exactly one scan compile
     sim.run_steps(chunk, chunk=chunk)
     jax.block_until_ready(sim.state.coord)
-
     t0 = time.perf_counter()
     sim.run_steps(bench_steps, chunk=chunk)
     jax.block_until_ready(sim.state.coord)
     elapsed = time.perf_counter() - t0
+    return nelem * bench_steps / elapsed, nelem
 
-    elemsteps_per_s = nelem * bench_steps / elapsed
-    print(json.dumps({
-        "metric": "evp2d_element_steps_per_sec",
-        "value": round(elemsteps_per_s, 1),
-        "unit": "elem*steps/s",
-        "vs_baseline": round(elemsteps_per_s / REF_BASELINE_ELEMSTEPS_PER_S,
-                             4),
-    }))
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", default="flagship",
+                    choices=["flagship", "unstructured"],
+                    help="flagship: structured 512x256 2D EVP (Pallas "
+                         "path); unstructured: same physics on an "
+                         "unstructured Delaunay mesh — the generic-gather "
+                         "path every post-remesh production run lives on")
+    args = ap.parse_args(argv)
+
+    if args.case == "flagship":
+        rate, _ = _measure(flagship_param())
+        print(json.dumps({
+            "metric": "evp2d_element_steps_per_sec",
+            "value": round(rate, 1),
+            "unit": "elem*steps/s",
+            "vs_baseline": round(rate / REF_BASELINE_ELEMSTEPS_PER_S, 4),
+        }))
+    else:
+        param = flagship_param()
+        param.mesh.meshing_elem_shape = 0  # unstructured -> generic path
+        rate, nelem = _measure(param, chunk=100, bench_steps=200)
+        print(json.dumps({
+            "metric": "evp2d_unstructured_element_steps_per_sec",
+            "value": round(rate, 1),
+            "unit": "elem*steps/s",
+            "nelem": nelem,
+            "vs_baseline": round(rate / REF_BASELINE_ELEMSTEPS_PER_S, 4),
+        }))
 
 
 if __name__ == "__main__":

@@ -48,6 +48,12 @@ def _next_event_step(sim, next_regular_frame, starting_step, mon=None):
         candidates.append(steps + p.sim.earthquake_output_step_interval)
     if p.mat.nmat > 1 and p.mat.phase_change_option != 0:
         candidates.append(steps + 10)  # dynearthsol.cxx:861-871 cadence
+    if p.control.surface_process_option == 11 \
+            and getattr(sim, "gospl", None) is not None:
+        candidates.append(steps + sim.gospl.steps_to_next_coupling())
+    elif p.control.surface_process_option == 101:
+        # the reference calls the custom hook every step (bc.cxx case 101)
+        candidates.append(steps + 1)
     candidates.append(p.sim.max_steps)
     return max(min(candidates), steps + 1)
 
@@ -90,8 +96,25 @@ def run(param, argv_echo: str = ""):
     mon.write_if_due(sim)  # row at the starting step (monitor_initialize)
     eq = EarthquakeState.init(p)
 
+    # GoSPL landscape-evolution coupling (surface_process_option 11,
+    # dynearthsol.cxx:632-709 init; bc.cxx:1104-1256 per-event exchange)
+    if p.control.surface_process_option == 11 \
+            and getattr(sim, "gospl", None) is None:
+        from .gospl_driver import GoSPLDriver
+        try:
+            sim.gospl = GoSPLDriver(p)
+            import numpy as _np
+            top = _np.asarray(sim.ctx.surf.top_nodes)
+            coord0 = _np.asarray(sim.state.coord)
+            sim.gospl.initialize(p.control.surface_process_gospl_config_file,
+                                 coord0[top, :-1], coord0[top, -1])
+        except ImportError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            sys.exit(1)
+
     next_regular_frame = 1
     last_phase_time = starting_time
+    last_wake_step, last_wake_time = starting_step, starting_time
     max_time = p.sim.max_time_in_yr * YEAR2SEC
     t_compute_ns = 0
     t_output_ns = 0
@@ -111,6 +134,36 @@ def run(param, argv_echo: str = ""):
 
         steps = int(sim.state.steps)
         now = float(sim.state.time)
+
+        # fatal-dt contract (geometry.cxx:912-917): emergency frame + exit 11
+        dt_now = float(sim.state.dt)
+        if not (dt_now > 0.0):
+            print(f"Error: dt <= 0!  dt={dt_now} at step {steps}",
+                  file=sys.stderr)
+            out.write_exact(sim)
+            sys.exit(11)
+
+        # externally-driven surface processes at host boundaries:
+        # GoSPL coupling (option 11, bc.cxx:1104-1256) and the custom
+        # hook (option 101, bc.cxx case 101)
+        if p.control.surface_process_option == 11 \
+                and getattr(sim, "gospl", None) is not None:
+            if sim.gospl.should_couple_elapsed(steps - last_wake_step,
+                                               now - last_wake_time):
+                coord_h = np.asarray(sim.state.coord)
+                vel_h = np.asarray(sim.state.vel)
+                top = np.asarray(sim.ctx.surf.top_nodes)
+                dh_top = sim.gospl.run_and_get_erosion(
+                    coord_h[top, :-1], coord_h[top, -1], vel_h[top])
+                sim.apply_host_surface_dh(dh_top)
+        elif p.control.surface_process_option == 101:
+            from .hooks import get_custom_surface_process
+            hook = get_custom_surface_process()
+            if hook is not None:
+                dh_top = hook(sim, now - last_wake_time)
+                if dh_top is not None:
+                    sim.apply_host_surface_dh(dh_top)
+        last_wake_step, last_wake_time = steps, now
 
         mon.write_if_due(sim)
         update_earthquake_tracking(p, sim, eq)
@@ -175,6 +228,8 @@ def run(param, argv_echo: str = ""):
                 mon.before_remesh(sim)
                 remesh(sim, bad)
                 mon.rebind(sim)
+                if getattr(sim, "gospl", None) is not None:
+                    sim.gospl.on_remesh()  # dynearthsol.cxx:632-709
                 if p.sim.has_output_during_remeshing:
                     out.write_exact(sim)
                 t_remesh_ns += _time.monotonic_ns() - t0

@@ -34,7 +34,8 @@ def first_invariant(t: np.ndarray) -> np.ndarray:
 
 
 def _frame_quantities(reader: OutputReader, frame: int,
-                      markersetname: str = "markerset") -> dict:
+                      markersetname: str = "markerset",
+                      include_markers: bool = True) -> dict:
     q = {}
     q["Temperature"] = reader.read_field(frame, "temperature")
     coord = reader.read_field(frame, "coordinate")
@@ -54,6 +55,8 @@ def _frame_quantities(reader: OutputReader, frame: int,
     q["S. rate I"] = first_invariant(sr)
     q["S. rate II"] = second_invariant(sr)
     q["Viscosity"] = reader.read_field(frame, "viscosity")
+    if not include_markers:
+        return q
     try:
         mk = reader.read_markers(frame, markersetname)
         mc = mk[markersetname + ".coord"]
@@ -77,11 +80,15 @@ def reldiff(oldf: np.ndarray, newf: np.ndarray):
 
 
 def compare_runs(old_model: str, new_model: str, frame: int,
-                 verbose: bool = True):
+                 verbose: bool = True, include_markers: bool = True):
     """Compare one frame of two runs.  Returns (n_fail, n_nonzero):
-    fields over threshold, and fields with any nonzero difference."""
-    old = _frame_quantities(OutputReader(old_model), frame)
-    new = _frame_quantities(OutputReader(new_model), frame)
+    fields over threshold, and fields with any nonzero difference.
+    ``include_markers=False`` limits the comparison to field quantities
+    (used by cross-code golden gates, where marker RNG streams differ)."""
+    old = _frame_quantities(OutputReader(old_model), frame,
+                            include_markers=include_markers)
+    new = _frame_quantities(OutputReader(new_model), frame,
+                            include_markers=include_markers)
     n_fail = n_nonzero = 0
     for kind in old:
         a = old[kind]

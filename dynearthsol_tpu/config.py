@@ -126,6 +126,13 @@ class Mesh:
     # refines where plastic strain localizes (compute_metric_field,
     # remeshing.cxx:2159-2178)
     use_mesh_optimizer: bool = False
+    # framework extension (no reference counterpart): take the initial mesh
+    # verbatim from another run's output frame (<prefix>.save.NNNNNN +
+    # .chkpt.NNNNNN).  Used by the golden-vs-reference gates to run our
+    # numerics on the reference binary's exact mesh, isolating field
+    # parity from mesh-generation differences.
+    mesh_from_run: str = ""
+    mesh_from_run_frame: int = 0
 
 
 @dataclass
@@ -156,6 +163,12 @@ class Control:
     surface_pressure_correction: bool = False
     is_using_mixed_stress: bool = True
     surface_process_option: int = 0
+    # framework extension (no reference counterpart): the reference runs
+    # correct_surface_element (bc.cxx:1613-1665) every step even with no
+    # surface process, zeroing the volumetric dv of every element touching
+    # the free surface.  Default yes = reference-faithful; the pure
+    # analytic benchmarks switch it off to recover textbook homogeneity.
+    has_surface_correction: bool = True
     surface_diffusivity: float = 1e-6
     surf_diff_ratio_terrig: float = 1.0
     surf_diff_ratio_marine: float = 1.0
@@ -309,6 +322,8 @@ class IC:
     weakzone_segments_halfwidth: List[float] = _dlist(1.5)
     weakzone_segments_x_min: List[float] = _dlist(0.0)
     weakzone_segments_x_max: List[float] = _dlist(1.0)
+    weakzone_segments_y_min: List[float] = _dlist(0.0)
+    weakzone_segments_y_max: List[float] = _dlist(1.0)
     weakzone_segments_depth_min: List[float] = _dlist(0.0)
     weakzone_segments_depth_max: List[float] = _dlist(1.0)
     weakzone_segments_y_min: List[float] = _dlist(0.0)
@@ -619,7 +634,6 @@ def load_config(path: str) -> Param:
     if unknowns:
         import warnings
         warnings.warn(f"ignoring unknown config options: {', '.join(unknowns)}")
-    param = validate(param)
     # auxiliary input files are referenced relative to the config file
     # (the reference is run from the cfg's directory)
     cfg_dir = os.path.dirname(os.path.abspath(path))
@@ -631,7 +645,23 @@ def load_config(path: str) -> Param:
             cand = os.path.join(cfg_dir, fn)
             if os.path.exists(cand):
                 setattr(attr_obj, attr, cand)
-    return param
+    # mesh_from_run is a run prefix, not a file: resolve via its .info
+    mfr = param.mesh.mesh_from_run
+    if mfr and not os.path.isabs(mfr) and not os.path.exists(mfr + ".info"):
+        cand = os.path.join(cfg_dir, mfr)
+        if os.path.exists(cand + ".info"):
+            param.mesh.mesh_from_run = cand
+    if param.mesh.mesh_from_run:
+        # the save-file header is authoritative for the dimensionality
+        # (the reference selects 2D/3D by binary, not by config option —
+        # constants.hpp:12-16 -DTHREED)
+        from .io.tagged import TaggedReader
+
+        frame = param.mesh.mesh_from_run_frame
+        r = TaggedReader(f"{param.mesh.mesh_from_run}.save.{frame:06d}")
+        param.sim.ndims = r.ndims
+        r.close()
+    return validate(param)
 
 
 def param_from_dict(d: dict) -> Param:

@@ -44,12 +44,10 @@ class GoSPLDriver:
                 "in the reference for the coupled model description")
         ctrl = param.control
         self.param = param
-        self.coupling_by_time = getattr(
-            ctrl, "gospl_coupling_by_time", False)
-        self.coupling_frequency = getattr(
-            ctrl, "gospl_coupling_frequency", 10)
-        self.coupling_interval = getattr(
-            ctrl, "gospl_coupling_interval_in_yr", 0.0) * YEAR2SEC
+        self.coupling_by_time = ctrl.gospl_coupling_mode == "time"
+        self.coupling_frequency = ctrl.gospl_coupling_frequency
+        self.coupling_interval = ctrl.gospl_coupling_interval_in_yr \
+            * YEAR2SEC
         self.step_counter = 0
         self.accumulated_dt = 0.0
         self.needs_elevation_reset = True
@@ -76,11 +74,23 @@ class GoSPLDriver:
         self.model.hGlobal.setArray(elev[idx])
 
     def should_couple(self, dt: float) -> bool:
-        self.step_counter += 1
-        self.accumulated_dt += dt
+        return self.should_couple_elapsed(1, dt)
+
+    def should_couple_elapsed(self, n_steps: int, dt_elapsed: float) -> bool:
+        """Advance the coupling accumulators by a chunk of steps (the
+        host-boundary form of the per-step counters, bc.cxx:1113-1125)."""
+        self.step_counter += n_steps
+        self.accumulated_dt += dt_elapsed
         if self.coupling_by_time:
             return self.accumulated_dt >= self.coupling_interval
         return self.step_counter >= self.coupling_frequency
+
+    def steps_to_next_coupling(self) -> int:
+        """Upper bound on steps until the next coupling event (drives the
+        host wake-up scheduler in steps mode)."""
+        if self.coupling_by_time:
+            return 10  # time mode: re-check at the slow-update cadence
+        return max(1, self.coupling_frequency - self.step_counter)
 
     def run_and_get_erosion(self, surface_xy: np.ndarray,
                             surface_elev: np.ndarray,

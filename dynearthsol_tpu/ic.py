@@ -62,10 +62,15 @@ def initial_temperature(param, coord: np.ndarray) -> np.ndarray:
     ndims = coord.shape[1]
     z = coord[:, ndims - 1]
     if ic.temperature_option == 0:
-        # half-space cooling (ic.cxx:841-853)
+        # half-space cooling (ic.cxx:841-853).  The reference computes the
+        # diffusivity from mat.rho(0) — the T-dependent density evaluated
+        # while the temperature array is still zero-initialized, i.e.
+        # rho0 * (1 + 273*alpha) (matprops.cxx:565-587 with T = 0 K).
+        # Replicated exactly: the golden field gates (0.25% T difference
+        # at depth otherwise) depend on it.
         age = ic.oceanic_plate_age_in_yr * YEAR2SEC
         k0 = param.mat.therm_cond[0]
-        rho0 = param.mat.rho0[0]
+        rho0 = param.mat.rho0[0] * (1.0 + 273.0 * param.mat.alpha[0])
         cp0 = param.mat.heat_capacity[0]
         diffusivity = k0 / rho0 / cp0
         w = -z / np.sqrt(4 * diffusivity * age)
@@ -353,20 +358,24 @@ def initial_weak_zone(param, coord: np.ndarray, conn: np.ndarray
         x0 = ic.weakzone_xcenter * param.mesh.xlength
         z0 = -ic.weakzone_zcenter * param.mesh.zlength
         halfwidth = ic.weakzone_halfwidth * param.mesh.resolution
-        incl = np.tan(np.deg2rad(ic.weakzone_inclination))
+        # Planar_zone containment (ic.cxx:54-94): the plane satisfies
+        # dx - tan(az)*dy + cot(incl)*dz = 0 and the band half-width is
+        # measured ALONG X, not perpendicular to the plane
+        cot_i = 1.0 / np.tan(np.deg2rad(ic.weakzone_inclination))
         dx = c[:, 0] - x0
         dz = c[:, ndims - 1] - z0
-        # distance from inclined plane (2D): |dx - dz/tan(incl)| * sin(incl)
-        sin_i = np.sin(np.deg2rad(ic.weakzone_inclination))
-        dist = np.abs(dx * sin_i - dz * np.cos(np.deg2rad(ic.weakzone_inclination)))
+        t = dx + cot_i * dz
+        if ndims == 3:
+            y0 = ic.weakzone_ycenter * param.mesh.ylength
+            t = t - np.tan(np.deg2rad(ic.weakzone_azimuth)) * (c[:, 1] - y0)
         zmin = -ic.weakzone_depth_max * param.mesh.zlength
         zmax = -ic.weakzone_depth_min * param.mesh.zlength
-        inz = (c[:, ndims - 1] >= zmin) & (c[:, ndims - 1] <= zmax)
-        sel = (dist <= halfwidth) & inz
+        sel = (np.abs(t) < halfwidth) \
+            & (c[:, ndims - 1] > zmin) & (c[:, ndims - 1] < zmax)
         if ndims == 3:
             ymin = ic.weakzone_y_min * param.mesh.ylength
             ymax = ic.weakzone_y_max * param.mesh.ylength
-            sel &= (c[:, 1] >= ymin) & (c[:, 1] <= ymax)
+            sel &= (c[:, 1] > ymin) & (c[:, 1] < ymax)
         plstrain[sel] = ic.weakzone_plstrain
         return plstrain
     if opt == 2:
@@ -402,38 +411,57 @@ def initial_weak_zone(param, coord: np.ndarray, conn: np.ndarray
             sig = ic.weakzone_standard_deviation
             shift = ic.weakzone_gaussian_amplitude * np.exp(
                 -((c[:, 1] - y0) ** 2) / (2.0 * sig * sig))
+        # Gaussian_planar_zone containment (ic.cxx:196-241): same x-measured
+        # band as option 1; the map-view shift and azimuth only exist in 3D
         dx = c[:, 0] - (x0 + shift)
         dz = c[:, ndims - 1] - z0
-        inc = np.deg2rad(ic.weakzone_inclination)
-        dist = np.abs(dx * np.sin(inc) - dz * np.cos(inc))
+        cot_i = 1.0 / np.tan(np.deg2rad(ic.weakzone_inclination))
+        t = dx + cot_i * dz
+        if ndims == 3:
+            y0 = ic.weakzone_ycenter * param.mesh.ylength
+            t = t - np.tan(np.deg2rad(ic.weakzone_azimuth)) * (c[:, 1] - y0)
         zmin = -ic.weakzone_depth_max * param.mesh.zlength
         zmax = -ic.weakzone_depth_min * param.mesh.zlength
-        sel = (dist <= halfwidth) & (c[:, ndims - 1] >= zmin) \
-            & (c[:, ndims - 1] <= zmax)
+        sel = (np.abs(t) < halfwidth) & (c[:, ndims - 1] > zmin) \
+            & (c[:, ndims - 1] < zmax)
         if ndims == 3:
-            sel &= (c[:, 1] >= ic.weakzone_y_min * param.mesh.ylength) \
-                & (c[:, 1] <= ic.weakzone_y_max * param.mesh.ylength)
+            sel &= (c[:, 1] > ic.weakzone_y_min * param.mesh.ylength) \
+                & (c[:, 1] < ic.weakzone_y_max * param.mesh.ylength)
         plstrain[sel] = ic.weakzone_plstrain
         return plstrain
     if opt == 5:
-        # multiple planar segments (ic.cxx:582-657)
+        # multiple general planar segments with the unit-normal
+        # formulation (General_planar_zone, ic.cxx:143-194):
+        # n = (-cos(az)*sin(incl), [sin(az)*sin(incl),] -cos(incl)),
+        # |n . (x - x0)| < halfwidth with strict x/y/z bounds
         n = ic.weakzone_num_segments
         for i in range(n):
             xc = ic.weakzone_segments_xcenter[i] * param.mesh.xlength
             zc_i = -ic.weakzone_segments_zcenter[i] * param.mesh.zlength
             hw = ic.weakzone_segments_halfwidth[i] * param.mesh.resolution
+            az = np.deg2rad(ic.weakzone_segments_azimuth[i]
+                            if getattr(ic, "weakzone_segments_azimuth",
+                                       None) else 0.0)
             inc = np.deg2rad(ic.weakzone_segments_inclination[i])
-            dist = np.abs((c[:, 0] - xc) * np.sin(inc)
-                          - (c[:, ndims - 1] - zc_i) * np.cos(inc))
-            sel = dist <= hw
-            sel &= (c[:, 0] >= ic.weakzone_segments_x_min[i]
+            dist = (-np.cos(az) * np.sin(inc) * (c[:, 0] - xc)
+                    - np.cos(inc) * (c[:, ndims - 1] - zc_i))
+            if ndims == 3:
+                yc = ic.weakzone_segments_ycenter[i] * param.mesh.ylength
+                dist = dist + np.sin(az) * np.sin(inc) * (c[:, 1] - yc)
+            sel = np.abs(dist) < hw
+            sel &= (c[:, 0] > ic.weakzone_segments_x_min[i]
                     * param.mesh.xlength) \
-                & (c[:, 0] <= ic.weakzone_segments_x_max[i]
+                & (c[:, 0] < ic.weakzone_segments_x_max[i]
                    * param.mesh.xlength)
-            sel &= (c[:, ndims - 1] >= -ic.weakzone_segments_depth_max[i]
+            sel &= (c[:, ndims - 1] > -ic.weakzone_segments_depth_max[i]
                     * param.mesh.zlength) \
-                & (c[:, ndims - 1] <= -ic.weakzone_segments_depth_min[i]
+                & (c[:, ndims - 1] < -ic.weakzone_segments_depth_min[i]
                    * param.mesh.zlength)
+            if ndims == 3:
+                sel &= (c[:, 1] > ic.weakzone_segments_y_min[i]
+                        * param.mesh.ylength) \
+                    & (c[:, 1] < ic.weakzone_segments_y_max[i]
+                       * param.mesh.ylength)
             plstrain[sel] = ic.weakzone_plstrain
         return plstrain
     raise NotImplementedError(f"weakzone_option {opt} not yet implemented")

@@ -111,6 +111,43 @@ def _read_full(reader: TaggedReader, name: str, dtype) -> np.ndarray:
     return reader.read_array(name, dtype, count)
 
 
+def load_mesh_from_run(prefix: str, frame: int):
+    """Load only the mesh (coord/conn/segments/bcflag) from a run's output
+    frame and derive topology from it.  Framework extension used by the
+    golden-vs-reference gates: runs our numerics on the reference binary's
+    exact mesh so field comparisons are node-for-node."""
+    from ..mesh.generate import MeshData
+
+    info = np.loadtxt(prefix + ".info", ndmin=2)
+    rows = {int(r[0]): r for r in info}
+    if frame not in rows:
+        raise FileNotFoundError(
+            f"frame {frame} not in {prefix}.info (have {sorted(rows)})")
+    row = rows[frame]
+    nnode, nelem, nseg = int(row[5]), int(row[6]), int(row[7])
+
+    save = TaggedReader(f"{prefix}.save.{frame:06d}")
+    chk = TaggedReader(f"{prefix}.chkpt.{frame:06d}")
+    ndims = save.ndims
+    npe = ndims + 1
+    coord = save.read_array("coordinate", np.float64, nnode * ndims
+                            ).reshape(nnode, ndims)
+    conn = save.read_array("connectivity", np.int32, nelem * npe
+                           ).reshape(nelem, npe)
+    bcflag = save.read_array("bcflag", np.uint32, nnode)
+    segment = chk.read_array("segment", np.int32, nseg * ndims
+                             ).reshape(nseg, ndims)
+    segflag = chk.read_array("segflag", np.int32, nseg)
+    save.close()
+    chk.close()
+
+    mesh = MeshData(ndims, coord, conn)
+    mesh.segment = segment
+    mesh.segflag = segflag
+    topo = build_topology_from_arrays(ndims, conn, bcflag, segment, segflag)
+    return mesh, topo
+
+
 def restart(param):
     """Build a restarted Simulation (dynearthsol.cxx:227-420)."""
     from ..simulation import Simulation

@@ -8,12 +8,16 @@ segment-sum), the TPU equivalent of the reference's two-phase gather.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .assembly import node_sum
 from .tensor import trace
 
 
+# named scopes surface each kernel phase in jax.profiler traces (SURVEY §5.1:
+# the reference's NVTX ranges per kernel)
+@jax.named_scope("update_strain_rate")
 def update_strain_rate(vel, conn, dnd):
     """Symmetric gradient of velocity (fields.cxx:408-483).
 
@@ -69,6 +73,7 @@ def jaumann_increment(t, dt, w):
     return dt * inc
 
 
+@jax.named_scope("rotate_stress")
 def rotate_stress(stress, strain, vel, conn, dnd, dt):
     """Jaumann objective rotation of stress and strain (fields.cxx:832-907)."""
     w = spin_rates(vel, conn, dnd)
@@ -76,6 +81,7 @@ def rotate_stress(stress, strain, vel, conn, dnd, dt):
             strain + jaumann_increment(strain, dt, w))
 
 
+@jax.named_scope("internal_force_contrib")
 def internal_force_contrib(stress, volume, dnd, buoy):
     """Per-(element,corner) force contributions: (B^T sigma + gravity) * vol
     (fields.cxx:626-656).  buoy: (nelem,) rho*g/NPE (0 when gravity==0).
@@ -98,12 +104,14 @@ def internal_force_contrib(stress, volume, dnd, buoy):
     return out * volume[:, None, None]
 
 
+@jax.named_scope("assemble_force")
 def assemble_force(contrib, asm):
     """Nodal force = -sum of element contributions (fields.cxx:662-681)."""
     f = asm(contrib)
     return -f
 
 
+@jax.named_scope("apply_damping")
 def apply_damping(force, vel, mass, ymass, damping_option: int,
                   damping_factor: float):
     """FLAC-style velocity-proportional damping, options 0-4
@@ -133,11 +141,13 @@ def apply_damping(force, vel, mass, ymass, damping_option: int,
     raise ValueError(f"unknown damping_option {damping_option}")
 
 
+@jax.named_scope("update_velocity")
 def update_velocity(vel, force, mass, dt):
     """v += dt * f / m (fields.cxx:730-747)."""
     return vel + dt * force / mass[:, None]
 
 
+@jax.named_scope("update_coordinate")
 def update_coordinate(coord, vel, dt):
     """x += v * dt (fields.cxx:766-789)."""
     return coord + vel * dt
@@ -164,6 +174,7 @@ def temperature_diffusion_contrib(temperature, conn, dnd, volume, kappa,
     return diffusion * kv[:, None] - source_term[:, None]
 
 
+@jax.named_scope("update_pore_pressure")
 def update_pore_pressure(ppressure, dppressure, coord, conn, dnd, volume,
                          stress, old_mean_stress, hmass, dt, gravity,
                          perm_e, mu_e, alpha_b, phi_e, beta_f, bulkm,
@@ -211,6 +222,7 @@ def update_pore_pressure(ppressure, dppressure, coord, conn, dnd, volume,
     return pp_new, dpp_new, hydro_diff_max
 
 
+@jax.named_scope("update_temperature")
 def update_temperature(temperature, conn, dnd, volume, kappa, source_term,
                        tmass, dt, top_mask, surface_T, asm,
                        t_slots=None):

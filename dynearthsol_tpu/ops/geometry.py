@@ -6,12 +6,16 @@ Reference: geometry.cxx.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .assembly import node_sum
 from .tensor import trace
 
 
+# named scopes surface each kernel phase in jax.profiler traces (SURVEY §5.1:
+# the reference's NVTX ranges per kernel)
+@jax.named_scope("compute_dvoldt")
 def compute_dvoldt(strain_rate, volume, volume_n, conn, asm):
     """Volume-weighted volumetric strain rate lumped onto nodes
     (geometry.cxx:202-243)."""
@@ -23,12 +27,14 @@ def compute_dvoldt(strain_rate, volume, volume_n, conn, asm):
     return dvoldt / volume_n
 
 
+@jax.named_scope("compute_edvoldt")
 def compute_edvoldt(dvoldt, conn):
     """Node-averaged (smoothed) dvoldt back on elements
     (geometry.cxx:246-276)."""
     return dvoldt[conn].mean(axis=1)
 
 
+@jax.named_scope("nmd_stress")
 def nmd_stress(stress, dpressure, volume, volume_n, conn, asm, gather=None):
     """Nodal-mixed-discretization pressure smoothing (geometry.cxx:279-331)."""
     ndims = 2 if stress.shape[-1] == 3 else 3
@@ -87,6 +93,7 @@ def elem_quality(coord, conn, volume):
     return 216.0 * jnp.sqrt(3.0) * volume * volume / area_sum ** 3
 
 
+@jax.named_scope("compute_dt")
 def compute_dt(coord, conn, volume, vel, shearm_e, rho_e, visc_min,
                therm_diff_max, hydro_diff_max, max_vbc_val,
                *, fixed_dt: float, dt_fraction: float,
@@ -167,6 +174,7 @@ def compute_dt(coord, conn, volume, vel, shearm_e, rho_e, visc_min,
     return dt, global_max_vem, global_dt_min
 
 
+@jax.named_scope("compute_mass")
 def compute_mass(volume, conn, bulkm_e, shearm_e, rho_e, cp_e, phi_e,
                  alpha_biot_e, beta_fluid_e, asm,
                  *, pseudo_speed, pseudo_speed_atp, is_quasi_static: bool,

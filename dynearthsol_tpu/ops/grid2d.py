@@ -39,6 +39,7 @@ from ..config import (RH_ELASTIC, RH_EP, RH_EVP, RH_MAXWELL, RH_VISCOUS,
 from . import fields as F
 from . import matprops as M
 from . import rheology as R
+from . import surface as SP
 from .matprops import MIN_STRAIN_RATE
 
 # State element fields converted to plane layout: scalars (nelem,) and
@@ -403,6 +404,33 @@ def make_grid_step(param: Param, ctx, compensation_pressure: float = 0.0):
             zs2 = tuple(zs[i] + vzs2[i] * s.dt for i in range(3))
             volume_old = vol
             volume = volume_of(xs2, zs2)
+            # correct_surface_element (bc.cxx:1613-1665), active even with
+            # surface_process_option 0: every element touching a top node
+            # (= the z-cell row -1, both parities) is rescaled by 1/rdv
+            # when it grew, and its pre-swap volume is overwritten so the
+            # next step's maxwell dv is zero for surface elements.  The
+            # scaling is applied here, before the Jaumann rotation below —
+            # identical to the reference order because the rotation is
+            # linear in the tensor it rotates.
+            if ctrl.has_surface_correction:
+                rdv = volume[:, :, -1] / vol[:, :, -1]
+                tscale = jnp.where(rdv >= 1.0, 1.0 / rdv, 1.0)
+                stress = stress.at[:, :, :, -1].multiply(tscale)
+                strain = strain.at[:, :, :, -1].multiply(tscale)
+                strain_rate = strain_rate.at[:, :, :, -1].multiply(tscale)
+                plstrain = plstrain.at[:, :, -1].multiply(tscale)
+                volume_old = vol.at[:, :, -1].set(volume[:, :, -1])
+                # surface_plstrain_diffusion (bc.cxx:1591-1611, 2D only):
+                # exponential decay at the quality-check cadence, skipped
+                # for oceanic-crust-dominated elements
+                qcsi = param.mesh.quality_check_step_interval
+                lam = SP.LN2 / SP.PLSTRAIN_HALF_LIFE
+                dominant = jnp.argmax(s.emw[:, :, -1, :], axis=-1)
+                dec = jnp.where(
+                    dominant == param.mat.mattype_oceanic_crust,
+                    0.0, plstrain[:, :, -1] * lam * s.dt)
+                plstrain = plstrain.at[:, :, -1].add(
+                    -jnp.where((steps % qcsi) == 0, dec, 0.0))
         else:
             coord, volume_old, volume = s.coord, s.volume_old, vol
             xs2, zs2 = xs, zs

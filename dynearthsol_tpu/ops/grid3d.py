@@ -440,6 +440,22 @@ def make_grid_step(param: Param, ctx, compensation_pressure: float = 0.0):
             zs2 = tuple(zs[i] + vzs2[i] * s.dt for i in range(4))
             volume_old = vol
             volume = volume_of(xs2, ys2, zs2)
+            # correct_surface_element (bc.cxx:1613-1665), active even with
+            # surface_process_option 0: every tet touching a top node (all
+            # 5 parities of the z-cell row -1) is rescaled by 1/rdv when
+            # it grew, and its pre-swap volume overwritten so the next
+            # step's maxwell dv is zero for surface elements.  (The
+            # surface plstrain decay is 2D only, bc.cxx:1805-1810.)
+            # Scaling before the Jaumann rotation below matches the
+            # reference order: the rotation is linear in its tensor.
+            if ctrl.has_surface_correction:
+                rdv = volume[:, -1] / vol[:, -1]
+                tscale = jnp.where(rdv >= 1.0, 1.0 / rdv, 1.0)
+                stress = stress.at[:, :, -1].multiply(tscale)
+                strain = strain.at[:, :, -1].multiply(tscale)
+                strain_rate = strain_rate.at[:, :, -1].multiply(tscale)
+                plstrain = plstrain.at[:, -1].multiply(tscale)
+                volume_old = vol.at[:, -1].set(volume[:, -1])
         else:
             coord, volume_old, volume = s.coord, s.volume_old, vol
             xs2, ys2, zs2 = xs, ys, zs

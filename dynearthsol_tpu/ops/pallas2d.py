@@ -57,6 +57,7 @@ from ..config import RH_ELASTIC, RH_EP, RH_EVP, RH_MAXWELL, RH_VISCOUS, Param
 from . import fields as F
 from . import matprops as M
 from . import rheology as R
+from . import surface as SP
 from .matprops import CELSIUS0, GAS_CONSTANT, MIN_STRAIN_RATE
 
 # ---- packed-state slot maps ----
@@ -885,6 +886,48 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             stress3 = rot(stress_c)
             strain3 = rot(strain)
 
+        # correct_surface_element (bc.cxx:1613-1665), active even with
+        # surface_process_option 0: every element touching a top node
+        # (= the z row nzc-1) is rescaled by 1/rdv when it grew, and its
+        # pre-swap volume overwritten so the next step's maxwell dv is
+        # zero for surface elements.  Scaling after the rotation above is
+        # identical to the reference's scale-then-rotate: the Jaumann
+        # rotation is linear in the tensor it rotates.
+        if ctrl.has_surface_correction:
+            zmask = jax.lax.broadcasted_iota(
+                jnp.int32, (CW, nzc), 1) == jnp.asarray(nzc - 1, jnp.int32)
+            rdv_full = volume_new / vol_safe
+            sc_full = jnp.where(zmask & (rdv_full >= 1.0), 1.0 / rdv_full,
+                                _c(1.0))
+            stress3 = tuple(x * sc_full for x in stress3)
+            strain3 = tuple(x * sc_full for x in strain3)
+            edot = tuple(x * sc_full for x in edot)
+            plstrain = plstrain * sc_full
+            volume_old_out = jnp.where(zmask, volume_new, vol)
+        else:
+            volume_old_out = vol
+        # surface_plstrain_diffusion (bc.cxx:1591-1611, 2D only): decay at
+        # the quality-check cadence (flag via SMEM), skipped for
+        # oceanic-crust-dominated elements
+        if ctrl.has_surface_correction:
+            if uniform_mat:
+                decay_applies = param.mat.mattype_oceanic_crust != 0
+            else:
+                dom = w[0]
+                dom_m = jnp.zeros_like(w[0], dtype=jnp.int32)
+                for m in range(1, nmat):
+                    better = w[m] > dom
+                    dom = jnp.maximum(dom, w[m])
+                    dom_m = jnp.where(better, jnp.asarray(m, jnp.int32),
+                                      dom_m)
+                decay_applies = dom_m != jnp.asarray(
+                    param.mat.mattype_oceanic_crust, jnp.int32)
+            lam_dt = jnp.asarray(SP.LN2 / SP.PLSTRAIN_HALF_LIFE,
+                                 dtype) * dt
+            dec_on = (dt_ref[0, 3] > 0) & zmask & decay_applies
+            plstrain = plstrain - jnp.where(dec_on, plstrain * lam_dt,
+                                            _c(0.0))
+
         # ---- pack outputs and DMA the owned slices out ----
         def put_e(nm, v):
             eo_vm[_eslot(nm)] = v[:, own_c]
@@ -896,7 +939,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             eo_vm[k + 2] = tt[2][:, own_c]
 
         put_e("volume", volume_new)
-        put_e("volume_old", vol)
+        put_e("volume_old", volume_old_out)
         put_e("stressyy", stressyy)
         put_e("plstrain", plstrain)
         put_e("delta_plstrain", delta_plstrain)
@@ -997,9 +1040,11 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
 
         gvs = (s.max_global_vel_mag * ctrl.inertial_scaling).astype(dtype)
         refresh = (steps % 10 == 0) | bool(ctrl.use_global_velocity_scaling)
+        # slot 3: surface plstrain-decay flag (bc.cxx:1805-1810 cadence)
+        decay = (steps % param.mesh.quality_check_step_interval) == 0
         dt_in = jnp.stack([dt.astype(dtype), gvs,
                            refresh.astype(dtype),
-                           jnp.asarray(0.0, dtype)]).reshape(1, 4)
+                           decay.astype(dtype)]).reshape(1, 4)
         if uniform_mat:
             cepack = jnp.zeros((1, 1, 8, 128), dtype)
         eout, nout, red = pallas_fn(dt_in, epack, npack, cepack, cnpack,

@@ -29,7 +29,8 @@ PLSTRAIN_HALF_LIFE = 1.0e2 * YEAR2SEC  # bc.cxx:1599
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["top_nodes", "top_mask_f", "facet_nodes", "top_elems"],
+    data_fields=["top_nodes", "top_mask_f", "facet_nodes", "top_elems",
+                 "all_top_elems", "top_elem_mask"],
     meta_fields=["ntop", "etop"])
 @dataclass(frozen=True)
 class SurfInfo:
@@ -41,6 +42,13 @@ class SurfInfo:
     top_mask_f: jnp.ndarray  # (nnode,) float 1/0 top-node indicator
     facet_nodes: jnp.ndarray  # (etop, ndims) global node ids per top facet
     top_elems: jnp.ndarray   # (etop,) element of each top facet
+    # every element touching any top node via support (create_top_elems,
+    # mesh.cxx:2879-2891) — the loop set of correct_surface_element and
+    # surface_plstrain_diffusion, wider than the facet owners above
+    all_top_elems: jnp.ndarray  # (ntop_elems,) unique, sorted
+    # same set as a full-length 0/1 mask: the in-step form (elementwise,
+    # no scatter -> TPU-friendly and element-shardable under shard_map)
+    top_elem_mask: jnp.ndarray  # (nelem,) float 1/0
 
 
 def make_surf_info(topo) -> SurfInfo:
@@ -60,12 +68,22 @@ def make_surf_info(topo) -> SurfInfo:
     top_nodes = topo.bnodes[IBOUNDZ1].astype(np.int32)
     mask = np.zeros(topo.nnode)
     mask[top_nodes] = 1.0
+    # all elements with at least one top node (create_top_elems set-union
+    # over node supports, mesh.cxx:2879-2891)
+    if len(top_nodes):
+        touches = np.isin(topo.connectivity, top_nodes).any(axis=1)
+        all_top = np.flatnonzero(touches).astype(np.int32)
+    else:
+        touches = np.zeros(topo.connectivity.shape[0], bool)
+        all_top = np.zeros(0, dtype=np.int32)
     return SurfInfo(
         ntop=len(top_nodes), etop=len(bf),
         top_nodes=jnp.asarray(top_nodes),
         top_mask_f=jnp.asarray(mask),
         facet_nodes=jnp.asarray(facet_nodes),
-        top_elems=jnp.asarray(top_elems))
+        top_elems=jnp.asarray(top_elems),
+        all_top_elems=jnp.asarray(all_top),
+        top_elem_mask=jnp.asarray(touches.astype(np.float64)))
 
 
 def surface_dh_2d(coord, surf: SurfInfo, surf_diff, dt, base_level,
@@ -279,16 +297,24 @@ def apply_surface_processes(param, surf: SurfInfo, coord, dt, dhacc,
 
 def correct_surface_elements(surf: SurfInfo, volume_new, volume_pre,
                              stress, strain, strain_rate, plstrain):
-    """Scale surface-element stress/strain by 1/rdv when the element grew
-    (sedimentation overestimates stress otherwise; bc.cxx:1615-1665)."""
-    te = surf.top_elems
-    rdv = volume_new[te] / volume_pre[te]
-    scale = jnp.where(rdv > 1.0, 1.0 / rdv, 1.0)
-    stress = stress.at[te].multiply(scale[:, None])
-    strain = strain.at[te].multiply(scale[:, None])
-    strain_rate = strain_rate.at[te].multiply(scale[:, None])
-    plstrain = plstrain.at[te].multiply(scale)
-    return stress, strain, strain_rate, plstrain
+    """Surface-element volume correction (correct_surface_element,
+    bc.cxx:1613-1665).  For every element touching a top node: scale
+    stress/strain/strain_rate/plstrain by 1/rdv when the element grew
+    (rdv = V_new/V_old >= 1), and write the new volume into the pre-swap
+    volume array — so the subsequent volume/volume_old swap leaves
+    volume_old[top] = V_new, making the next step's maxwell dv zero for
+    surface elements.  Returns the mutated pre-swap volume as well."""
+    # elementwise via the top-element mask (no scatter: TPU-friendly and
+    # element-shardable under shard_map)
+    top = surf.top_elem_mask > 0
+    rdv = volume_new / volume_pre
+    scale = jnp.where(top & (rdv >= 1.0), 1.0 / rdv, 1.0)
+    stress = stress * scale[:, None]
+    strain = strain * scale[:, None]
+    strain_rate = strain_rate * scale[:, None]
+    plstrain = plstrain * scale
+    volume_mut = jnp.where(top, volume_new, volume_pre)
+    return stress, strain, strain_rate, plstrain, volume_mut
 
 
 def surface_plstrain_decay(surf: SurfInfo, plstrain, emw, dt,
@@ -296,8 +322,8 @@ def surface_plstrain_decay(surf: SurfInfo, plstrain, emw, dt,
     """Exponential decay of surface plastic strain (anti-landslide,
     bc.cxx:1593-1613), skipped for oceanic-crust elements."""
     lam = LN2 / PLSTRAIN_HALF_LIFE
-    te = surf.top_elems
-    dominant = jnp.argmax(emw[te], axis=1)
-    dec = jnp.where(dominant == mattype_oceanic_crust, 0.0,
-                    plstrain[te] * lam * dt)
-    return plstrain.at[te].add(-jnp.where(apply, dec, 0.0))
+    top = surf.top_elem_mask > 0
+    dominant = jnp.argmax(emw, axis=1)
+    dec = jnp.where(top & (dominant != mattype_oceanic_crust),
+                    plstrain * lam * dt, 0.0)
+    return plstrain - jnp.where(apply, dec, 0.0)

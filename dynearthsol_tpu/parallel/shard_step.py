@@ -35,7 +35,7 @@ ELEM_FIELDS = {
     "state_variable", "emw", "stress_avg", "delta_plstrain_avg",
     "strain_avg0",
 }
-CTX_ELEM_FIELDS = {"conn", "elem_mask"}
+CTX_ELEM_FIELDS = {"conn", "elem_mask", "top_elem_mask"}
 
 
 def _supported(param, ctx) -> None:
@@ -68,8 +68,11 @@ def pad_for_mesh(sim, n_devices: int):
     elem_mask = jnp.concatenate(
         [jnp.ones(nelem, ctx.elem_mask.dtype),
          jnp.zeros(pad, ctx.elem_mask.dtype)])
+    surf2 = dataclasses.replace(
+        ctx.surf, top_elem_mask=_pad_elem(ctx.surf.top_elem_mask, pad))
     ctx2 = dataclasses.replace(
-        ctx, conn=conn, elem_mask=elem_mask, nelem=nelem + pad, axis=AXIS,
+        ctx, conn=conn, elem_mask=elem_mask, surf=surf2,
+        nelem=nelem + pad, axis=AXIS,
         # gather tables are unused in scatter mode; shrink to placeholders
         gather_idx=jnp.zeros((1, 1), dtype=jnp.int32),
         gather_mask=jnp.zeros((1, 1), dtype=bool))

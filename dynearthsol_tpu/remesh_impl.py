@@ -33,6 +33,17 @@ from .mesh.topology import finish_topology
 # mesh regeneration on the deformed boundary
 # ---------------------------------------------------------------------------
 
+def _facet_area(coord, facets):
+    """Facet measure: segment length (2D) / triangle area (3D)
+    (compute_area_facet; used by the edvacc_surf per-area conversions,
+    remeshing.cxx:2883-2891, 3050-3069)."""
+    p = coord[facets]
+    if facets.shape[1] == 2:
+        return np.linalg.norm(p[:, 1] - p[:, 0], axis=1)
+    return 0.5 * np.linalg.norm(
+        np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]), axis=1)
+
+
 def _surface_interp_2d(top_pts):
     order = np.argsort(top_pts[:, 0])
     xs, zs = top_pts[order, 0], top_pts[order, 1]
@@ -649,24 +660,44 @@ def remesh_simulation(sim, bad_quality: int):
         # (brc-interpolation.cxx:326-404 remaps init_elem_size_n)
         sim.init_elem_size_n = interp_nodal(sim.init_elem_size_n)
 
-    # --- 4. element remap: nearest old centroid (nn-interpolation.cxx:16-75)
-    new_cent = new_coord[new_conn].mean(axis=1)
-    old_tree = cKDTree(old_coord[old_conn].mean(axis=1))
-    _, nn_e = old_tree.query(new_cent)
+    # --- 4. element remap: nearest-centroid copy + ACM volume-overlap
+    # weighting on changed elements (nearest_neighbor_interpolation,
+    # nn-interpolation.cxx:16-326; sample lattices 10^3/20^2, 32-donor cap)
+    from .acm import ACMRemap
 
-    def nn_elem(field):
-        return np.asarray(field, dtype=np.float64)[nn_e]
+    acm = ACMRemap(old_coord, old_conn, new_coord, new_conn)
+    plstrain_new = acm.inject(s.plstrain)
+    dpls_new = acm.inject(s.delta_plstrain)
+    strain_new = acm.inject(s.strain)
+    radio_new = acm.inject(s.radiogenic_source)
+    dfc_new = acm.inject(s.dyn_fric_coeff)
+    sv_new = acm.inject(s.state_variable)
+    # volume_old crosses the remesh as dv = volume/volume_old - 1
+    # (remeshing.cxx:2896-2899), converted back against the new volumes
+    # after remap (remeshing.cxx:3072-3080)
+    dv_old = old_volume / np.asarray(s.volume_old, dtype=np.float64) - 1.0
+    dv_new = acm.inject(dv_old)
 
-    plstrain_new = nn_elem(s.plstrain)
-    dpls_new = nn_elem(s.delta_plstrain)
-    strain_new = nn_elem(s.strain)
-    radio_new = nn_elem(s.radiogenic_source)
-    dfc_new = nn_elem(s.dyn_fric_coeff)
-    sv_new = nn_elem(s.state_variable)
-    # volume_old carried as a ratio dv = volume_old/volume
-    # (remeshing.cxx:2872-2899)
-    dv_ratio = np.asarray(s.volume_old, dtype=np.float64) / old_volume
-    dv_new = nn_elem(dv_ratio)
+    # surface-facet remap of the deposited-volume accumulator: per-area
+    # density before, re-scaled by new facet areas after
+    # (remeshing.cxx:2883-2891, 3050-3069; ACM is_surface variant)
+    old_facets = np.asarray(sim.ctx.surf.facet_nodes)
+    edvacc_new = None
+    if old_facets.size:
+        edv = np.asarray(s.edvacc_surf, dtype=np.float64)
+        if edv.size == old_facets.shape[0] and np.abs(edv).max() > 0:
+            old_area = _facet_area(old_coord, old_facets)
+            from .constants import IBOUNDZ1, dim as _dim
+
+            nof = _dim(ndims).node_of_facet
+            nf = [topo2.connectivity[e, list(nof[f])]
+                  for e, f in topo2.bfacets[IBOUNDZ1]]
+            if nf:
+                new_facets = np.asarray(nf, dtype=np.int64)
+                acm_s = ACMRemap(old_coord, old_facets, new_coord,
+                                 new_facets, is_surface=True)
+                edvacc_new = acm_s.inject(edv / old_area) \
+                    * _facet_area(new_coord, new_facets)
 
     # --- 5. SPR node -> new elements (+ pressure de-centering)
     zc_new = new_coord[new_conn, ndims - 1].mean(axis=1)
@@ -719,7 +750,9 @@ def remesh_simulation(sim, bad_quality: int):
                         netop=ctx.surf.etop, dtype=dtype)
     coord_j = jnp.asarray(new_coord, dtype=dtype)
     volume = compute_volume(coord_j, ctx.conn)
-    volume_old = jnp.asarray(dv_new, dtype=dtype) * volume
+    # dv back to an actual old volume against the new mesh volumes
+    # (remeshing.cxx:3072-3080: volume_old = volume / (1 + dv))
+    volume_old = volume / (1.0 + jnp.asarray(dv_new, dtype=dtype))
 
     s2 = State(**{**s2.__dict__,
                   "coord": coord_j,
@@ -746,6 +779,9 @@ def remesh_simulation(sim, bad_quality: int):
                   "global_dt_min": s.global_dt_min,
                   "l2_residual": s.l2_residual,
                   "hydro_diff_max": s.hydro_diff_max})
+    if edvacc_new is not None:
+        s2 = State(**{**s2.__dict__,
+                      "edvacc_surf": jnp.asarray(edvacc_new, dtype=dtype)})
 
     # re-apply vbcs + recompute masses (remeshing.cxx:3048-3080)
     vel2 = bc_mod.apply_vbcs(ctx.vbc, s2.vel, coord_j, s2.time)
@@ -790,18 +826,35 @@ def remap_markers(ms, old_coord, old_conn, new_coord, new_conn, param,
         ms.remove(lost)
 
     # replenish elements that fell below the minimum count
+    replenish_markers(ms, new_coord, new_conn, param, seed)
+
+
+def replenish_markers(ms, new_coord, new_conn, param, seed: int,
+                      only_elems=None, fill_to=None):
+    """Replenish under-populated elements with new markers, material chosen
+    by replenishment_option 0/1/2 (markerset.cxx:1148-1475).  ``only_elems``
+    restricts the candidate set (e.g. the surface elements of
+    correct_surface_marker, markerset.cxx:1692-1720); ``fill_to`` overrides
+    the target count (the reference's surface path refills to 3)."""
     nelem = new_conn.shape[0]
     nmat = param.mat.nmat
     hist = ms.elem_histogram(nelem, nmat)
     count = hist.sum(axis=1)
-    need = np.nonzero(count < param.markers.min_num_markers_in_element)[0]
+    low = count < param.markers.min_num_markers_in_element
+    if only_elems is not None:
+        m = np.zeros(nelem, dtype=bool)
+        m[np.asarray(only_elems)] = True
+        low &= m
+    need = np.nonzero(low)[0]
     if need.size:
+        target = (param.markers.markers_per_element if fill_to is None
+                  else fill_to)
         rng = np.random.default_rng(seed)
         npe = new_conn.shape[1]
         add_elems = []
         add_mattype = []
         for e in need:
-            k = param.markers.markers_per_element - int(count[e])
+            k = target - int(count[e])
             if k <= 0:
                 continue
             add_elems += [e] * k

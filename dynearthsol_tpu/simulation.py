@@ -441,16 +441,21 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
             volume = compute_volume_slots(coord2_e)
             if ctx.axis is not None:
                 volume = jnp.where(ctx.elem_mask > 0, volume, 1.0)
-            if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
-                stress, strain, strain_rate, plstrain = \
+            # correct_surface_element runs for EVERY surface-processed step,
+            # including surface_process_option 0 (bc.cxx:1788 call site in
+            # the surface_processes dispatcher); volume_old picks up the
+            # pre-swap volume mutation (bc.cxx:1634)
+            if ctx.surf.etop > 0 and ctrl.has_surface_correction:
+                (stress, strain, strain_rate, plstrain, volume_old) = \
                     SP.correct_surface_elements(ctx.surf, volume, s.volume,
                                                 stress, strain, strain_rate,
                                                 plstrain)
-                qcsi = param.mesh.quality_check_step_interval
-                plstrain = SP.surface_plstrain_decay(
-                    ctx.surf, plstrain, s.emw, s.dt,
-                    param.mat.mattype_oceanic_crust,
-                    apply=(steps % qcsi) == 0)
+                if ndims == 2:  # 2D only (bc.cxx:1805-1810 #ifdef THREED)
+                    qcsi = param.mesh.quality_check_step_interval
+                    plstrain = SP.surface_plstrain_decay(
+                        ctx.surf, plstrain, s.emw, s.dt,
+                        param.mat.mattype_oceanic_crust,
+                        apply=(steps % qcsi) == 0)
         else:
             coord, volume_old, volume = s.coord, s.volume_old, s.volume
             coord2_e = coord_e
@@ -558,7 +563,12 @@ class Simulation:
         self.dtype = jnp.float64 if param.sim.float_dtype == "float64" \
             else jnp.float32
 
-        if _restart is None:
+        if _restart is None and param.mesh.mesh_from_run:
+            from .io.restart import load_mesh_from_run
+
+            mesh, topo = load_mesh_from_run(param.mesh.mesh_from_run,
+                                            param.mesh.mesh_from_run_frame)
+        elif _restart is None:
             mesh = create_new_mesh(param)
             if getattr(mesh, "segment", None) is not None \
                     and mesh.segment.size:
@@ -627,7 +637,11 @@ class Simulation:
         s = allocate_state(topo.nnode, topo.nelem, ndims, param.mat.nmat,
                            netop=self.ctx.surf.etop, dtype=self.dtype)
         coord = jnp.asarray(self.mesh.coord, dtype=self.dtype)
-        volume = compute_volume(coord, ctx.conn)
+        # jit this so the initial volume is bitwise identical to the volume
+        # the jitted step recomputes from unchanged coords (eager mode skips
+        # XLA's FMA contraction -> 1-ulp diffs; the maxwell dv = V/V_old - 1
+        # term multiplies that ulp by the bulk modulus every step)
+        volume = jax.jit(compute_volume)(coord, ctx.conn)
 
         temperature = jnp.asarray(
             ic_mod.initial_temperature(param, self.mesh.coord),
@@ -756,7 +770,7 @@ class Simulation:
         if "volume" in r:  # exact-restart extras present
             volume = jnp.asarray(r["volume"], dtype=dt)
         else:
-            volume = compute_volume(coord, ctx.conn)
+            volume = jax.jit(compute_volume)(coord, ctx.conn)  # see _init_state
         self.markers = r.get("markers")
         if self.markers is not None:
             emw = jnp.asarray(
@@ -937,13 +951,127 @@ class Simulation:
         self.state = run(self.state)
         return iso_steps
 
+    def apply_host_surface_dh(self, dh_top):
+        """Apply an externally-computed surface increment at a host chunk
+        boundary (GoSPL coupling, surface_process_option 11, and the
+        custom hook, option 101).  Mirrors the in-step dh application
+        (bc.cxx:1727-1760): coordinates, dhacc, per-facet edvacc, then the
+        dependent volume/mass fields are recomputed."""
+        import numpy as np
+
+        surf = self.ctx.surf
+        if surf.etop == 0:
+            return
+        ndims = self.ctx.ndims
+        coord = np.asarray(self.state.coord, dtype=np.float64).copy()
+        dh = np.zeros(self.topo.nnode)
+        dh[np.asarray(surf.top_nodes)] = np.asarray(dh_top,
+                                                    dtype=np.float64)
+        coord[:, ndims - 1] += dh
+        dhacc = np.asarray(self.state.dhacc, dtype=np.float64) + dh
+        f = np.asarray(surf.facet_nodes)
+        dh_e = dh[f].sum(axis=1)
+        if ndims == 2:
+            base = np.abs(coord[f[:, 1], 0] - coord[f[:, 0], 0])
+        else:
+            d01 = coord[f[:, 1]] - coord[f[:, 0]]
+            d02 = coord[f[:, 2]] - coord[f[:, 0]]
+            base = 0.5 * (d01[:, 0] * d02[:, 1] - d01[:, 1] * d02[:, 0])
+        edv = np.asarray(self.state.edvacc_surf, dtype=np.float64) \
+            + dh_e * base / ndims
+
+        cj = jnp.asarray(coord, dtype=self.dtype)
+        volume = jax.jit(compute_volume)(cj, self.ctx.conn)
+        s1 = State(**{**self.state.__dict__,
+                      "coord": cj, "volume": volume,
+                      "dhacc": jnp.asarray(dhacc, dtype=self.dtype),
+                      "edvacc_surf": jnp.asarray(edv, dtype=self.dtype)})
+        ctx, ctrl = self.ctx, self.param.control
+        from .ops.assembly import make_asm as _make_asm
+
+        bulkm, shearm, rho_e = _elem_props(ctx, s1)
+        volume_n, mass, tmass, hmass, ymass = G.compute_mass(
+            volume, ctx.conn, bulkm, shearm, rho_e,
+            M.cp(ctx.mat, s1.emw), M.phi_porosity(ctx.mat, s1.emw),
+            M.alpha_biot(ctx.mat, s1.emw), M.beta_fluid(ctx.mat, s1.emw),
+            _make_asm(ctx),
+            pseudo_speed=ctx.max_vbc_val * ctrl.inertial_scaling,
+            pseudo_speed_atp=float(s1.max_global_vel_mag)
+            * ctrl.inertial_scaling,
+            is_quasi_static=ctrl.is_quasi_static,
+            use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
+            has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
+            has_thermal_diffusion=ctrl.has_thermal_diffusion,
+            ndims=ndims)
+        self.state = State(**{**s1.__dict__,
+                              "volume_n": volume_n, "mass": mass,
+                              "tmass": tmass, "hmass": hmass,
+                              "ymass": ymass})
+
     # ---- surface marker bookkeeping (host, chunk-boundary cadence) ----
+    def correct_surface_markers(self):
+        """Erosion/deposition marker correction (correct_surface_marker,
+        markerset.cxx:1529-1735).  Surface-element markers keep their
+        PHYSICAL position across accumulated surface motion: each marker's
+        position is re-evaluated against the pre-dh geometry (node z minus
+        dhacc) and its eta recomputed against the current geometry.
+        Markers that fall outside their element are relocated (containment
+        search; the reference walks the one-ring support,
+        markerset.cxx:461-495) or deleted (eroded away), and depleted
+        surface elements are replenished to 3 markers
+        (markerset.cxx:1692-1720)."""
+        if self.markers is None or self.ctx.surf.etop == 0:
+            return
+        import numpy as np
+
+        from .barycentric import ETA_TOL, bary_coords
+
+        dhacc = np.asarray(self.state.dhacc, dtype=np.float64)
+        if not np.abs(dhacc).any():
+            return
+        coord = np.asarray(self.state.coord, dtype=np.float64)
+        conn = self.topo.connectivity
+        ate = np.asarray(self.ctx.surf.all_top_elems)
+        ms = self.markers
+        idx = np.flatnonzero(np.isin(ms.elem[:ms.n], ate))
+        if idx.size == 0:
+            return
+        coord0 = coord.copy()
+        coord0[:, -1] -= dhacc
+        e_m = ms.elem[idx]
+        pts = np.einsum("mk,mkd->md", ms.eta[idx], coord0[conn[e_m]])
+        eta_new = bary_coords(coord, conn, e_m, pts)
+        inside = (eta_new >= ETA_TOL).all(axis=1)
+        ms.eta[idx[inside]] = eta_new[inside]
+        out = idx[~inside]
+        if out.size:
+            from .mesh.locate import ElementLocator
+
+            loc = ElementLocator(coord, conn)
+            e2, eta2, found = loc.locate(pts[~inside])
+            ms.elem[out[found]] = e2[found].astype(ms.elem.dtype)
+            ms.eta[out[found]] = eta2[found]
+            if (~found).any():
+                ms.remove(out[~found])
+            from .remesh_impl import replenish_markers
+
+            replenish_markers(
+                ms, coord, conn, self.param,
+                self.param.markers.random_seed + int(self.state.steps),
+                only_elems=ate, fill_to=3)
+        emw = jnp.asarray(
+            mk.emw_from_markers(ms, self.topo.nelem, self.param.mat.nmat),
+            dtype=self.dtype)
+        self.state = State(**{**self.state.__dict__, "emw": emw})
+
     def sync_surface_markers(self):
         """Create sediment markers from accumulated deposition and reset the
         dh accumulator (set_surface_marker, markerset.cxx:261-458; called at
-        quality_check_step_interval cadence like bc.cxx:1795-1812)."""
+        quality_check_step_interval cadence like bc.cxx:1795-1812), after
+        the erosion-side correction (bc.cxx:1795-1799 call order)."""
         if self.markers is None or self.ctx.surf.etop == 0:
             return
+        self.correct_surface_markers()
         param = self.param
         ndims = self.ctx.ndims
         ms = self.markers

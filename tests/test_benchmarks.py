@@ -22,7 +22,14 @@ def _maxwell_param(resolution=0.1):
                  "quality_check_step_interval": 10**8},
         "control": {"gravity": 0.0, "characteristic_speed": 1e-14,
                     "inertial_scaling": 1e6,
-                    "has_thermal_diffusion": False},
+                    "has_thermal_diffusion": False,
+                    # disable the reference's correct_surface_element quirk
+                    # (bc.cxx:1613-1665, replicated by default): it zeroes
+                    # the volumetric dv of surface elements, breaking the
+                    # textbook homogeneous state this gate checks.  The
+                    # reference-faithful behavior is gated instead by
+                    # tests/test_golden_vs_reference.py.
+                    "has_surface_correction": False},
         "bc": {"vbc_x0": 1, "vbc_val_x0": 0.0,
                "vbc_x1": 100, "vbc_val_x1": -1e-14,
                "vbc_z0": 100, "vbc_val_z0": 1e-14,

@@ -19,9 +19,11 @@ def _run_cli(cfg, cwd):
     # single CPU device, like the reference's OMP_NUM_THREADS=1 golden
     # runs (benchmarks-cores/Makefile:88-89) — and drop the virtual
     # 8-device XLA_FLAGS the test conftest sets for sharding tests
+    # PYTHONPATH=REPO only: the sitecustomize on the inherited path loads
+    # the TPU PJRT plugin, which perturbs host f64 arithmetic by ulps
+    # (see tests/test_golden_vs_reference.py)
     env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="",
-               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH",
-                                                             ""))
+               PYTHONPATH=REPO)
     r = subprocess.run([sys.executable, "-m", "dynearthsol_tpu", cfg],
                        cwd=cwd, env=env, capture_output=True, text=True,
                        timeout=1200)
