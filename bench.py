@@ -82,6 +82,40 @@ def flagship_param(nx_cells=512, nz_cells=256, dtype="float32"):
     })
 
 
+def flagship3d_param(nx_cells=256, ny_cells=48, nz_cells=16,
+                     dtype="float32"):
+    """3D EVP box: 256x48x16 cells x 5 tets = 983k elements — the
+    BASELINE.md north-star scale, on the fused Pallas 3D path."""
+    resolution = 1e3
+    return des.param_from_dict({
+        "sim": {"max_steps": 10**9, "ndims": 3, "float_dtype": dtype,
+                "is_outputting_averaged_fields": False},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": nx_cells * resolution,
+                 "ylength": ny_cells * resolution,
+                 "zlength": nz_cells * resolution,
+                 "resolution": resolution,
+                 "quality_check_step_interval": 10**8},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "has_thermal_diffusion": True,
+                    "damping_option": 1},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": -1e-9,
+               "vbc_x1": 1, "vbc_val_x1": 1e-9,
+               "vbc_y0": 1, "vbc_val_y0": 0.0,
+               "vbc_y1": 1, "vbc_val_y1": 0.0,
+               "vbc_z0": 0, "vbc_z1": 0,
+               "has_winkler_foundation": False,
+               "has_water_loading": False,
+               "surface_temperature": 273.0,
+               "mantle_temperature": 1600.0},
+        "mat": {"rheology_type": "elasto-visco-plastic",
+                "is_plane_strain": False,
+                "rho0": [2800.0], "bulk_modulus": [50e9],
+                "shear_modulus": [30e9],
+                "visc_max": 1e24, "visc_min": 1e19},
+    })
+
+
 def _measure(param, chunk=250, bench_steps=500):
     sim = des.Simulation(param)
     nelem = sim.topo.nelem
@@ -100,8 +134,9 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="flagship",
-                    choices=["flagship", "unstructured"],
+                    choices=["flagship", "flagship3d", "unstructured"],
                     help="flagship: structured 512x256 2D EVP (Pallas "
+                         "path); flagship3d: 983k-tet 3D EVP (Pallas 3D "
                          "path); unstructured: same physics on an "
                          "unstructured Delaunay mesh — the generic-gather "
                          "path every post-remesh production run lives on")
@@ -113,6 +148,16 @@ def main(argv=None):
             "metric": "evp2d_element_steps_per_sec",
             "value": round(rate, 1),
             "unit": "elem*steps/s",
+            "vs_baseline": round(rate / REF_BASELINE_ELEMSTEPS_PER_S, 4),
+        }))
+    elif args.case == "flagship3d":
+        rate, nelem = _measure(flagship3d_param(), chunk=100,
+                               bench_steps=300)
+        print(json.dumps({
+            "metric": "evp3d_element_steps_per_sec",
+            "value": round(rate, 1),
+            "unit": "elem*steps/s",
+            "nelem": nelem,
             "vs_baseline": round(rate / REF_BASELINE_ELEMSTEPS_PER_S, 4),
         }))
     else:

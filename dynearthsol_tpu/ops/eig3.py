@@ -19,6 +19,23 @@ import jax.numpy as jnp
 
 _TINY = 1e-30
 
+# Abramowitz & Stegun 4.4.46 acos minimax coefficients, |err| <= 2e-8
+_ACOS_C = (1.5707963050, -0.2145988016, 0.0889789874, -0.0501743046,
+           0.0308918810, -0.0170881256, 0.0066700901, -0.0012624911)
+
+
+def _acos(x):
+    """acos(x) for x in [-1, 1] via sqrt(1-x)*poly(x) (A&S 4.4.46,
+    |err| <= 2e-8 — exact at f32).  Mosaic (Pallas TPU) lowers cos/sin
+    but none of the inverse trig primitives, and the eigensolver runs
+    inside the fused 3D Pallas plasticity (ops/pallas3d.py)."""
+    ax = jnp.abs(x)
+    p = jnp.asarray(_ACOS_C[-1], x.dtype)
+    for c in _ACOS_C[-2::-1]:
+        p = p * ax + c
+    y = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x < 0, jnp.pi - y, y)
+
 
 def eigvals3_c(axx, ayy, azz, axy, axz, ayz):
     """Eigenvalues (ascending) of symmetric 3x3 via trigonometric Cardano
@@ -36,7 +53,7 @@ def eigvals3_c(axx, ayy, azz, axy, axz, ayz):
                       - cxy * (cxy * czz - cyz * cxz)
                       + cxz * (cxy * cyz - cyy * cxz))
     r = jnp.clip(half_det, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
+    phi = _acos(r) / 3.0
     # l2 >= l1 >= l0 by the cosine ordering
     l2 = q + 2.0 * p * jnp.cos(phi)
     l0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)

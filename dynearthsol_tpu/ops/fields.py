@@ -153,10 +153,26 @@ def update_coordinate(coord, vel, dt):
     return coord + vel * dt
 
 
-def residual_l2(force_residual):
-    """RMS of nodal residual force (fields.cxx:705-727)."""
-    num = force_residual.size
-    return jnp.sqrt(jnp.sum(force_residual * force_residual) / num)
+def residual_l2(force_residual, own_mask=None, axis_name=None):
+    """RMS of nodal residual force (fields.cxx:705-727).
+
+    With node-windowed sharding (ops/assembly.HaloSpec) each shard sums
+    only its OWNED rows (overlap rows are computed on both neighbours)
+    and the sum/count ride one psum."""
+    import jax
+
+    if own_mask is None:
+        num = force_residual.size
+        ss = jnp.sum(force_residual * force_residual)
+    else:
+        m = own_mask.reshape((-1,) + (1,) * (force_residual.ndim - 1))
+        ss = jnp.sum(force_residual * force_residual * m)
+        num = jnp.sum(own_mask) * (force_residual.size
+                                   // force_residual.shape[0])
+    if axis_name is not None:
+        ss = jax.lax.psum(ss, axis_name)
+        num = jax.lax.psum(num, axis_name)
+    return jnp.sqrt(ss / num)
 
 
 def temperature_diffusion_contrib(temperature, conn, dnd, volume, kappa,

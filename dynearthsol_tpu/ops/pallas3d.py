@@ -1,0 +1,1170 @@
+"""Fused Pallas plane-step for 3D structured 5-tet meshes.
+
+Same architecture as pallas2d.py (see its module docstring): the ENTIRE
+time step (the dynearthsol.cxx:746-956 kernel sequence) fuses into ONE
+Pallas kernel so each state plane crosses HBM once per step, instead of
+the ~40 phase-boundary round-trips of the XLA grid3d step (measured 10x
+slower per element than the 2D fused path).
+
+3D-specific design:
+
+* Plane layout ``(slot, tet, y, z, x)``: x cells are lanes (128-tiled),
+  z cells are sublanes (8-tiled), and **y is the tile axis** as a pure
+  leading dim — leading-dim DMA slices have no Mosaic alignment
+  constraint, so the halo is the exact physics halo of 3 cell rows
+  (the element->node->element transfer chain dvoldt -> stress -> force
+  -> velocity -> post-move masses widens the stencil by one row per
+  hop), not the 8 the 2D kernel pays for sublane alignment.
+* The 5-tet cell decomposition runs as an UNROLLED per-tet loop inside
+  each phase, with the 8 shifted corner views + the checkerboard parity
+  select of structured.tet_tables.  Per-tet intermediates are single
+  (NWy, nzc, nxc) planes, keeping the live VMEM set ~15 MB; nodal
+  accumulators (dvoldt, tdot, force, masses) are SSA values carried
+  across the unrolled loop.
+* Gathers/shape-functions are recomputed per phase instead of stashed
+  (a few hundred VPU flops/elem) — stashing all per-tet intermediates
+  would cost ~60 MB of VMEM.
+* Pre-Jaumann stress/strain are staged in the element out-buffer and
+  rotated in place after the coordinate move (the rotation is linear in
+  the rotated tensor, so rotate-then-scale == the reference's
+  scale-then-rotate for the surface correction).
+
+Gating (pallas3d_step_applicable): float32, single material (property
+mixtures become compile-time scalars — the const-pack path of the 2D
+kernel is not yet ported), damping 0-3, no Winkler/water/Neumann
+tractions, no inclined vbcs, and nxc % 128 == nzc % 8 == 0 so element
+planes are exactly lane/sublane aligned (ghost masking is then y-only).
+The NMD mixed-stress smoothing is supported (it adds the 4th transfer
+hop, hence H=4).  Everything else falls back to the XLA grid3d step,
+which remains the oracle in tests/test_pallas3d.py.
+
+Reference per-step kernel order: dynearthsol.cxx:746-956.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import bc as bc_mod
+from ..config import RH_ELASTIC, RH_EP, RH_EVP, RH_MAXWELL, RH_VISCOUS, Param
+from . import matprops as M
+from .matprops import CELSIUS0, GAS_CONSTANT, MIN_STRAIN_RATE
+from .structured import tet_tables
+
+# ---- packed-state slot maps ----
+# element pack, each slot (5, nyp_c, nzc, nxc).  Slots 0..NE_IN-1 are
+# kernel inputs; edvoldt/strain_rate are carry-only outputs.
+E_SCALAR_IN = ("volume", "volume_old", "plstrain", "delta_plstrain",
+               "viscosity", "dpressure")
+T_SLOTS = ("stress", "strain")          # 6 planes each, in+out
+NE_IN = len(E_SCALAR_IN) + 6 * len(T_SLOTS)          # 18
+E_SLOTS = E_SCALAR_IN + ("edvoldt",)
+NE = NE_IN + 1 + 6                                   # 25 (+ strain_rate)
+
+# nodal pack, each slot (nyp_n, LZN, LXN).  Slots 0..NN_IN-1 are inputs.
+N_SLOTS = ("coord_x", "coord_y", "coord_z", "vel_x", "vel_y", "vel_z",
+           "temperature", "mass", "tmass", "volume_n",
+           "hmass", "force_x", "force_y", "force_z")
+NN_IN = 10
+NN = len(N_SLOTS)
+
+# const nodal pack (per chunk)
+CN_SLOTS = ("top_mask", "vbc_mask_x", "vbc_mask_y", "vbc_mask_z")
+NCN = len(CN_SLOTS)
+
+H = 4            # y halo (exact chained-stencil depth incl. the NMD hop)
+PAD = 4          # ghost cell rows each side of the packed y axis
+
+# set True (tests) to run the kernel in the Pallas interpreter — the CPU
+# oracle path for validating against grid3d
+INTERPRET = False
+
+
+def _eslot(name: str) -> int:
+    if name == "edvoldt":
+        return NE_IN
+    if name == "strain_rate":
+        return NE_IN + 1
+    if name in T_SLOTS:
+        return len(E_SCALAR_IN) + 6 * T_SLOTS.index(name)
+    return E_SCALAR_IN.index(name)
+
+
+def _nslot(name: str) -> int:
+    return N_SLOTS.index(name)
+
+
+def _pad8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def _pad128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def _pick_ty(nyc: int, nzc: int, nxc: int):
+    """Largest tile height keeping the two big VMEM slabs under budget."""
+    import os
+
+    force = os.environ.get("DES_PALLAS3D_TY")
+    if force and nyc % int(force) == 0:
+        return int(force)
+    for ty in (64, 32, 16, 8):
+        if nyc % ty:
+            continue
+        # the two big VMEM slabs: input pack + full-extent output staging
+        slab = (NE_IN + NE) * (ty + 2 * H) * 5 * nzc * nxc * 4
+        if slab <= 80 * 1024 * 1024:
+            return ty
+    return None
+
+
+def pallas3d_step_applicable(param: Param, ctx) -> bool:
+    """Static gate for the fused 3D Pallas path; see module docstring."""
+    from . import grid3d
+
+    if not grid3d.grid_step_applicable(param, ctx):
+        return False
+    ctrl = param.control
+    if param.sim.float_dtype != "float32":
+        return False
+    if param.sim.is_outputting_averaged_fields:
+        return False
+    if not ctrl.has_moving_mesh:
+        return False
+    if ctrl.damping_option not in (0, 1, 2, 3):
+        return False
+    if ctx.sbc.n_grav > 0 or ctx.sbc.n_neu > 0 \
+            or param.bc.has_elastic_foundation:
+        return False
+    if ctx.vbc.incl is not None:
+        return False
+    if not (len(param.mat.rho0) == 1
+            and param.ic.temperature_option in (0, 1, 90)):
+        return False  # const-pack path not ported; single material only
+    nx, ny, nz = ctx.sgrid
+    nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
+    if nxc % 128 != 0 or nzc % 8 != 0:
+        return False
+    if _pick_ty(nyc, nzc, nxc) is None:
+        return False
+    return True
+
+
+# ---- packing / unpacking (chunk boundaries) ----
+
+def state_to_pgrid(s, nx: int, ny: int, nz: int):
+    """AoS State -> packed ghost-padded planes (epack in .volume, npack
+    in .coord; every other field is passthrough, cf. pallas2d)."""
+    nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
+    LZN, LXN = _pad8(nz), _pad128(nx)
+
+    def e2p(a):  # (nelem,) -> (5, nyc, nzc, nxc)
+        return a.reshape(nxc, nyc, nzc, 5).transpose(3, 1, 2, 0)
+
+    planes = [e2p(getattr(s, f)) for f in E_SCALAR_IN]
+    for f in T_SLOTS:
+        t = getattr(s, f)  # (nelem, 6)
+        p = t.reshape(nxc, nyc, nzc, 5, 6).transpose(4, 3, 1, 2, 0)
+        planes.extend([p[i] for i in range(6)])
+    planes.append(e2p(s.edvoldt))
+    p = s.strain_rate.reshape(nxc, nyc, nzc, 5, 6).transpose(4, 3, 1, 2, 0)
+    planes.extend([p[i] for i in range(6)])
+    epack = jnp.stack(planes)  # (NE, 5, nyc, nzc, nxc)
+    epack = jnp.pad(epack, ((0, 0), (0, 0), (PAD, PAD), (0, 0), (0, 0)))
+    # ghost volume = 1 keeps 1/vol finite without masking in shape_fn
+    for nm in ("volume", "volume_old"):
+        k = _eslot(nm)
+        epack = epack.at[k, :, :PAD].set(1.0)
+        epack = epack.at[k, :, PAD + nyc:].set(1.0)
+
+    def n2p(a):  # (nnode,) -> (ny, nz, nx); node id = (i*ny + j)*nz + k
+        return a.reshape(nx, ny, nz).transpose(1, 2, 0)
+
+    nplanes = [n2p(s.coord[:, 0]), n2p(s.coord[:, 1]), n2p(s.coord[:, 2]),
+               n2p(s.vel[:, 0]), n2p(s.vel[:, 1]), n2p(s.vel[:, 2]),
+               n2p(s.temperature), n2p(s.mass), n2p(s.tmass),
+               n2p(s.volume_n), n2p(s.hmass),
+               n2p(s.force[:, 0]), n2p(s.force[:, 1]), n2p(s.force[:, 2])]
+    npack = jnp.stack(nplanes)  # (NN, ny, nz, nx)
+    npack = jnp.pad(npack, ((0, 0), (PAD, PAD), (0, LZN - nz),
+                            (0, LXN - nx)))
+    # ghost mass/tmass/volume_n = 1: never read at real nodes, keeps the
+    # first-step ghost divisions finite (outputs re-set them each step)
+    for nm in ("mass", "tmass", "volume_n"):
+        k = _nslot(nm)
+        npack = npack.at[k, :PAD].set(1.0)
+        npack = npack.at[k, PAD + ny:].set(1.0)
+        npack = npack.at[k, :, nz:].set(1.0)
+        npack = npack.at[k, :, :, nx:].set(1.0)
+    return dataclasses.replace(s, coord=npack, volume=epack)
+
+
+def pgrid_to_state(g, nx: int, ny: int, nz: int):
+    """Packed planes -> AoS State."""
+    nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
+    nelem = nxc * nyc * nzc * 5
+    epack = g.volume[:, :, PAD:PAD + nyc]
+    npack = g.coord[:, PAD:PAD + ny, :nz, :nx]
+
+    def p2e(p):  # (5, nyc, nzc, nxc) -> (nelem,)
+        return p.transpose(3, 1, 2, 0).reshape(nelem)
+
+    def p2t(k):  # 6 slot planes -> (nelem, 6)
+        return epack[k:k + 6].transpose(4, 2, 3, 1, 0).reshape(nelem, 6)
+
+    upd = {f: p2e(epack[_eslot(f)]) for f in E_SLOTS}
+    upd["stress"] = p2t(_eslot("stress"))
+    upd["strain"] = p2t(_eslot("strain"))
+    upd["strain_rate"] = p2t(_eslot("strain_rate"))
+
+    def p2n(k):  # (ny, nz, nx) -> (nnode,)
+        return npack[k].transpose(2, 0, 1).reshape(nx * ny * nz)
+
+    upd["coord"] = jnp.stack([p2n(0), p2n(1), p2n(2)], axis=1)
+    upd["vel"] = jnp.stack([p2n(3), p2n(4), p2n(5)], axis=1)
+    upd["temperature"] = p2n(6)
+    upd["mass"] = p2n(7)
+    upd["tmass"] = p2n(8)
+    upd["volume_n"] = p2n(9)
+    upd["hmass"] = p2n(10)
+    upd["force"] = jnp.stack([p2n(11), p2n(12), p2n(13)], axis=1)
+    return dataclasses.replace(g, **upd)
+
+
+def _const_npack(param, ctx, s, nx, ny, nz):
+    """Per-chunk constant nodal planes: top mask + vbc component masks."""
+    LZN, LXN = _pad8(nz), _pad128(nx)
+    dtype = jnp.float32
+
+    def n2p(a):
+        return jnp.asarray(a, dtype).reshape(nx, ny, nz).transpose(1, 2, 0)
+
+    top = n2p(ctx.top_mask.astype(dtype))
+    coord_flat = s.coord
+    zeros = jnp.zeros_like(coord_flat)
+    ones = jnp.ones_like(coord_flat)
+    a = bc_mod.apply_vbcs(ctx.vbc, zeros, coord_flat, s.time)
+    b = bc_mod.apply_vbcs(ctx.vbc, ones, coord_flat, s.time)
+    mask = (a == b).astype(dtype)  # constrained components
+    cnpack = jnp.stack([top, n2p(mask[:, 0]), n2p(mask[:, 1]),
+                        n2p(mask[:, 2])])
+    return jnp.pad(cnpack, ((0, 0), (PAD, PAD), (0, LZN - nz),
+                            (0, LXN - nx)))
+
+
+def _np_tab(tab):
+    class NS:
+        pass
+
+    out = NS()
+    for f in dataclasses.fields(tab):
+        v = getattr(tab, f.name)
+        out.__dict__[f.name] = np.asarray(v) if hasattr(v, "shape") \
+            else float(v)
+    return out
+
+
+def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
+    """Build step(ctx, pstate) -> pstate on packed padded planes."""
+    ctrl = param.control
+    mat = param.mat
+    nx, ny, nz = ctx.sgrid
+    nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
+    LZN, LXN = _pad8(nz), _pad128(nx)
+    TY = _pick_ty(nyc, nzc, nxc)
+    T = nyc // TY
+    NWy = TY + 2 * H          # local cell rows
+    NYN = NWy + 1             # local node rows
+    TYN = TY + 1              # node rows written out (overlaps next tile)
+    nyp_c = nyc + 2 * PAD
+    nyp_n = ny + 2 * PAD
+    rheol = mat.rheol_type
+    npe = 4.0
+    dtype = jnp.float32
+    tabn = _np_tab(ctx.mat)
+    visc_min = float(tabn.visc_min)
+    visc_max = float(tabn.visc_max)
+    tension_max = float(tabn.tension_max)
+    therm_diff_max = float(tabn.therm_diff_max)
+    max_vbc_val = float(ctx.max_vbc_val)
+    pseudo_speed = max_vbc_val * ctrl.inertial_scaling
+    surface_T = float(param.bc.surface_temperature)
+    swave_ref = float(np.sqrt(mat.bulk_modulus[mat.mattype_ref]
+                              / mat.rho0[mat.mattype_ref]))
+    even_t, odd_t = tet_tables()
+
+    # single material: property mixtures are compile-time scalars
+    # (matprops.cxx:115-144 — the mixing mean of one material is the
+    # material value regardless of marker weights)
+    phi_s = float(tabn.porosity[0])
+    rho0_s = float(tabn.rho0[0])
+    alpha_s = float(tabn.alpha[0])
+    g_s = float(ctrl.gravity)
+    K_s = float(tabn.bulk_modulus[0])
+    G_s = float(tabn.shear_modulus[0])
+    cp_s = float(tabn.heat_capacity[0])
+    ab_s = float(tabn.biot_coeff[0])
+    bf_s = 1.0 / float(tabn.fluid_bulk_modulus[0])
+    kappa_s = float(tabn.therm_cond[0])
+    rhoB_s = rho0_s * alpha_s
+    buoyA_s = ((1 - phi_s) * rho0_s + 1000.0 * phi_s) * g_s / npe
+    buoyB_s = (1 - phi_s) * rhoB_s * g_s / npe
+    # hmass coefficient: 3D bulk_comp = 1/K (geometry.cxx:1098)
+    hmA_s = ((ab_s + phi_s - ab_s * phi_s) / K_s + phi_s * bf_s) / npe
+
+    # ---------------- kernel-local physics helpers ----------------
+
+    def _c(v):
+        """Typed f32 scalar (weak python floats inside where become f64
+        Mosaic constants, which the TPU lowering rejects)."""
+        return jnp.asarray(v, dtype)
+
+    def visc_core_local(Tm, s0, edot):
+        """matprops.visc_core, single material, python-float constants."""
+        pw = 1.0 / float(tabn.visc_exponent[0]) - 1.0
+        pw1 = -1.0 / float(tabn.visc_exponent[0])
+        log_coef = float(np.log(0.75 * tabn.visc_coefficient[0]))
+        expo = ((float(tabn.visc_activation_energy[0])
+                 + float(tabn.visc_activation_volume[0]) * s0)
+                / (float(tabn.visc_exponent[0]) * GAS_CONSTANT * Tm))
+        log_v0 = (float(np.log(0.25)) + pw * jnp.log(edot)
+                  + pw1 * log_coef + expo + float(np.log(1e6)))
+        return jnp.clip(jnp.exp(log_v0), jnp.asarray(visc_min, dtype),
+                        jnp.asarray(visc_max, dtype))
+
+    def plastic_props_local(pls):
+        """matprops.plastic_props/plastic_weakening, single material."""
+        pls0 = float(tabn.pls0[0])
+        pls1 = float(tabn.pls1[0])
+        span = max(pls1 - pls0, 1e-300)
+        p = jnp.clip((pls - pls0) / span, 0.0, 1.0)
+        c = float(tabn.cohesion0[0]) + p * (
+            float(tabn.cohesion1[0]) - float(tabn.cohesion0[0]))
+        f = float(tabn.friction_angle0[0]) + p * (
+            float(tabn.friction_angle1[0]) - float(tabn.friction_angle0[0]))
+        d = float(tabn.dilation_angle0[0]) + p * (
+            float(tabn.dilation_angle1[0]) - float(tabn.dilation_angle0[0]))
+        in_w = (pls >= pls0) & (pls < pls1)
+        h = jnp.where(in_w,
+                      jnp.asarray((float(tabn.cohesion1[0])
+                                   - float(tabn.cohesion0[0])) / span,
+                                  dtype),
+                      jnp.asarray(0.0, dtype))
+        DEG2RAD = np.pi / 180.0
+        sphi = jnp.sin(f * DEG2RAD)
+        spsi = jnp.sin(d * DEG2RAD)
+        anphi = (1.0 + sphi) / (1.0 - sphi)
+        anpsi = (1.0 + spsi) / (1.0 - spsi)
+        amc = 2.0 * c * jnp.sqrt(anphi)
+        tanphi = jnp.tan(f * DEG2RAD)
+        ten_max = jnp.where(
+            f == 0.0, jnp.asarray(tension_max, dtype),
+            jnp.minimum(tension_max,
+                        c / jnp.where(tanphi == 0.0, _c(1.0), tanphi)))
+        return amc, anphi, anpsi, h, ten_max
+
+    # corner code = a*4 + b*2 + d for offsets (a, b, d) in x/y/z
+    def nviews(g):
+        """Nodal local plane (NYN, LZN, LXN) -> 8 shifted cell views,
+        each (NWy, nzc, nxc).
+
+        z/x shifts are rolls + PREFIX slices, not offset slices: an
+        offset slice gives the view a Mosaic offset layout in the
+        (sublane, lane) dims that then poisons every downstream
+        pad/concat ("result/input offset mismatch on non-concat
+        dimension", same story as pad_corner).  Rolls materialize the
+        shift at offset {0,0}; shifts are the positive n-1 (Mosaic
+        checks on negative rotate amounts), and the wrapped-in far
+        row/lane lands outside the [:nzc,:nxc] prefix.  The y (dim 0)
+        shift is a plain slice — the leading dim is untiled, so its
+        offsets don't enter the vector layout."""
+        sz = jnp.asarray(LZN - 1, jnp.int32)   # == roll by -1 along z
+        sx = jnp.asarray(LXN - 1, jnp.int32)   # == roll by -1 along x
+        out = []
+        for a in (0, 1):
+            ga = pltpu.roll(g, sx, 2) if a else g
+            for b in (0, 1):
+                gb = ga[b:b + NWy]
+                for d in (0, 1):
+                    gd = pltpu.roll(gb, sz, 1) if d else gb
+                    out.append(gd[:, :nzc, :nxc])
+        return out
+
+    def _code(a, b, d):
+        return a * 4 + b * 2 + d
+
+    def gather_tet(views, t, par):
+        """4 corner-slot planes of tet t from the 8 shifted views."""
+        return tuple(jnp.where(par, views[even_t[t][s]],
+                               views[odd_t[t][s]])
+                     for s in range(4))
+
+    def pad_corner(v, code):
+        """Cell plane (NWy, nzc, nxc) -> node plane (NYN, LZN, LXN),
+        offset to corner `code`.
+
+        z/x offsets are applied as trailing-only zero pads + unit rolls,
+        NOT leading pads: a leading lane/sublane pad gives the operand a
+        Mosaic offset layout, and the later concat along another dim then
+        fails to compile ("result/input offset mismatch on non-concat
+        dimension").  The roll wraps a trailing zero to the front, which
+        is exactly the leading pad.  The y (dim 0) offset stays a plain
+        pad — the leading dim is untiled."""
+        a, b, d = code >> 2 & 1, code >> 1 & 1, code & 1
+        one = jnp.asarray(1, jnp.int32)  # weak 1 promotes to i64 under x64
+        w = jnp.pad(v, ((b, 1 - b), (0, LZN - nzc), (0, LXN - nxc)))
+        if d:
+            w = pltpu.roll(w, one, 1)
+        if a:
+            w = pltpu.roll(w, one, 2)
+        return w
+
+    def scatter_tet(acc, contribs, t, par):
+        """Transpose of gather_tet: add 4 corner-slot cell planes of tet
+        t into the nodal accumulator (contribs must be pre-masked)."""
+        per_e = [None] * 8
+        per_o = [None] * 8
+        for s in range(4):
+            ce, co = even_t[t][s], odd_t[t][s]
+            c = contribs[s]
+            per_e[ce] = c if per_e[ce] is None else per_e[ce] + c
+            per_o[co] = c if per_o[co] is None else per_o[co] + c
+        for code in range(8):
+            e, o = per_e[code], per_o[code]
+            if e is None and o is None:
+                continue
+            if e is None:
+                v = jnp.where(par, _c(0.0), o)
+            elif o is None:
+                v = jnp.where(par, e, _c(0.0))
+            else:
+                v = jnp.where(par, e, o)
+            acc = acc + pad_corner(v, code)
+        return acc
+
+    def scatter_tet_equal(acc, v, t, par):
+        """scatter_tet when all 4 slots carry the same value."""
+        return scatter_tet(acc, (v, v, v, v), t, par)
+
+    def volume_of(xs, ys, zs):
+        d1 = (xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0])
+        d2 = (xs[2] - xs[0], ys[2] - ys[0], zs[2] - zs[0])
+        d3 = (xs[3] - xs[0], ys[3] - ys[0], zs[3] - zs[0])
+        return (d1[0] * (d2[1] * d3[2] - d2[2] * d3[1])
+                + d1[1] * (d2[2] * d3[0] - d2[0] * d3[2])
+                + d1[2] * (d2[0] * d3[1] - d2[1] * d3[0])) / 6.0
+
+    def shape_fn(xs, ys, zs, vol_safe):
+        iv = 1.0 / (6.0 * vol_safe)
+
+        def d(a, i, j):
+            return a[i] - a[j]
+
+        x01, x02, x03 = d(xs, 0, 1), d(xs, 0, 2), d(xs, 0, 3)
+        x12, x13, x23 = d(xs, 1, 2), d(xs, 1, 3), d(xs, 2, 3)
+        y01, y02, y03 = d(ys, 0, 1), d(ys, 0, 2), d(ys, 0, 3)
+        y12, y13, y23 = d(ys, 1, 2), d(ys, 1, 3), d(ys, 2, 3)
+        z01, z02, z03 = d(zs, 0, 1), d(zs, 0, 2), d(zs, 0, 3)
+        z12, z13, z23 = d(zs, 1, 2), d(zs, 1, 3), d(zs, 2, 3)
+        dndx = (iv * (y13 * z12 - y12 * z13), iv * (y02 * z23 - y23 * z02),
+                iv * (y13 * z03 - y03 * z13), iv * (y01 * z02 - y02 * z01))
+        dndy = (iv * (z13 * x12 - z12 * x13), iv * (z02 * x23 - z23 * x02),
+                iv * (z13 * x03 - z03 * x13), iv * (z01 * x02 - z02 * x01))
+        dndz = (iv * (x13 * y12 - x12 * y13), iv * (x02 * y23 - x23 * y02),
+                iv * (x13 * y03 - x03 * y13), iv * (x01 * y02 - x02 * y01))
+        return dndx, dndy, dndz
+
+    def min_height(xs, ys, zs, vol):
+        """3*V / largest facet area (geometry.cxx:830-852)."""
+        def tri_area(i, j, k):
+            ux, uy, uz = xs[j] - xs[i], ys[j] - ys[i], zs[j] - zs[i]
+            vx, vy, vz = xs[k] - xs[i], ys[k] - ys[i], zs[k] - zs[i]
+            cx = uy * vz - uz * vy
+            cy = uz * vx - ux * vz
+            cz = ux * vy - uy * vx
+            return 0.5 * jnp.sqrt(cx * cx + cy * cy + cz * cz)
+
+        maxa = jnp.maximum(
+            jnp.maximum(tri_area(0, 1, 2), tri_area(0, 1, 3)),
+            jnp.maximum(tri_area(2, 3, 0), tri_area(2, 3, 1)))
+        return 3.0 * vol / maxa
+
+    def inv2_6(t):
+        a = (t[0] + t[1] + t[2]) / 3.0
+        return (0.5 * ((t[0] - a) ** 2 + (t[1] - a) ** 2 + (t[2] - a) ** 2)
+                + t[3] ** 2 + t[4] ** 2 + t[5] ** 2)
+
+    # parity is static across tiles: tile starts are multiples of TY
+    # (even), so the (i+j+k) parity offset of every local block is (-H)%2
+    par_off = (-H) % 2
+
+    def make_parity():
+        iy = jax.lax.broadcasted_iota(jnp.int32, (NWy, nzc, nxc), 0)
+        iz = jax.lax.broadcasted_iota(jnp.int32, (NWy, nzc, nxc), 1)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (NWy, nzc, nxc), 2)
+        return jnp.bitwise_and(ix + iy + iz + par_off, 1) == 0
+
+    # ---------------- the fused kernel ----------------
+
+    def kernel(dt_ref, epack_hbm, npack_hbm, cnp_hbm, tgt_hbm,
+               eout_hbm, nout_hbm, red_ref,
+               e_vm, n_vm, cn_vm, tgt_vm, eo_vm, no_vm, sems):
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype=dtype)
+        red_ref[0, 0] = big
+        red_ref[0, 1] = big
+        red_ref[0, 2] = jnp.asarray(0.0, dtype)
+        red_ref[0, 3] = jnp.asarray(0.0, dtype)
+
+        def tile_body(t, carry):
+            _tile(t, dt_ref, epack_hbm, npack_hbm, cnp_hbm, tgt_hbm,
+                  eout_hbm, nout_hbm, red_ref,
+                  e_vm, n_vm, cn_vm, tgt_vm, eo_vm, no_vm, sems)
+            return carry
+
+        jax.lax.fori_loop(jnp.asarray(0, jnp.int32),
+                          jnp.asarray(T, jnp.int32), tile_body,
+                          jnp.asarray(0, jnp.int32))
+
+    def _tile(tt, dt_ref, epack_hbm, npack_hbm, cnp_hbm, tgt_hbm,
+              eout_hbm, nout_hbm, red_ref,
+              e_vm, n_vm, cn_vm, tgt_vm, eo_vm, no_vm, sems):
+        # all index math in explicit int32 (x64 weak-int promotion breaks
+        # the Mosaic verification); c0 = a + PAD - H = a since PAD == H
+        a = tt * jnp.asarray(TY, jnp.int32)
+
+        dma_e = pltpu.make_async_copy(
+            epack_hbm.at[pl.ds(0, NE_IN), :, pl.ds(a, NWy)], e_vm,
+            sems.at[jnp.asarray(0, jnp.int32)])
+        dma_n = pltpu.make_async_copy(
+            npack_hbm.at[pl.ds(0, NN_IN), pl.ds(a, NYN)], n_vm,
+            sems.at[jnp.asarray(1, jnp.int32)])
+        dma_cn = pltpu.make_async_copy(
+            cnp_hbm.at[:, pl.ds(a, NYN)], cn_vm,
+            sems.at[jnp.asarray(2, jnp.int32)])
+        dma_t = pltpu.make_async_copy(
+            tgt_hbm.at[:, pl.ds(a, NYN)], tgt_vm,
+            sems.at[jnp.asarray(3, jnp.int32)])
+        dma_e.start()
+        dma_n.start()
+        dma_cn.start()
+        dma_t.start()
+        dma_e.wait()
+        dma_n.wait()
+        dma_cn.wait()
+        dma_t.wait()
+
+        dt = dt_ref[0, 0]
+        par = make_parity()
+
+        # y-ghost cell mask: global cell row in [0, nyc)
+        gy = jax.lax.broadcasted_iota(jnp.int32, (NWy, nzc, nxc), 0) \
+            + (a - jnp.asarray(H, jnp.int32))
+        vmask = (gy >= 0) & (gy < jnp.asarray(nyc, jnp.int32))
+        # real-node indicator (ghost rows/lanes): keeps mass/volume_n
+        # outputs 1 at ghosts so next step's ghost divisions stay finite
+        gyn = jax.lax.broadcasted_iota(jnp.int32, (NYN, LZN, LXN), 0) \
+            + (a - jnp.asarray(H, jnp.int32))
+        nzi = jax.lax.broadcasted_iota(jnp.int32, (NYN, LZN, LXN), 1)
+        nxi = jax.lax.broadcasted_iota(jnp.int32, (NYN, LZN, LXN), 2)
+        node_ghost = ((gyn < 0) | (gyn > jnp.asarray(nyc, jnp.int32))
+                      | (nzi >= jnp.asarray(nz, jnp.int32))
+                      | (nxi >= jnp.asarray(nx, jnp.int32)))
+        ghost1 = jnp.where(node_ghost, _c(1.0), _c(0.0))
+
+        def E(nm, t):
+            return e_vm[_eslot(nm), t]
+
+        def TEN(nm, t):
+            k = _eslot(nm)
+            return tuple(e_vm[k + i, t] for i in range(6))
+
+        def N(nm):
+            return n_vm[_nslot(nm)]
+
+        zero_n = jnp.zeros((NYN, LZN, LXN), dtype=dtype)
+        cx_v = nviews(N("coord_x"))
+        cy_v = nviews(N("coord_y"))
+        cz_v = nviews(N("coord_z"))
+        vx_v = nviews(N("vel_x"))
+        vy_v = nviews(N("vel_y"))
+        vz_v = nviews(N("vel_z"))
+        ts_v = nviews(N("temperature"))
+
+        # ---- phase 1: dvoldt numerator + temperature diffusion ----
+        dv_acc = zero_n
+        tdot_acc = zero_n
+        for t in range(5):
+            xs = gather_tet(cx_v, t, par)
+            ys = gather_tet(cy_v, t, par)
+            zs = gather_tet(cz_v, t, par)
+            vxs = gather_tet(vx_v, t, par)
+            vys = gather_tet(vy_v, t, par)
+            vzs = gather_tet(vz_v, t, par)
+            vol = E("volume", t)
+            vol_safe = jnp.where(vmask, vol, _c(1.0))
+            dndx, dndy, dndz = shape_fn(xs, ys, zs, vol_safe)
+            tr = (sum(vxs[i] * dndx[i] for i in range(4))
+                  + sum(vys[i] * dndy[i] for i in range(4))
+                  + sum(vzs[i] * dndz[i] for i in range(4)))
+            dv_acc = scatter_tet_equal(
+                dv_acc, jnp.where(vmask, tr * vol, _c(0.0)), t, par)
+            if ctrl.has_thermal_diffusion:
+                ts = gather_tet(ts_v, t, par)
+                gx = sum(dndx[i] * ts[i] for i in range(4))
+                gy_ = sum(dndy[i] * ts[i] for i in range(4))
+                gz = sum(dndz[i] * ts[i] for i in range(4))
+                kv = _c(kappa_s) * vol
+                # radiogenic source = 0 (single-material gate)
+                contribs = tuple(
+                    jnp.where(vmask,
+                              kv * (dndx[i] * gx + dndy[i] * gy_
+                                    + dndz[i] * gz), _c(0.0))
+                    for i in range(4))
+                tdot_acc = scatter_tet(tdot_acc, contribs, t, par)
+
+        dvoldt = dv_acc / N("volume_n")
+        dv_views = nviews(dvoldt)
+        temperature_new = N("temperature")
+        if ctrl.has_thermal_diffusion:
+            temperature_new = jnp.where(
+                cn_vm[0] > 0, _c(surface_T),
+                N("temperature") - dt * tdot_acc / N("tmass"))
+
+        # ---- phase 2: constitutive update + force assembly ----
+        # (2a: stress update on the full halo extent, staged in eo_vm;
+        #  with NMD, the nodal dpressure smoothing runs between 2a and
+        #  the force scatter of 2b, cf. geometry.cxx NMD + grid3d:394-400)
+        nmd = bool(ctrl.is_using_mixed_stress)
+        fx_acc = zero_n
+        fy_acc = zero_n
+        fz_acc = zero_n
+        dp_acc = zero_n
+
+        def put_e(nm, t, v):
+            eo_vm[_eslot(nm), t] = v
+
+        def put_t6(nm, t, comps):
+            k = _eslot(nm)
+            for i in range(6):
+                eo_vm[k + i, t] = comps[i]
+
+        def force_scatter(t, stress_c, buoy, vol, dndx, dndy, dndz,
+                          fx_acc, fy_acc, fz_acc):
+            fxc = tuple(jnp.where(
+                vmask,
+                (stress_c[0] * dndx[i] + stress_c[3] * dndy[i]
+                 + stress_c[4] * dndz[i]) * vol, _c(0.0))
+                for i in range(4))
+            fyc = tuple(jnp.where(
+                vmask,
+                (stress_c[3] * dndx[i] + stress_c[1] * dndy[i]
+                 + stress_c[5] * dndz[i]) * vol, _c(0.0))
+                for i in range(4))
+            fzc = tuple(jnp.where(
+                vmask,
+                (stress_c[4] * dndx[i] + stress_c[5] * dndy[i]
+                 + stress_c[2] * dndz[i] + buoy) * vol, _c(0.0))
+                for i in range(4))
+            return (scatter_tet(fx_acc, fxc, t, par),
+                    scatter_tet(fy_acc, fyc, t, par),
+                    scatter_tet(fz_acc, fzc, t, par))
+
+        for t in range(5):
+            xs = gather_tet(cx_v, t, par)
+            ys = gather_tet(cy_v, t, par)
+            zs = gather_tet(cz_v, t, par)
+            vxs = gather_tet(vx_v, t, par)
+            vys = gather_tet(vy_v, t, par)
+            vzs = gather_tet(vz_v, t, par)
+            ts = gather_tet(ts_v, t, par)
+            vol = E("volume", t)
+            vol_safe = jnp.where(vmask, vol, _c(1.0))
+            dndx, dndy, dndz = shape_fn(xs, ys, zs, vol_safe)
+            temp_e = (ts[0] + ts[1] + ts[2] + ts[3]) / npe
+            TinC = temp_e - CELSIUS0
+            bulkm = _c(K_s)
+            shearm = _c(G_s)
+
+            # strain rate (fields.cxx:408-483)
+            lxx = sum(vxs[i] * dndx[i] for i in range(4))
+            lyy = sum(vys[i] * dndy[i] for i in range(4))
+            lzz = sum(vzs[i] * dndz[i] for i in range(4))
+            lxy = 0.5 * (sum(vxs[i] * dndy[i] for i in range(4))
+                         + sum(vys[i] * dndx[i] for i in range(4)))
+            lxz = 0.5 * (sum(vxs[i] * dndz[i] for i in range(4))
+                         + sum(vzs[i] * dndx[i] for i in range(4)))
+            lyz = 0.5 * (sum(vys[i] * dndz[i] for i in range(4))
+                         + sum(vzs[i] * dndy[i] for i in range(4)))
+            sr = (lxx, lyy, lzz, lxy, lxz, lyz)
+
+            # edvoldt anti-locking (geometry.cxx:202-276)
+            dvs = gather_tet(dv_views, t, par)
+            edvoldt = (dvs[0] + dvs[1] + dvs[2] + dvs[3]) / npe
+            adj = (edvoldt - (lxx + lyy + lzz)) / 3.0
+            edot = (lxx + adj, lyy + adj, lzz + adj, lxy, lxz, lyz)
+            de = tuple(edot[i] * dt for i in range(6))
+            strain_old = TEN("strain", t)
+            strain = tuple(strain_old[i] + de[i] for i in range(6))
+
+            # constitutive switch (rheology.cxx:676-991)
+            stress_old = TEN("stress", t)
+            plstrain = E("plstrain", t)
+            delta_plstrain = E("delta_plstrain", t)
+            viscosity = E("viscosity", t)
+
+            def creep_visc():
+                s0 = (stress_old[0] + stress_old[1] + stress_old[2]) / 3.0
+                ed = jnp.maximum(jnp.sqrt(inv2_6(sr)), MIN_STRAIN_RATE)
+                Tm_safe = jnp.where(vmask, temp_e, _c(300.0))
+                return visc_core_local(Tm_safe, s0, ed)
+
+            from . import rheology as R
+
+            if rheol == RH_ELASTIC:
+                stress_c = R.elastic3_c(bulkm, shearm, de, stress_old)
+            elif rheol == RH_VISCOUS:
+                viscosity = creep_visc()
+                total_dv = strain[0] + strain[1] + strain[2]
+                stress_c = R.viscous3_c(bulkm, viscosity, total_dv, edot)
+            elif rheol == RH_MAXWELL:
+                viscosity = creep_visc()
+                dv = vol / jnp.where(vmask, E("volume_old", t),
+                                     _c(1.0)) - 1.0
+                stress_c = R.maxwell3_c(bulkm, shearm, viscosity, dt, dv,
+                                        de, stress_old)
+            elif rheol == RH_EP:
+                pls_safe = jnp.where(vmask, plstrain, _c(0.0))
+                amc, anphi, anpsi, hardn, ten_max = plastic_props_local(
+                    pls_safe)
+                stress_c, depls, _ = R.elasto_plastic3_c(
+                    bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+                    de, stress_old)
+                plstrain = plstrain + depls
+                delta_plstrain = depls
+            elif rheol == RH_EVP:
+                viscosity = creep_visc()
+                dv = vol / jnp.where(vmask, E("volume_old", t),
+                                     _c(1.0)) - 1.0
+                sv = R.maxwell3_c(bulkm, shearm, viscosity, dt, dv, de,
+                                  stress_old)
+                pls_safe = jnp.where(vmask, plstrain, _c(0.0))
+                amc, anphi, anpsi, hardn, ten_max = plastic_props_local(
+                    pls_safe)
+                sp, depls, _ = R.elasto_plastic3_c(
+                    bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+                    de, stress_old)
+                use_v = inv2_6(sv) < inv2_6(sp)
+                stress_c = tuple(jnp.where(use_v, p, q)
+                                 for p, q in zip(sv, sp))
+                plstrain = jnp.where(use_v, plstrain, plstrain + depls)
+                delta_plstrain = jnp.where(use_v, delta_plstrain, depls)
+            else:  # pragma: no cover - gated
+                raise ValueError(f"pallas3d: unsupported rheology {rheol}")
+
+            # force assembly (fields.cxx:612-703); with NMD the scatter
+            # waits for the nodal dpressure smoothing (pass 2b)
+            if ctrl.gravity != 0:
+                buoy = _c(buoyA_s) - _c(buoyB_s) * TinC
+            else:
+                buoy = jnp.zeros_like(vol)
+            if nmd:
+                old_tr = stress_old[0] + stress_old[1] + stress_old[2]
+                dpress = (stress_c[0] + stress_c[1] + stress_c[2]
+                          - old_tr)
+                dp_acc = scatter_tet_equal(
+                    dp_acc, jnp.where(vmask, dpress * vol, _c(0.0)),
+                    t, par)
+                put_e("dpressure", t, dpress)
+            else:
+                fx_acc, fy_acc, fz_acc = force_scatter(
+                    t, stress_c, buoy, vol, dndx, dndy, dndz,
+                    fx_acc, fy_acc, fz_acc)
+                put_e("dpressure", t, E("dpressure", t))  # carry
+
+            # stage pre-Jaumann outputs (rotated in phase 4)
+            put_t6("stress", t, stress_c)
+            put_t6("strain", t, strain)
+            put_t6("strain_rate", t, edot)
+            put_e("edvoldt", t, edvoldt)
+            put_e("plstrain", t, plstrain)
+            put_e("delta_plstrain", t, delta_plstrain)
+            put_e("viscosity", t, viscosity)
+
+        if nmd:
+            # nodal mean-stress smoothing (grid3d:394-400): adjust the
+            # staged stress diagonals, then scatter forces (pass 2b)
+            dp_nd = dp_acc / N("volume_n")
+            dp_views = nviews(dp_nd)
+            for t in range(5):
+                xs = gather_tet(cx_v, t, par)
+                ys = gather_tet(cy_v, t, par)
+                zs = gather_tet(cz_v, t, par)
+                ts = gather_tet(ts_v, t, par)
+                vol = E("volume", t)
+                vol_safe = jnp.where(vmask, vol, _c(1.0))
+                dndx, dndy, dndz = shape_fn(xs, ys, zs, vol_safe)
+                temp_e = (ts[0] + ts[1] + ts[2] + ts[3]) / npe
+                if ctrl.gravity != 0:
+                    buoy = _c(buoyA_s) - _c(buoyB_s) * (temp_e - CELSIUS0)
+                else:
+                    buoy = jnp.zeros_like(vol)
+                dps = gather_tet(dp_views, t, par)
+                dp_t = eo_vm[_eslot("dpressure"), t]
+                ddp = ((dps[0] + dps[1] + dps[2] + dps[3]) / npe
+                       - dp_t) / 3.0
+                k = _eslot("stress")
+                stress_c = (eo_vm[k, t] + ddp, eo_vm[k + 1, t] + ddp,
+                            eo_vm[k + 2, t] + ddp, eo_vm[k + 3, t],
+                            eo_vm[k + 4, t], eo_vm[k + 5, t])
+                for i in range(3):
+                    eo_vm[k + i, t] = stress_c[i]
+                fx_acc, fy_acc, fz_acc = force_scatter(
+                    t, stress_c, buoy, vol, dndx, dndy, dndz,
+                    fx_acc, fy_acc, fz_acc)
+
+        force_x = -fx_acc
+        force_y = -fy_acc
+        force_z = -fz_acc
+
+        # residual L2 partial over owned nodes (last tile adds edge row)
+        own_n = slice(H, H + TY)
+        r2 = (force_x[own_n] ** 2 + force_y[own_n] ** 2
+              + force_z[own_n] ** 2).sum()
+        edge = (force_x[H + TY] ** 2 + force_y[H + TY] ** 2
+                + force_z[H + TY] ** 2).sum()
+        r2 = r2 + jnp.where(tt == jnp.asarray(T - 1, jnp.int32), edge,
+                            _c(0.0))
+        red_ref[0, 3] = red_ref[0, 3] + r2
+
+        # ---- phase 3: damping + velocity + vbcs + coordinates ----
+        mass_n = N("mass")
+
+        def damp(f, v):
+            if ctrl.damping_option == 0:
+                return f
+            if ctrl.damping_option == 1:
+                moving = jnp.abs(v) > 1e-13
+                return f - jnp.where(
+                    moving,
+                    ctrl.damping_factor * jnp.abs(f) * jnp.sign(v),
+                    _c(0.0))
+            if ctrl.damping_option == 2:
+                return f * (1.0 - ctrl.damping_factor)
+            # option 3
+            pos = (f < 0) == (v < 0)
+            return jnp.where(pos, f * (1.0 - ctrl.damping_factor),
+                             f * (2.0 - ctrl.damping_factor))
+
+        fdx = damp(force_x, N("vel_x"))
+        fdy = damp(force_y, N("vel_y"))
+        fdz = damp(force_z, N("vel_z"))
+        vel_x = N("vel_x") + dt * fdx / mass_n
+        vel_y = N("vel_y") + dt * fdy / mass_n
+        vel_z = N("vel_z") + dt * fdz / mass_n
+        vel_x = jnp.where(cn_vm[1] > 0, tgt_vm[0], vel_x)
+        vel_y = jnp.where(cn_vm[2] > 0, tgt_vm[1], vel_y)
+        vel_z = jnp.where(cn_vm[3] > 0, tgt_vm[2], vel_z)
+
+        coord_x = N("coord_x") + vel_x * dt
+        coord_y = N("coord_y") + vel_y * dt
+        coord_z = N("coord_z") + vel_z * dt
+
+        # ---- phase 4: post-move geometry, masses, CFL, Jaumann ----
+        cx2_v = nviews(coord_x)
+        cy2_v = nviews(coord_y)
+        cz2_v = nviews(coord_z)
+        vx2_v = nviews(vel_x)
+        vy2_v = nviews(vel_y)
+        vz2_v = nviews(vel_z)
+
+        voln_acc = zero_n
+        m_acc = zero_n
+        tm_acc = zero_n
+        hm_acc = zero_n
+        own_c = slice(H, H + TY)
+        ztop = jax.lax.broadcasted_iota(
+            jnp.int32, (NWy, nzc, nxc), 1) == jnp.asarray(nzc - 1,
+                                                          jnp.int32)
+
+        for t in range(5):
+            xs2 = gather_tet(cx2_v, t, par)
+            ys2 = gather_tet(cy2_v, t, par)
+            zs2 = gather_tet(cz2_v, t, par)
+            vxs2 = gather_tet(vx2_v, t, par)
+            vys2 = gather_tet(vy2_v, t, par)
+            vzs2 = gather_tet(vz2_v, t, par)
+            ts = gather_tet(ts_v, t, par)
+            temp_e = (ts[0] + ts[1] + ts[2] + ts[3]) / npe
+            TinC = temp_e - CELSIUS0
+            rho_e = _c(rho0_s) - _c(rhoB_s) * TinC
+            shearm = _c(G_s)
+            bulkm = _c(K_s)
+            vol = E("volume", t)
+            vol_safe = jnp.where(vmask, vol, _c(1.0))
+            volume_new = volume_of(xs2, ys2, zs2)
+            vol2_safe = jnp.where(vmask, volume_new, _c(1.0))
+
+            # CFL partials (geometry.cxx:756-923): every step, like the
+            # grid3d oracle — vmax/gdtmin refresh each step, only dt is
+            # gated on the 10-step cadence (dynearthsol.cxx:861-871)
+            vx_m = (vxs2[0] + vxs2[1] + vxs2[2] + vxs2[3]) / npe
+            vy_m = (vys2[0] + vys2[1] + vys2[2] + vys2[3]) / npe
+            vz_m = (vzs2[0] + vzs2[1] + vzs2[2] + vzs2[3]) / npe
+            vmag = jnp.sqrt(vx_m * vx_m + vy_m * vy_m + vz_m * vz_m)
+            minh = min_height(xs2, ys2, zs2, vol2_safe)
+            swave = jnp.sqrt(shearm / rho_e)
+            red_ref[0, 0] = jnp.minimum(red_ref[0, 0],
+                                        minh[own_c].min())
+            red_ref[0, 1] = jnp.minimum(red_ref[0, 1],
+                                        (minh / swave)[own_c].min())
+            red_ref[0, 2] = jnp.maximum(red_ref[0, 2],
+                                        vmag[own_c].max())
+
+            # (pseudo-)mass matrices (geometry.cxx:1020-1154)
+            if ctrl.use_global_velocity_scaling:
+                gvs = dt_ref[0, 1]
+                apparent = jnp.minimum(gvs, jnp.sqrt(shearm / rho_e))
+                rho_q = bulkm / (apparent * apparent)
+            else:
+                rho_q = bulkm / _c(pseudo_speed * pseudo_speed)
+            rho_m = rho_q if ctrl.is_quasi_static else rho_e
+            m_c = jnp.where(vmask, rho_m * volume_new / npe, _c(0.0))
+            tm_c = jnp.where(
+                vmask,
+                (_c(cp_s * rho0_s) - _c(cp_s * rhoB_s) * TinC)
+                * volume_new / npe, _c(0.0))
+            hm_c = jnp.where(vmask, _c(hmA_s) * volume_new, _c(0.0))
+            vn_c = jnp.where(vmask, volume_new, _c(0.0))
+            voln_acc = scatter_tet_equal(voln_acc, vn_c, t, par)
+            m_acc = scatter_tet_equal(m_acc, m_c, t, par)
+            tm_acc = scatter_tet_equal(tm_acc, tm_c, t, par)
+            hm_acc = scatter_tet_equal(hm_acc, hm_c, t, par)
+
+            # Jaumann rotation with post-move geometry (fields.cxx:832-907)
+            # + correct_surface_element (bc.cxx:1613-1665): the rotation is
+            # linear in its tensor, so rotate-then-scale == the reference's
+            # scale-then-rotate.  No surface plstrain decay in 3D
+            # (bc.cxx:1805-1810 is 2D-only).
+            if rheol & RH_ELASTIC:
+                dndx2, dndy2, dndz2 = shape_fn(xs2, ys2, zs2, vol2_safe)
+                w3 = 0.5 * (sum(vxs2[i] * dndy2[i] for i in range(4))
+                            - sum(vys2[i] * dndx2[i] for i in range(4)))
+                w4 = 0.5 * (sum(vxs2[i] * dndz2[i] for i in range(4))
+                            - sum(vzs2[i] * dndx2[i] for i in range(4)))
+                w5 = 0.5 * (sum(vys2[i] * dndz2[i] for i in range(4))
+                            - sum(vzs2[i] * dndy2[i] for i in range(4)))
+                w3t = w3 * dt
+                w4t = w4 * dt
+                w5t = w5 * dt
+
+                def rot(c):
+                    return (c[0] - 2.0 * c[3] * w3t - 2.0 * c[4] * w4t,
+                            c[1] + 2.0 * c[3] * w3t - 2.0 * c[5] * w5t,
+                            c[2] + 2.0 * c[4] * w4t + 2.0 * c[5] * w5t,
+                            c[3] + (c[0] - c[1]) * w3t - c[4] * w5t
+                            - c[5] * w4t,
+                            c[4] + (c[0] - c[2]) * w4t + c[3] * w5t
+                            - c[5] * w3t,
+                            c[5] + (c[1] - c[2]) * w5t + c[3] * w4t
+                            + c[4] * w3t)
+
+                k = _eslot("stress")
+                stress_o = rot(tuple(eo_vm[k + i, t] for i in range(6)))
+                k = _eslot("strain")
+                strain_o = rot(tuple(eo_vm[k + i, t] for i in range(6)))
+            else:
+                k = _eslot("stress")
+                stress_o = tuple(eo_vm[k + i, t] for i in range(6))
+                k = _eslot("strain")
+                strain_o = tuple(eo_vm[k + i, t] for i in range(6))
+
+            if ctrl.has_surface_correction:
+                rdv = vol2_safe / vol_safe
+                sc = jnp.where(ztop & (rdv >= 1.0), 1.0 / rdv, _c(1.0))
+                stress_o = tuple(x * sc for x in stress_o)
+                strain_o = tuple(x * sc for x in strain_o)
+                k = _eslot("strain_rate")
+                for i in range(6):
+                    eo_vm[k + i, t] = eo_vm[k + i, t] * sc
+                kp = _eslot("plstrain")
+                eo_vm[kp, t] = eo_vm[kp, t] * sc
+                volume_old_o = jnp.where(ztop, volume_new, vol)
+            else:
+                volume_old_o = vol
+            k = _eslot("stress")
+            for i in range(6):
+                eo_vm[k + i, t] = stress_o[i]
+            k = _eslot("strain")
+            for i in range(6):
+                eo_vm[k + i, t] = strain_o[i]
+            eo_vm[_eslot("volume"), t] = volume_new
+            eo_vm[_eslot("volume_old"), t] = volume_old_o
+
+        # ---- phase 5: nodal outputs + DMA out ----
+        own_n1 = slice(H, H + TYN)  # overlaps next tile (benign)
+        no_vm[_nslot("coord_x")] = coord_x[own_n1]
+        no_vm[_nslot("coord_y")] = coord_y[own_n1]
+        no_vm[_nslot("coord_z")] = coord_z[own_n1]
+        no_vm[_nslot("vel_x")] = vel_x[own_n1]
+        no_vm[_nslot("vel_y")] = vel_y[own_n1]
+        no_vm[_nslot("vel_z")] = vel_z[own_n1]
+        no_vm[_nslot("temperature")] = temperature_new[own_n1]
+        no_vm[_nslot("mass")] = (m_acc + ghost1)[own_n1]
+        no_vm[_nslot("tmass")] = (tm_acc + ghost1)[own_n1]
+        no_vm[_nslot("volume_n")] = (voln_acc + ghost1)[own_n1]
+        no_vm[_nslot("hmass")] = hm_acc[own_n1]
+        no_vm[_nslot("force_x")] = fdx[own_n1]
+        no_vm[_nslot("force_y")] = fdy[own_n1]
+        no_vm[_nslot("force_z")] = fdz[own_n1]
+
+        dma_eo = pltpu.make_async_copy(
+            eo_vm.at[:, :, pl.ds(jnp.asarray(H, jnp.int32), TY)],
+            eout_hbm.at[:, :, pl.ds(a + jnp.asarray(PAD, jnp.int32), TY)],
+            sems.at[jnp.asarray(4, jnp.int32)])
+        dma_no = pltpu.make_async_copy(
+            no_vm,
+            nout_hbm.at[:, pl.ds(a + jnp.asarray(PAD, jnp.int32), TYN)],
+            sems.at[jnp.asarray(5, jnp.int32)])
+        dma_eo.start()
+        dma_no.start()
+        dma_eo.wait()
+        dma_no.wait()
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),     # dt, gvs, refresh
+        pl.BlockSpec(memory_space=pltpu.ANY),      # epack
+        pl.BlockSpec(memory_space=pltpu.ANY),      # npack
+        pl.BlockSpec(memory_space=pltpu.ANY),      # const npack
+        pl.BlockSpec(memory_space=pltpu.ANY),      # vbc targets
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),      # epack out
+        pl.BlockSpec(memory_space=pltpu.ANY),      # npack out
+        pl.BlockSpec(memory_space=pltpu.SMEM),     # partials (1, 4)
+    ]
+
+    pallas_fn = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((NE, 5, nyp_c, nzc, nxc), dtype),
+            jax.ShapeDtypeStruct((NN, nyp_n, LZN, LXN), dtype),
+            jax.ShapeDtypeStruct((1, 4), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NE_IN, 5, NWy, nzc, nxc), dtype),
+            pltpu.VMEM((NN_IN, NYN, LZN, LXN), dtype),
+            pltpu.VMEM((NCN, NYN, LZN, LXN), dtype),
+            pltpu.VMEM((3, NYN, LZN, LXN), dtype),
+            pltpu.VMEM((NE, 5, NWy, nzc, nxc), dtype),
+            pltpu.VMEM((NN, TYN, LZN, LXN), dtype),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=INTERPRET,
+        debug=bool(int(__import__('os').environ.get('PALLAS3D_DEBUG',
+                                                    '0'))),
+    )
+
+    def step(sctx, s, cnpack):
+        """One fused step on packed planes.  `cnpack` = _const_npack
+        (constant through a scan chunk)."""
+        epack, npack = s.volume, s.coord
+        dt = s.dt
+        steps = s.steps + 1
+        time = s.time + s.dt
+
+        # per-step vbc targets from pre-move coords (bc.cxx applies vbcs
+        # before update_coordinate); node id = (i*ny + j)*nz + k
+        def plane_to_flat(p):
+            return p[:, :nz, :nx].transpose(2, 0, 1).reshape(-1)
+
+        real = npack[:, PAD:PAD + ny]
+        coord_flat = jnp.stack([plane_to_flat(real[0]),
+                                plane_to_flat(real[1]),
+                                plane_to_flat(real[2])], axis=1)
+        tgt = bc_mod.apply_vbcs(sctx.vbc, jnp.zeros_like(coord_flat),
+                                coord_flat, time)
+
+        def flat_to_plane(a):
+            return a.reshape(nx, ny, nz).transpose(1, 2, 0)
+
+        tgt_planes = jnp.pad(
+            jnp.stack([flat_to_plane(tgt[:, 0]), flat_to_plane(tgt[:, 1]),
+                       flat_to_plane(tgt[:, 2])]),
+            ((0, 0), (PAD, PAD), (0, LZN - nz), (0, LXN - nx)))
+
+        gvs = (s.max_global_vel_mag * ctrl.inertial_scaling).astype(dtype)
+        refresh = (steps % 10 == 0) | bool(ctrl.use_global_velocity_scaling)
+        dt_in = jnp.stack([dt.astype(dtype), gvs,
+                           refresh.astype(dtype),
+                           jnp.zeros((), dtype)]).reshape(1, 4)
+        eout, nout, red = pallas_fn(dt_in, epack, npack, cnpack,
+                                    tgt_planes)
+
+        # finish the scalar reductions (geometry.cxx:756-923); CFL metrics
+        # only exist on refresh steps (dynearthsol.cxx:861-871 cadence)
+        minh = red[0, 0]
+        gdtmin = red[0, 1] / 5.0
+        vmax = jnp.maximum(red[0, 2], max_vbc_val)
+        l2_res = jnp.sqrt(red[0, 3] / (nx * ny * nz * 3))
+
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype=dtype)
+        if ctrl.fixed_dt != 0.0:
+            dt_new = jnp.asarray(ctrl.fixed_dt, dtype=dtype)
+        else:
+            dt_maxwell = jnp.asarray(0.5 * visc_min / (1e-40 + G_s), dtype)
+            dt_diffusion = 0.5 * minh * minh / therm_diff_max \
+                if ctrl.has_thermal_diffusion else big
+            if ctrl.use_global_velocity_scaling:
+                dt_advection = 0.5 * minh / vmax
+                dt_elastic = jnp.maximum(
+                    0.5 * minh / (vmax * ctrl.inertial_scaling)
+                    if ctrl.is_quasi_static else 0.5 * minh / swave_ref,
+                    gdtmin)
+            else:
+                dt_advection = 0.5 * minh / max_vbc_val
+                dt_elastic = 0.5 * minh / (max_vbc_val
+                                           * ctrl.inertial_scaling) \
+                    if ctrl.is_quasi_static else 0.5 * minh / swave_ref
+            dt_new = jnp.minimum(
+                jnp.minimum(dt_elastic, dt_maxwell),
+                jnp.minimum(dt_advection, dt_diffusion)) * ctrl.dt_fraction
+        dt_out = jnp.where(refresh, dt_new, s.dt)
+
+        return dataclasses.replace(
+            s, volume=eout, coord=nout,
+            time=time, dt=dt_out, steps=steps,
+            max_global_vel_mag=vmax, global_dt_min=gdtmin,
+            l2_residual=l2_res)
+
+    return step
+
+
+def make_chunk_runner(param: Param, ctx, compensation_pressure: float,
+                      n: int):
+    """jit(run_chunk)(ctx, state): pack -> scan n fused steps -> unpack."""
+    nx, ny, nz = ctx.sgrid
+    step = make_pallas_step(param, ctx, compensation_pressure)
+
+    @jax.jit
+    def run_chunk(sctx, state):
+        cnpack = _const_npack(param, sctx, state, nx, ny, nz)
+        g = state_to_pgrid(state, nx, ny, nz)
+
+        def body(s, _):
+            return step(sctx, s, cnpack), None
+
+        g, _ = jax.lax.scan(body, g, length=n)
+        return pgrid_to_state(g, nx, ny, nz)
+
+    return run_chunk

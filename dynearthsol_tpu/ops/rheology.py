@@ -13,6 +13,8 @@ compiles to a single fused elementwise XLA kernel (VPU-bound on TPU).
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from .tensor import second_invariant2, trace
@@ -113,7 +115,10 @@ def elasto_plastic3_c(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
 
     dpls_shear = jnp.abs(alam) * jnp.sqrt((7.0 + 4.0 * anpsi
                                            + 7.0 * anpsi * anpsi) / 18.0)
-    dpls_tens = jnp.abs(alam) * jnp.sqrt(7.0 / 18.0)
+    # python-level sqrt: jnp.sqrt on a python scalar makes an f64
+    # constant under global x64, which Mosaic (the fused 3D Pallas
+    # kernel, ops/pallas3d.py) refuses to lower
+    dpls_tens = jnp.abs(alam) * math.sqrt(7.0 / 18.0)
     depls = jnp.where(no_fail, 0.0,
                       jnp.where(shear_fail, dpls_shear, dpls_tens))
 
@@ -256,7 +261,7 @@ def elasto_plastic(bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
 
     dpls_shear = jnp.abs(alam) * jnp.sqrt((3.0 + 2.0 * anpsi
                                            + 3.0 * anpsi * anpsi) / 8.0)
-    dpls_tens = jnp.abs(alam) * jnp.sqrt(3.0 / 8.0)
+    dpls_tens = jnp.abs(alam) * math.sqrt(3.0 / 8.0)  # see 3D note above
     depls = jnp.where(no_fail, 0.0,
                       jnp.where(shear_fail, dpls_shear, dpls_tens))
 

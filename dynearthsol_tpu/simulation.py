@@ -45,7 +45,8 @@ from .state import State, allocate_state
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["conn", "gather_idx", "gather_mask", "elem_mask",
-                 "top_mask", "pp_bc_mask", "vbc", "sbc", "mat", "surf"],
+                 "top_mask", "pp_bc_mask", "vbc", "sbc", "mat", "surf",
+                 "halo"],
     meta_fields=["ndims", "nnode", "nelem", "max_vbc_val", "axis", "sgrid"])
 @dataclass(frozen=True)
 class StepCtx:
@@ -76,6 +77,9 @@ class StepCtx:
     # (nx, nz) when the mesh is a raster structured grid: element<->node
     # transfers then run as stencil slices instead of gathers (structured.py)
     sgrid: Optional[tuple] = None
+    # node-window halo spec (ops/assembly.HaloSpec) when nodal state is
+    # sharded across devices (parallel/halo_step.py); None = replicated
+    halo: Optional[object] = None
 
 
 def _elem_props(ctx: StepCtx, s: State):
@@ -284,7 +288,9 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
             buoy = jnp.zeros_like(s.volume)
         contrib = F.internal_force_contrib(stress, s.volume, dnd, buoy)
         force = F.assemble_force(contrib, asm)
-        l2_res = F.residual_l2(force)
+        l2_res = F.residual_l2(
+            force, ctx.halo.own_mask if ctx.halo is not None else None,
+            ctx.axis if ctx.halo is not None else None)
         # boundary tractions (bc.cxx:632-875)
         if ctrl.has_hydraulic_diffusion:
             rho_eff = rho_e * (1.0 - phi_e) + 1000.0 * phi_e
@@ -367,7 +373,10 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
                                        temp_e=temp_e_pt, vel_e=vp_e)
                 contribp = F.internal_force_contrib(stp, volp, dndp, buoy)
                 forcep = F.assemble_force(contribp, asm)
-                resp = F.residual_l2(forcep)
+                resp = F.residual_l2(
+                    forcep,
+                    ctx.halo.own_mask if ctx.halo is not None else None,
+                    ctx.axis if ctx.halo is not None else None)
                 if ctrl.gravity != 0:
                     forcep = bc_mod.apply_stress_bcs(
                         param, ctx.sbc, coordp, forcep, rho_eff,
@@ -1139,7 +1148,7 @@ class Simulation:
         if n not in self._chunk_fns:
             import os
 
-            from .ops import grid2d, grid3d, pallas2d
+            from .ops import grid2d, grid3d, pallas2d, pallas3d
 
             step = self._step_fn
             if (pallas2d.pallas_step_applicable(self.param, self.ctx)
@@ -1147,6 +1156,12 @@ class Simulation:
                 # fused single-kernel Pallas step (ops/pallas2d.py): the
                 # whole dynearthsol.cxx:746-956 sequence in one kernel
                 self._chunk_fns[n] = pallas2d.make_chunk_runner(
+                    self.param, self.ctx, self.compensation_pressure, n)
+                return self._chunk_fns[n]
+            if (pallas3d.pallas3d_step_applicable(self.param, self.ctx)
+                    and not os.environ.get("DES_NO_PALLAS")):
+                # fused single-kernel 3D Pallas step (ops/pallas3d.py)
+                self._chunk_fns[n] = pallas3d.make_chunk_runner(
                     self.param, self.ctx, self.compensation_pressure, n)
                 return self._chunk_fns[n]
             gridmod = None

