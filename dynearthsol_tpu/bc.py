@@ -168,7 +168,8 @@ def _apply_inclined(spec, vel):
                  "period_time_x0", "period_ratio_x0",
                  "period_time_x1", "period_ratio_x1", "incl"],
     meta_fields=["ndims", "types", "values", "values_lateral",
-                 "bottom_shear_zone_thickness", "vbc_val_z1_loading_period"])
+                 "bottom_shear_zone_thickness", "vbc_val_z1_loading_period",
+                 "axis"])
 @dataclass(frozen=True)
 class VBCSpec:
     """Static velocity-BC description (types/values from Param.bc;
@@ -197,6 +198,10 @@ class VBCSpec:
     bottom_shear_zone_thickness: float
     vbc_val_z1_loading_period: float
     incl: object = None  # InclinedVBC when BOUNDN boundaries exist
+    # shard_map axis name when the node masks are sharded windows
+    # (parallel/halo_step.py): boundary-extent reductions then ride
+    # pmin/pmax so shards without boundary nodes don't see empty minima
+    axis: object = None
 
     @staticmethod
     def from_param(param, bcflag: np.ndarray, topo=None,
@@ -291,10 +296,13 @@ def _interp1(xp, fp, q):
     return fp[0] + (slope * seg).sum(axis=-1)
 
 
-def _masked_minmax(values, mask):
+def _masked_minmax(values, mask, axis=None):
     big = jnp.asarray(jnp.finfo(values.dtype).max, values.dtype)
     vmax = jnp.max(jnp.where(mask, values, -big))
     vmin = jnp.min(jnp.where(mask, values, big))
+    if axis is not None:
+        vmax = jax.lax.pmax(vmax, axis)
+        vmin = jax.lax.pmin(vmin, axis)
     return vmin, vmax
 
 
@@ -322,8 +330,8 @@ def _apply_vbcs_2d(spec: VBCSpec, vel, coord, time):
     z = coord[:, 1]
     x = coord[:, 0]
     # vertical profile divisions from current boundary extent (bc.cxx:229-278)
-    bx0min, bx0max = _masked_minmax(z, spec.x0)
-    bx1min, bx1max = _masked_minmax(z, spec.x1)
+    bx0min, bx0max = _masked_minmax(z, spec.x0, spec.axis)
+    bx1min, bx1max = _masked_minmax(z, spec.x1, spec.axis)
     w0 = bx0max - bx0min
     # NOTE: the reference computes BOTH faces' divisions from the X0 extent
     # (bc.cxx:275-277); replicated faithfully.
@@ -333,6 +341,8 @@ def _apply_vbcs_2d(spec: VBCSpec, vel, coord, time):
     exact_x1 = applied_x1 * _interp1(div1, jnp.asarray(spec.ratio_x1), -z)
 
     zmin = jnp.minimum(jnp.min(z), 0.0)
+    if spec.axis is not None:
+        zmin = jax.lax.pmin(zmin, spec.axis)
 
     tx0, tx1, _, _, tz0, tz1 = spec.types
     vx0, vx1, _, _, vz0, vz1 = spec.values

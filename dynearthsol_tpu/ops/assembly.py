@@ -13,7 +13,65 @@ corner slots: deterministic, race-free, one fused kernel.
 
 from __future__ import annotations
 
+import dataclasses
+import functools
+
+import jax
 import jax.numpy as jnp
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["own_mask"], meta_fields=["h", "ndev"])
+@dataclasses.dataclass(frozen=True)
+class HaloSpec:
+    """Node-window halo bookkeeping for the sharded-nodal step
+    (parallel/halo_step.py).
+
+    Nodes are partitioned into contiguous blocks of B (renumbered order,
+    mesh/generate.py longest-axis numbering gives index locality); each
+    device holds a window of W = B + 2h rows.  ``h`` is the max
+    index-space spread of any element's connectivity, so every element's
+    corner nodes fall inside its shard's window.  ``own_mask`` marks the
+    B owned rows (excluding the pad tail of the last shard)."""
+
+    own_mask: jnp.ndarray  # (W,) f32 1/0 owned-row indicator (local)
+    h: int                 # halo rows each side
+    ndev: int              # devices on the node/element axis
+
+
+def node_sum_halo(contrib: jnp.ndarray, conn: jnp.ndarray, width: int,
+                  axis_name: str, halo: HaloSpec,
+                  elem_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Halo-exchange assembly: local scatter into the W-row node window,
+    then exchange the 2h-row overlap slabs with both neighbours and add.
+
+    The element->node transfer is the ONLY communication of the core
+    loop (SURVEY §2.3); exchanging 2h rows instead of psum-ing a
+    full-length replicated nodal buffer (node_sum_scatter) makes the
+    per-step traffic O(cut surface), not O(nnode), and lets nodal state
+    shard ~1/N per device.  Overlap rows are computed by BOTH neighbours
+    from identical complete sums (two-term adds are commutative in
+    IEEE), so no second sync is needed after nodal updates."""
+    if elem_mask is not None:
+        contrib = contrib * elem_mask.reshape(
+            (-1,) + (1,) * (contrib.ndim - 1))
+    flat = contrib.reshape(contrib.shape[0] * contrib.shape[1], -1)
+    out = jnp.zeros((width, flat.shape[1]), dtype=contrib.dtype)
+    out = out.at[conn.ravel()].add(flat)
+
+    h2 = 2 * halo.h
+    ndev = halo.ndev
+    # (src, dst) pairs: edge devices receive zeros
+    fwd = [(i, i + 1) for i in range(ndev - 1)]
+    bwd = [(i + 1, i) for i in range(ndev - 1)]
+    from_left = jax.lax.ppermute(out[width - h2:], axis_name, fwd)
+    from_right = jax.lax.ppermute(out[:h2], axis_name, bwd)
+    out = out.at[:h2].add(from_left)
+    out = out.at[width - h2:].add(from_right)
+    if contrib.ndim == 2:
+        return out[:, 0]
+    return out
 
 
 def node_sum(contrib: jnp.ndarray, gather_idx: jnp.ndarray,
@@ -61,8 +119,9 @@ def node_sum_scatter(contrib: jnp.ndarray, conn: jnp.ndarray, nnode: int,
 
 def make_asm(ctx):
     """Assembly closure for a StepCtx: stencil pad-add on a structured
-    grid, gather-based on one device otherwise, scatter+psum inside
-    shard_map (ctx.axis set)."""
+    grid, gather-based on one device otherwise; inside shard_map
+    (ctx.axis set) either halo exchange over node windows (ctx.halo) or
+    scatter+full psum (replicated nodal fallback)."""
     if ctx.axis is None:
         if ctx.sgrid is not None and len(ctx.sgrid) == 2:
             from .structured import scatter_corners_2d
@@ -70,6 +129,9 @@ def make_asm(ctx):
             nx, nz = ctx.sgrid
             return lambda c: scatter_corners_2d(c, nx, nz)
         return lambda c: node_sum(c, ctx.gather_idx, ctx.gather_mask)
+    if getattr(ctx, "halo", None) is not None:
+        return lambda c: node_sum_halo(c, ctx.conn, ctx.nnode, ctx.axis,
+                                       ctx.halo, ctx.elem_mask)
     return lambda c: node_sum_scatter(c, ctx.conn, ctx.nnode, ctx.axis,
                                       ctx.elem_mask)
 

@@ -1,0 +1,109 @@
+"""Node-sharded halo step (parallel/halo_step.py) on a virtual 8-device
+CPU mesh: must agree with the single-device step to fp roundoff, while
+holding only ~1/ndev of the nodal state per device (the point of the
+exercise — shard_step.py replicates nodal arrays)."""
+
+import numpy as np
+import pytest
+
+import dynearthsol_tpu as des
+
+
+def _mk_param(nx=64, nz=8, rheo="elasto-visco-plastic", **over):
+    d = {
+        "sim": {"ndims": 2, "float_dtype": "float64",
+                "is_outputting_averaged_fields": False},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 64e3, "ylength": 0.0, "zlength": 8e3,
+                 "resolution": 64e3 / nx,
+                 "quality_check_step_interval": 10**8},
+        "markers": {"markers_per_element": 4},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "has_thermal_diffusion": True, "damping_option": 1},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": -1e-9, "vbc_x1": 1,
+               "vbc_val_x1": 1e-9, "vbc_z0": 0, "vbc_z1": 0,
+               "has_winkler_foundation": False,
+               "has_water_loading": False},
+        "mat": {"rheology_type": rheo, "is_plane_strain": True,
+                "rho0": [2800.0], "bulk_modulus": [50e9],
+                "shear_modulus": [30e9]},
+    }
+    for sec, kv in over.items():
+        d.setdefault(sec, {}).update(kv)
+    return des.param_from_dict(d)
+
+
+@pytest.fixture(scope="module")
+def devices8():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices; set "
+                    "XLA_FLAGS=--xla_force_host_platform_device_count=8")
+    return jax.devices()[:8]
+
+
+def _compare(sim_ref, sim_halo, tol=1e-12):
+    for name in ("coord", "vel", "stress", "plstrain", "temperature",
+                 "dt", "time", "mass", "strain", "viscosity",
+                 "l2_residual", "max_global_vel_mag"):
+        a = np.asarray(getattr(sim_ref.state, name), dtype=np.float64)
+        b = np.asarray(getattr(sim_halo.state, name), dtype=np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        err = np.abs(a - b).max() / scale
+        assert err < tol, f"{name}: rel err {err:.2e}"
+
+
+def test_halo_matches_single_device(devices8):
+    from jax.sharding import Mesh
+    from dynearthsol_tpu.parallel.halo_step import run_halo
+
+    param = _mk_param()
+    sim_ref = des.Simulation(param)
+    sim_ref.run_steps(20, chunk=10)
+
+    sim_h = des.Simulation(param)
+    mesh = Mesh(np.asarray(devices8), ("e",))
+    run_halo(sim_h, mesh, 20, chunk=10)
+    _compare(sim_ref, sim_h)
+
+
+def test_halo_memory_scales(devices8):
+    """Per-device nodal window must be ~nnode/ndev + 2H, not nnode."""
+    from jax.sharding import Mesh
+    from dynearthsol_tpu.parallel.halo_step import make_halo_runner
+
+    param = _mk_param()
+    sim = des.Simulation(param)
+    mesh = Mesh(np.asarray(devices8), ("e",))
+    ctx_sh, state_sh, run_chunk, plan, _ = make_halo_runner(sim, mesh)
+    nnode = sim.topo.nnode
+    assert plan.width == plan.block + 2 * plan.h
+    assert plan.width < nnode / 2, (plan.width, nnode)
+    assert state_sh.coord.shape == (8, plan.width, 2)
+    # one step actually runs and stays sharded
+    out = run_chunk(ctx_sh, state_sh, 2)
+    assert out.coord.shape == (8, plan.width, 2)
+
+
+def test_halo_maxwell_and_hydraulic(devices8):
+    """Branch-free rheology + hydraulic diffusion through the halo
+    assembly (update_pore_pressure rides the same asm closure)."""
+    from jax.sharding import Mesh
+    from dynearthsol_tpu.parallel.halo_step import run_halo
+
+    param = _mk_param(
+        rheo="maxwell",
+        control={"has_hydraulic_diffusion": True},
+        mat={"porosity": [0.1], "hydraulic_perm": [1e-15],
+             "fluid_bulk_modulus": [2.2e9], "biot_coeff": [0.8]})
+    sim_ref = des.Simulation(param)
+    sim_ref.run_steps(10, chunk=5)
+
+    sim_h = des.Simulation(param)
+    mesh = Mesh(np.asarray(devices8), ("e",))
+    run_halo(sim_h, mesh, 10, chunk=5)
+    _compare(sim_ref, sim_h)
+    a = np.asarray(sim_ref.state.ppressure)
+    b = np.asarray(sim_h.state.ppressure)
+    assert np.abs(a - b).max() <= 1e-12 * max(np.abs(a).max(), 1e-300)
