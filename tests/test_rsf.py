@@ -119,10 +119,45 @@ def test_rsf_steady_vs_analytic(a, b, cv, model):
     assert abs(dfc.mean() - mu_ss) / mu_ss < 0.3
 
 
-def test_rsf_aging_runs_stably():
-    sim, traj = run_case("elasto-plastic-rate-state-friction", 30.0, 0.2,
-                         0.3, 1e-5, 1e-5, 1, 200)
-    assert np.isfinite(traj).all()
+def analytic_aging(nsteps, phi_deg, a, b, dc, v0):
+    """Aging-law trajectory (check_simple_shear_benchmark.py
+    analytical_rsf_aging): explicit-Euler theta evolution feeding the
+    MC cap through the rate-state friction coefficient."""
+    mu0 = math.tan(math.radians(phi_deg))
+    v = max(effective_velocity(), 1e-12)
+    theta = dc / v0
+    sxy = 0.0
+    out = [0.0]
+    for _ in range(nsteps):
+        stress_el = sxy + 2.0 * G_SHEAR * 0.5 * VX_TOP * DT
+        theta = max(theta + DT * (1.0 - v * theta / dc), 1e-30)
+        mu = max(mu0 + a * math.log(v / v0)
+                 + b * math.log(theta * v0 / dc), 1e-6)
+        sphi = math.sin(math.atan(mu))
+        nphi = (1 + sphi) / (1 - sphi)
+        yield_fn = -stress_el - stress_el * nphi \
+            + 2.0 * COHESION * math.sqrt(nphi)
+        if yield_fn > 0.0:
+            sxy = stress_el
+        else:
+            d_beta = yield_fn / (2.0 * G_SHEAR * (1.0 + nphi))
+            sxy = stress_el + 2.0 * G_SHEAR * d_beta
+        out.append(sxy)
+    return np.asarray(out)
+
+
+def test_rsf_aging_vs_analytic():
+    """Aging-law (state_var_model 1) trajectory gate at the reference's
+    CI case aging_ab_neg_dc_1e-6 and tolerance (5e-2,
+    run_simple_shear_benchmark.py:41)."""
+    phi, a, b, dc, v0 = 30.0, 0.2, 0.3, 1e-6, 1e-5
+    nsteps = 300
+    sim, traj = run_case("elasto-plastic-rate-state-friction", phi, a, b,
+                         dc, v0, 1, nsteps)
+    ana = analytic_aging(nsteps, phi, a, b, dc, v0)
+    ana_s = ana[10::10]  # run_case samples every 10 steps
+    scale = max(np.abs(ana_s).max(), 1.0)
+    rel = np.abs(np.abs(traj) - np.abs(ana_s)).max() / scale
+    assert rel < 5e-2, f"max rel err {rel:.3e}"
     sv = np.asarray(sim.state.state_variable)
-    assert (sv > 0).all()
-    assert np.isfinite(sv).all()
+    assert (sv > 0).all() and np.isfinite(sv).all()
