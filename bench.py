@@ -133,6 +133,11 @@ def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "float64"],
+                    help="state dtype; float64 measures the oracle-"
+                         "precision path (TPU emulates f64 — expect "
+                         "~30-60x slower; SURVEY §7.2 precision story)")
     ap.add_argument("--case", default="flagship",
                     choices=["flagship", "flagship3d", "unstructured"],
                     help="flagship: structured 512x256 2D EVP (Pallas "
@@ -142,26 +147,32 @@ def main(argv=None):
                          "path every post-remesh production run lives on")
     args = ap.parse_args(argv)
 
+    slow64 = args.dtype == "float64"
     if args.case == "flagship":
-        rate, _ = _measure(flagship_param())
+        rate, _ = _measure(flagship_param(dtype=args.dtype),
+                           chunk=50 if slow64 else 250,
+                           bench_steps=100 if slow64 else 500)
         print(json.dumps({
-            "metric": "evp2d_element_steps_per_sec",
+            "metric": "evp2d_element_steps_per_sec"
+                      + ("_f64" if slow64 else ""),
             "value": round(rate, 1),
             "unit": "elem*steps/s",
             "vs_baseline": round(rate / REF_BASELINE_ELEMSTEPS_PER_S, 4),
         }))
     elif args.case == "flagship3d":
-        rate, nelem = _measure(flagship3d_param(), chunk=100,
-                               bench_steps=300)
+        rate, nelem = _measure(flagship3d_param(dtype=args.dtype),
+                               chunk=20 if slow64 else 100,
+                               bench_steps=40 if slow64 else 300)
         print(json.dumps({
-            "metric": "evp3d_element_steps_per_sec",
+            "metric": "evp3d_element_steps_per_sec"
+                      + ("_f64" if slow64 else ""),
             "value": round(rate, 1),
             "unit": "elem*steps/s",
             "nelem": nelem,
             "vs_baseline": round(rate / REF_BASELINE_ELEMSTEPS_PER_S, 4),
         }))
     else:
-        param = flagship_param()
+        param = flagship_param(dtype=args.dtype)
         param.mesh.meshing_elem_shape = 0  # unstructured -> generic path
         rate, nelem = _measure(param, chunk=100, bench_steps=200)
         print(json.dumps({

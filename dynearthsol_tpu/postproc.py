@@ -140,9 +140,70 @@ def second_invariant(t: np.ndarray) -> np.ndarray:
                    + (t[:, 3:] ** 2).sum(axis=1))
 
 
-def to_vtk(modelname: str, frame: int, outpath: str | None = None) -> str:
+def first_invariant(t: np.ndarray) -> np.ndarray:
+    """Mean of the tensor diagonal (2vtk.py:705-708)."""
+    ndims = 2 if t.shape[1] == 3 else 3
+    return t[:, :ndims].sum(axis=1) / ndims
+
+
+def compute_principal_stress(stress: np.ndarray):
+    """Principal deviatoric stress directions s1/s3 as 3-vectors
+    (2vtk.py:726-779).  2D: closed-form rotation; 3D: batched eigh."""
+    nelem, nstr = stress.shape
+    s1 = np.zeros((nelem, 3), dtype=stress.dtype)
+    s3 = np.zeros((nelem, 3), dtype=stress.dtype)
+    if nstr == 3:  # 2D
+        sxx, szz, sxz = stress[:, 0], stress[:, 1], stress[:, 2]
+        mag = np.sqrt(0.25 * (sxx - szz) ** 2 + sxz ** 2)
+        theta = 0.5 * np.arctan2(2 * sxz, sxx - szz)
+        cost, sint = np.cos(theta), np.sin(theta)
+        s1[:, 0] = mag * sint
+        s1[:, 1] = mag * cost
+        s3[:, 0] = mag * cost
+        s3[:, 1] = -mag * sint
+    else:
+        s = np.zeros((nelem, 3, 3), dtype=stress.dtype)
+        s[:, 0, 0], s[:, 1, 1], s[:, 2, 2] = (stress[:, 0], stress[:, 1],
+                                              stress[:, 2])
+        s[:, 1, 0] = s[:, 0, 1] = stress[:, 3]
+        s[:, 2, 0] = s[:, 0, 2] = stress[:, 4]
+        s[:, 2, 1] = s[:, 1, 2] = stress[:, 5]
+        w, v = np.linalg.eigh(s)
+        m = w.sum(axis=1) / 3.0
+        idx = np.arange(nelem)
+        p = w.argmin(axis=1)
+        t = w.argmax(axis=1)
+        s1 = (w[idx, p] - m)[:, None] * v[idx, :, p]
+        s3 = (w[idx, t] - m)[:, None] * v[idx, :, t]
+    return s1, s3
+
+
+def compute_melting(coord, conn, temperature, material, bcflag,
+                    topmask_bit=32):
+    """Peridotite-solidus melting indicator (2vtk.py:173-198): positive
+    where the element-mean temperature exceeds the depth-corrected
+    solidus; -1000 for non-mantle (material >= 2) elements."""
+    from .constants import BOUNDZ1
+
+    ecoord = coord[conn].mean(axis=1)
+    etemp = temperature[conn].mean(axis=1)
+    top = (bcflag.astype(np.int64) & BOUNDZ1) != 0
+    sx, sz = coord[top, 0], coord[top, -1]
+    order = np.argsort(sx)
+    depth = np.interp(ecoord[:, 0], sx[order], sz[order]) - ecoord[:, -1]
+    pressure = depth * 9.8 * 2900.0
+    melting = np.full(conn.shape[0], -1000.0)
+    ind = material < 2
+    melting[ind] = (etemp[ind] - 273.0 + depth[ind] * 3.0e-4) \
+        - (1120.0 + (680.0 / 7.0e9) * pressure[ind])
+    return melting
+
+
+def to_vtk(modelname: str, frame: int, outpath: str | None = None,
+           principal: bool = False, melting: bool = False) -> str:
     """Convert one frame to a legacy ASCII .vtk file with derived fields
-    (the 2vtk.py role)."""
+    (the 2vtk.py role; ``principal``/``melting`` mirror its -p and
+    output_melting switches)."""
     r = OutputReader(modelname)
     coord = r.read_field(frame, "coordinate")
     conn = r.read_field(frame, "connectivity")
@@ -178,6 +239,15 @@ def to_vtk(modelname: str, frame: int, outpath: str | None = None) -> str:
             v3[:, :ndims] = vel
             f.write("VECTORS velocity double\n")
             np.savetxt(f, v3, fmt="%.10g")
+        if r.has_field(frame, "coord0"):
+            # total displacement + initial-elevation horizon (2vtk.py:116-124)
+            coord0 = r.read_field(frame, "coord0")
+            d3 = np.zeros((nnode, 3))
+            d3[:, :ndims] = coord - coord0
+            f.write("VECTORS total_displacement double\n")
+            np.savetxt(f, d3, fmt="%.10g")
+            f.write("SCALARS horizon double 1\nLOOKUP_TABLE default\n")
+            np.savetxt(f, coord0[:, -1], fmt="%.10g")
 
         f.write(f"\nCELL_DATA {nelem}\n")
         for name in ("plastic strain", "viscosity", "density", "material",
@@ -186,13 +256,38 @@ def to_vtk(modelname: str, frame: int, outpath: str | None = None) -> str:
                 f.write(f"SCALARS {name.replace(' ', '_')} double 1\n"
                         "LOOKUP_TABLE default\n")
                 np.savetxt(f, r.read_field(frame, name), fmt="%.10g")
-        # derived invariants (2vtk.py)
-        for name in ("stress", "strain-rate"):
+        # derived invariants + effective viscosity (2vtk.py:126-170)
+        invariants = {}
+        for name in ("stress", "strain-rate", "strain"):
             if r.has_field(frame, name):
-                inv = second_invariant(r.read_field(frame, name))
+                t = r.read_field(frame, name)
+                invariants[name] = second_invariant(t)
                 f.write(f"SCALARS {name.replace('-', '_')}_II double 1\n"
                         "LOOKUP_TABLE default\n")
-                np.savetxt(f, inv, fmt="%.10g")
+                np.savetxt(f, invariants[name], fmt="%.10g")
+                f.write(f"SCALARS {name.replace('-', '_')}_I double 1\n"
+                        "LOOKUP_TABLE default\n")
+                np.savetxt(f, first_invariant(t), fmt="%.10g")
+        if "stress" in invariants and "strain-rate" in invariants:
+            effvisc = invariants["stress"] / (invariants["strain-rate"]
+                                              + 1e-45)
+            f.write("SCALARS effective_viscosity double 1\n"
+                    "LOOKUP_TABLE default\n")
+            np.savetxt(f, effvisc, fmt="%.10g")
+        if principal and r.has_field(frame, "stress"):
+            s1, s3 = compute_principal_stress(r.read_field(frame, "stress"))
+            for nm, v in (("s1", s1), ("s3", s3)):
+                f.write(f"VECTORS {nm} double\n")
+                np.savetxt(f, v, fmt="%.10g")
+        if melting and r.has_field(frame, "material") \
+                and r.has_field(frame, "temperature") \
+                and r.has_field(frame, "bcflag"):
+            melt = compute_melting(coord, conn,
+                                   r.read_field(frame, "temperature"),
+                                   r.read_field(frame, "material"),
+                                   r.read_field(frame, "bcflag"))
+            f.write("SCALARS melting double 1\nLOOKUP_TABLE default\n")
+            np.savetxt(f, melt, fmt="%.10g")
     return outpath
 
 
@@ -200,11 +295,18 @@ def main(argv=None):
     """CLI: convert output frames to legacy VTK (the 2vtk.py workflow,
     2vtk.py:829-889).
 
-    usage: python -m dynearthsol_tpu.postproc modelname [start [end [delta]]]
+    usage: python -m dynearthsol_tpu.postproc [-p] [--melting] modelname
+           [start [end [delta]]]
+
+    -p         save principal deviatoric stress vectors s1/s3 (2vtk -p)
+    --melting  save the peridotite-solidus melting indicator
     """
     import sys as _sys
 
     argv = _sys.argv[1:] if argv is None else argv
+    principal = "-p" in argv
+    melting = "--melting" in argv
+    argv = [a for a in argv if a not in ("-p", "--melting")]
     if not argv or argv[0] in ("-h", "--help"):
         print(main.__doc__)
         return 0 if argv else 1
@@ -228,7 +330,7 @@ def main(argv=None):
     for fr in range(start, end + 1, delta):
         if frames and fr not in frames:
             continue
-        path = to_vtk(modelname, fr)
+        path = to_vtk(modelname, fr, principal=principal, melting=melting)
         print(f"frame {fr} -> {path}")
         n += 1
     print(f"{n} frames converted")

@@ -195,11 +195,28 @@ def test_postproc_reader_and_vtk(tmp_path):
     mk = r.read_markers(0)
     assert mk["size"] == sim.markers.n
 
-    vtk = to_vtk(param.sim.modelname, 0, str(tmp_path / "out.vtk"))
+    vtk = to_vtk(param.sim.modelname, 0, str(tmp_path / "out.vtk"),
+                 principal=True, melting=True)
     text = open(vtk).read()
     assert "UNSTRUCTURED_GRID" in text
     assert "stress_II" in text
     assert f"POINTS {sim.topo.nnode} double" in text
+    # 2vtk derived fields (2vtk.py:106-198)
+    for nm in ("total_displacement", "horizon", "stress_I",
+               "effective_viscosity", "VECTORS s1", "VECTORS s3",
+               "melting"):
+        assert nm in text, nm
+
+    # principal directions: 2D closed form vs eigen decomposition
+    from dynearthsol_tpu.postproc import compute_principal_stress
+    st = np.asarray(sim.state.stress, np.float64)
+    s1, s3 = compute_principal_stress(st)
+    sxx, szz, sxz = st[:, 0], st[:, 1], st[:, 2]
+    mag = np.sqrt(0.25 * (sxx - szz) ** 2 + sxz ** 2)
+    np.testing.assert_allclose(np.linalg.norm(s1, axis=1), mag,
+                               rtol=1e-12, atol=1e-30)
+    np.testing.assert_allclose(np.linalg.norm(s3, axis=1), mag,
+                               rtol=1e-12, atol=1e-30)
 
 
 def test_compare_harness(tmp_path):
