@@ -1,0 +1,484 @@
+"""Unstructured-mesh 2D step in SoA column layout: the post-remesh path.
+
+The generic step (simulation.make_step_fn) carries rank-3 intermediates
+shaped (nelem, npe, ndims) — corner slots, shape-function gradients,
+force contributions.  On TPU those tile as (8, 128) on the LAST TWO dims
+(npe=3, ndims=2), so every materialization pays a ~170x padding
+amplification: a 6 MB logical array writes ~1 GB of HBM.  Measured on
+the 262k-element unstructured flagship: 91.5 ms/step, i.e. 3.1M
+elem*steps/s — 200x off the structured Pallas path.
+
+This module re-expresses the SAME step (same op order, same formulas,
+same componentwise cores as grid2d.py) on flat SoA columns:
+
+  element scalar   -> (nelem,)                (perfectly tiled)
+  element tensor   -> (NSTR, nelem)           (k-major, nelem in lanes)
+  corner slots     -> npe separate (nelem, k) static-index gathers,
+                      immediately unstacked into (nelem,) columns
+  assembly         -> degree-unrolled masked gather-sums over the SAME
+                      (nnode, max_degree) support table as
+                      ops/assembly.node_sum, with slot ids renumbered to
+                      corner-major (slot = corner*nelem + e) so the
+                      packed contribution array is 2D (npe*nelem, k),
+                      never (nelem, npe, k)
+
+The summation order per node is identical to node_sum's, so this step
+reproduces the generic step BIT-FOR-BIT in f64 (tests/test_flat.py).
+
+Feature coverage mirrors grid2d.grid_step_applicable (no hydraulic/PT/
+surface processes; those configs fall back to the generic step).
+Reference kernel order: dynearthsol.cxx:746-956.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import bc as bc_mod
+from ..config import (RH_ELASTIC, RH_EP, RH_EVP, RH_MAXWELL, RH_VISCOUS,
+                      Param)
+from . import fields as F
+from . import matprops as M
+from . import rheology as R
+from . import surface as SP
+from .matprops import MIN_STRAIN_RATE
+
+# element tensor fields stored k-major (NSTR, nelem) in the flat layout
+E_TENSORS = ("stress", "strain", "strain_rate", "stress_avg",
+             "strain_avg0")
+
+
+def state_to_flat(s):
+    """Transpose element tensor fields to (NSTR, nelem)."""
+    return dataclasses.replace(
+        s, **{f: getattr(s, f).T for f in E_TENSORS})
+
+
+def flat_to_state(g):
+    return dataclasses.replace(
+        g, **{f: getattr(g, f).T for f in E_TENSORS})
+
+
+def flat_step_applicable(param: Param, ctx) -> bool:
+    """Static gate; the flat path targets unstructured 2D meshes (the
+    structured ones take the grid/pallas paths)."""
+    ctrl = param.control
+    rheol = param.mat.rheol_type
+    return (ctx.sgrid is None and ctx.axis is None and ctx.ndims == 2
+            and not ctrl.has_hydraulic_diffusion
+            and not ctrl.has_PT
+            and (ctrl.surface_process_option == 0 or ctx.surf.etop == 0)
+            and rheol in (RH_ELASTIC, RH_VISCOUS, RH_MAXWELL, RH_EP,
+                          RH_EVP)
+            and (rheol not in (RH_EP, RH_EVP) or param.mat.is_plane_strain))
+
+
+def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
+    """Build step(ctx, fstate) -> fstate on flat SoA state (2D
+    unstructured).  Mirrors grid2d.make_grid_step / make_step_fn."""
+    ctrl = param.control
+    mat = param.mat
+    nelem = int(ctx.nelem)
+    nnode = int(ctx.nnode)
+    max_vbc_val = ctx.max_vbc_val
+    visc_min = ctx.mat.visc_min
+    therm_diff_max = ctx.mat.therm_diff_max
+    rheol = mat.rheol_type
+    pseudo_speed = max_vbc_val * ctrl.inertial_scaling
+    npe = 3.0
+
+    conn_np = np.asarray(ctx.conn)
+    c_idx = tuple(jnp.asarray(conn_np[:, c]) for c in range(3))
+
+    # support table with slots renumbered corner-major: the generic
+    # node_sum numbers slots e*npe + c over an (nelem, npe, k) pack; here
+    # the pack is concatenate([c0, c1, c2]) -> slot c*nelem + e.  The
+    # per-degree columns preserve node_sum's summation order exactly.
+    gidx = np.asarray(ctx.gather_idx)      # (nnode, max_degree)
+    gmask = np.asarray(ctx.gather_mask)
+    e_of = gidx // 3
+    c_of = gidx % 3
+    gidx_cm = c_of * nelem + e_of
+    gidx_cm = np.where(gmask, gidx_cm, 0)
+    max_deg = gidx.shape[1]
+    g_cols = tuple(jnp.asarray(gidx_cm[:, d]) for d in range(max_deg))
+    m_cols = tuple(jnp.asarray(gmask[:, d]) for d in range(max_deg))
+
+    def cgather(pack):
+        """(nnode, k) -> npe tuples of k columns, each (nelem,)."""
+        out = []
+        for c in range(3):
+            rows = pack[c_idx[c]]          # (nelem, k) one static gather
+            out.append(tuple(rows[:, j] for j in range(pack.shape[1])))
+        return out  # [corner][field]
+
+    def asm_pack(slot_cols):
+        """[corner][field] columns -> (nnode, k) sums (node_sum order)."""
+        k = len(slot_cols[0])
+        pack = jnp.stack(
+            [jnp.concatenate([slot_cols[c][j] for c in range(3)])
+             for j in range(k)], axis=1)    # (3*nelem, k), 2D
+        acc = jnp.zeros((nnode, k), dtype=pack.dtype)
+        for d in range(max_deg):
+            vals = pack[g_cols[d]]          # (nnode, k) static gather
+            acc = acc + jnp.where(m_cols[d][:, None], vals, 0.0)
+        return acc
+
+    def asm_equal(v):
+        """Assembly when all 3 corner slots carry the same value."""
+        return asm_pack([(v,), (v,), (v,)])[:, 0]
+
+    def shape_fn(xs, zs, vol):
+        iv = 1.0 / (2.0 * vol)
+        dndx = (iv * (zs[1] - zs[2]), iv * (zs[2] - zs[0]),
+                iv * (zs[0] - zs[1]))
+        dndz = (iv * (xs[2] - xs[1]), iv * (xs[0] - xs[2]),
+                iv * (xs[1] - xs[0]))
+        return dndx, dndz
+
+    def volume_of(xs, zs):
+        return 0.5 * ((xs[1] - xs[0]) * (zs[2] - zs[0])
+                      - (zs[1] - zs[0]) * (xs[2] - xs[0]))
+
+    def min_height(xs, zs, vol):
+        d01 = (xs[0] - xs[1]) ** 2 + (zs[0] - zs[1]) ** 2
+        d12 = (xs[1] - xs[2]) ** 2 + (zs[1] - zs[2]) ** 2
+        d02 = (xs[0] - xs[2]) ** 2 + (zs[0] - zs[2]) ** 2
+        dmax = jnp.maximum(jnp.maximum(d01, d12), d02)
+        return 2.0 * vol / jnp.sqrt(dmax)
+
+    def compute_dt_cols(xs, zs, vol, vxs, vzs, shearm, rho_e):
+        """CFL dt (geometry.cxx:756-923); mirrors grid2d."""
+        dtype = vol.dtype
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype=dtype)
+        vx_m = (vxs[0] + vxs[1] + vxs[2]) / npe
+        vz_m = (vzs[0] + vzs[1] + vzs[2]) / npe
+        vmag = jnp.sqrt(vx_m * vx_m + vz_m * vz_m)
+        vmax = jnp.maximum(vmag.max(), max_vbc_val)
+        if ctrl.fixed_dt != 0.0:
+            fdt = jnp.asarray(ctrl.fixed_dt, dtype=dtype)
+            return fdt, vmax, fdt
+        minh = min_height(xs, zs, vol)
+        minl = minh.min()
+        dt_maxwell = (0.5 * visc_min / (1e-40 + shearm)).min()
+        dt_diffusion = (0.5 * minh * minh / therm_diff_max).min() \
+            if ctrl.has_thermal_diffusion else big
+        swave = jnp.sqrt(shearm / rho_e)
+        gdtmin = (minl / swave / 5.0).min()
+        if ctrl.use_global_velocity_scaling:
+            dt_advection = 0.5 * minl / vmax
+            if ctrl.is_quasi_static:
+                dt_elastic = 0.5 * minl / (vmax * ctrl.inertial_scaling)
+            else:
+                dt_elastic = 0.5 * minl / np.sqrt(
+                    mat.bulk_modulus[mat.mattype_ref]
+                    / mat.rho0[mat.mattype_ref])
+            dt_elastic = jnp.maximum(dt_elastic, gdtmin)
+        else:
+            dt_advection = 0.5 * minl / max_vbc_val
+            if ctrl.is_quasi_static:
+                dt_elastic = 0.5 * minl / (max_vbc_val
+                                           * ctrl.inertial_scaling)
+            else:
+                dt_elastic = 0.5 * minl / np.sqrt(
+                    mat.bulk_modulus[mat.mattype_ref]
+                    / mat.rho0[mat.mattype_ref])
+        dt = jnp.minimum(jnp.minimum(dt_elastic, dt_maxwell),
+                         jnp.minimum(dt_advection, dt_diffusion)) \
+            * ctrl.dt_fraction
+        return dt, vmax, gdtmin
+
+    def update_stress_cols(tab, s, de, edot, sr, bulkm, shearm, temp_e,
+                           dt):
+        """Constitutive switch (rheology.cxx:676-991) on columns;
+        mirrors grid2d.update_stress_planes."""
+        stress = (s.stress[0], s.stress[1], s.stress[2])
+        old_tr = stress[0] + stress[1]
+        stressyy = s.stressyy
+        plstrain, delta_plstrain = s.plstrain, s.delta_plstrain
+        viscosity = s.viscosity
+
+        def creep_visc():
+            s0 = (stress[0] + stress[1]) / 2.0
+            rII2 = 0.25 * (sr[0] - sr[1]) ** 2 + sr[2] ** 2
+            ed = jnp.maximum(jnp.sqrt(rII2), MIN_STRAIN_RATE)
+            return M.visc_core(tab, s.emw, temp_e, s0, ed)
+
+        if rheol == RH_ELASTIC:
+            stress = R.elastic2_c(bulkm, shearm, de, stress)
+        elif rheol == RH_VISCOUS:
+            viscosity = creep_visc()
+            strain_new = (s.strain[0] + de[0], s.strain[1] + de[1],
+                          s.strain[2] + de[2])
+            total_dv = strain_new[0] + strain_new[1]
+            stress = R.viscous2_c(bulkm, viscosity, total_dv, edot)
+        elif rheol == RH_MAXWELL:
+            viscosity = creep_visc()
+            dv = s.volume / s.volume_old - 1.0
+            stress = R.maxwell2_c(bulkm, shearm, viscosity, dt, dv, de,
+                                  stress)
+        elif rheol == RH_EP:
+            amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
+                tab, s.emw, s.plstrain)
+            stress, stressyy, depls, _ = R.elasto_plastic2d_c(
+                bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+                de, stress, s.stressyy)
+            plstrain = s.plstrain + depls
+            delta_plstrain = depls
+        elif rheol == RH_EVP:
+            viscosity = creep_visc()
+            dv = s.volume / s.volume_old - 1.0
+            sv = R.maxwell2_c(bulkm, shearm, viscosity, dt, dv, de,
+                              stress)
+            svII = 0.25 * (sv[0] - sv[1]) ** 2 + sv[2] ** 2
+            amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
+                tab, s.emw, s.plstrain)
+            sp, spyy, depls, _ = R.elasto_plastic2d_c(
+                bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
+                de, stress, s.stressyy)
+            spII = 0.25 * (sp[0] - sp[1]) ** 2 + sp[2] ** 2
+            use_v = svII < spII
+            stress = tuple(jnp.where(use_v, a, b) for a, b in zip(sv, sp))
+            stressyy = jnp.where(use_v, s.stressyy, spyy)
+            plstrain = jnp.where(use_v, s.plstrain, s.plstrain + depls)
+            delta_plstrain = jnp.where(use_v, s.delta_plstrain, depls)
+        else:  # pragma: no cover - gated
+            raise ValueError(f"flat step: unsupported rheology {rheol}")
+        if ctrl.is_using_mixed_stress:
+            dpressure = stress[0] + stress[1] - old_tr
+        else:
+            dpressure = s.dpressure
+        return (stress, stressyy, plstrain, delta_plstrain, viscosity,
+                dpressure)
+
+    def step(ctx, s):
+        tab = ctx.mat
+        dt = s.dt
+        steps = s.steps + 1
+        time = s.time + s.dt
+
+        # ONE packed corner gather (coord, vel, T), unstacked to columns
+        nodal_pack = jnp.concatenate(
+            [s.coord, s.vel, s.temperature[:, None]], axis=1)
+        slots = cgather(nodal_pack)         # [corner][x z vx vz T]
+        xs = tuple(slots[c][0] for c in range(3))
+        zs = tuple(slots[c][1] for c in range(3))
+        vxs = tuple(slots[c][2] for c in range(3))
+        vzs = tuple(slots[c][3] for c in range(3))
+        ts = tuple(slots[c][4] for c in range(3))
+
+        vol = s.volume
+        dndx, dndz = shape_fn(xs, zs, vol)
+        temp_e = (ts[0] + ts[1] + ts[2]) / npe
+        bulkm = M.bulkm(tab, s.emw)
+        shearm = M.shearm(tab, s.emw)
+        rho_e = M.rho_from_T(tab, s.emw, temp_e)
+
+        # strain rate (fields.cxx:408-483)
+        lxx = vxs[0] * dndx[0] + vxs[1] * dndx[1] + vxs[2] * dndx[2]
+        lzz = vzs[0] * dndz[0] + vzs[1] * dndz[1] + vzs[2] * dndz[2]
+        lxz = 0.5 * (vxs[0] * dndz[0] + vxs[1] * dndz[1]
+                     + vxs[2] * dndz[2]
+                     + vzs[0] * dndx[0] + vzs[1] * dndx[1]
+                     + vzs[2] * dndx[2])
+        sr = (lxx, lzz, lxz)
+
+        # thermal diffusion + dvoldt share ONE assembly (k = 1 + 1)
+        etmp = (lxx + lzz) * vol
+        if ctrl.has_thermal_diffusion:
+            kappa = M.therm_cond(tab, s.emw)
+            source = s.radiogenic_source * vol * rho_e / npe
+            kv = kappa * vol
+            gtx = dndx[0] * ts[0] + dndx[1] * ts[1] + dndx[2] * ts[2]
+            gtz = dndz[0] * ts[0] + dndz[1] * ts[1] + dndz[2] * ts[2]
+            both = asm_pack([
+                (etmp, kv * (dndx[c] * gtx + dndz[c] * gtz) - source)
+                for c in range(3)])
+            dv_sum, tdot = both[:, 0], both[:, 1]
+            temperature = jnp.where(
+                ctx.top_mask, param.bc.surface_temperature,
+                s.temperature - s.dt * tdot / s.tmass)
+        else:
+            dv_sum = asm_equal(etmp)
+            temperature = s.temperature
+
+        # anti-mesh-locking dvoldt/edvoldt (geometry.cxx:202-276)
+        dvoldt = dv_sum / s.volume_n
+        dvs = [cols[0] for cols in cgather(dvoldt[:, None])]
+        edvoldt = (dvs[0] + dvs[1] + dvs[2]) / npe
+
+        adj = (edvoldt - (lxx + lzz)) / 2.0
+        edot = (lxx + adj, lzz + adj, lxz)
+        de = (edot[0] * dt, edot[1] * dt, edot[2] * dt)
+        strain = jnp.stack([s.strain[0] + de[0], s.strain[1] + de[1],
+                            s.strain[2] + de[2]])
+        strain_rate = jnp.stack(edot)
+
+        s_mid = dataclasses.replace(s, edvoldt=edvoldt)
+        (stress_c, stressyy, plstrain, delta_plstrain, viscosity,
+         dpressure) = update_stress_cols(tab, s_mid, de, edot, sr,
+                                         bulkm, shearm, temp_e, dt)
+
+        if ctrl.is_using_mixed_stress:
+            # NMD pressure smoothing (geometry.cxx:279-331)
+            dp_nd = asm_equal(dpressure * vol) / s.volume_n
+            dps = [cols[0] for cols in cgather(dp_nd[:, None])]
+            ddp = ((dps[0] + dps[1] + dps[2]) / npe - dpressure) / 2.0
+            stress_c = (stress_c[0] + ddp, stress_c[1] + ddp, stress_c[2])
+        stress = jnp.stack(stress_c)
+
+        # force assembly (fields.cxx:612-703)
+        phi_e = M.phi_porosity(tab, s.emw)
+        if ctrl.gravity != 0:
+            buoy = (rho_e * (1.0 - phi_e) + 1000.0 * phi_e) \
+                * ctrl.gravity / npe
+        else:
+            buoy = jnp.zeros_like(vol)
+        fpack = asm_pack([
+            ((stress_c[0] * dndx[c] + stress_c[2] * dndz[c]) * vol,
+             (stress_c[2] * dndx[c] + stress_c[1] * dndz[c] + buoy) * vol)
+            for c in range(3)])
+        force = -fpack
+        l2_res = F.residual_l2(force)
+
+        if ctrl.gravity != 0:
+            force = bc_mod.apply_stress_bcs(
+                param, ctx.sbc, s.coord, force, rho_e,
+                compensation_pressure, s.coord0)
+        force = bc_mod.apply_stress_bcs_neumann(ctx.sbc, s.coord, force)
+        force = F.apply_damping(force, s.vel, s.mass, s.ymass,
+                                ctrl.damping_option, ctrl.damping_factor)
+        vel = F.update_velocity(s.vel, force, s.mass, s.dt)
+        vel = bc_mod.apply_vbcs(ctx.vbc, vel, s.coord, time)
+
+        # update_mesh (dynearthsol.cxx:431-473)
+        v2 = cgather(vel)
+        vxs2 = tuple(v2[c][0] for c in range(3))
+        vzs2 = tuple(v2[c][1] for c in range(3))
+        if ctrl.has_moving_mesh:
+            coord = F.update_coordinate(s.coord, vel, s.dt)
+            xs2 = tuple(xs[i] + vxs2[i] * s.dt for i in range(3))
+            zs2 = tuple(zs[i] + vzs2[i] * s.dt for i in range(3))
+            volume_old = vol
+            volume = volume_of(xs2, zs2)
+            if ctx.surf.etop > 0 and ctrl.has_surface_correction:
+                # correct_surface_element (bc.cxx:1613-1665); same math
+                # as SP.correct_surface_elements, broadcast over the
+                # k-major (NSTR, nelem) tensor layout
+                top = ctx.surf.top_elem_mask > 0
+                rdv = volume / vol
+                tscale = jnp.where(top & (rdv >= 1.0), 1.0 / rdv, 1.0)
+                stress = stress * tscale
+                strain = strain * tscale
+                strain_rate = strain_rate * tscale
+                plstrain = plstrain * tscale
+                volume_old = jnp.where(top, volume, vol)
+                qcsi = param.mesh.quality_check_step_interval
+                plstrain = SP.surface_plstrain_decay(
+                    ctx.surf, plstrain, s.emw, s.dt,
+                    param.mat.mattype_oceanic_crust,
+                    apply=(steps % qcsi) == 0)
+        else:
+            coord, volume_old, volume = s.coord, s.volume_old, vol
+            xs2, zs2 = xs, zs
+
+        # CFL dt, refreshed every 10 steps (dynearthsol.cxx:861-871)
+        dt_new, vmax, gdtmin = compute_dt_cols(
+            xs2, zs2, volume, vxs2, vzs2, shearm, rho_e)
+        refresh = (steps % 10 == 0) | ctrl.use_global_velocity_scaling
+        dt_out = jnp.where(refresh, dt_new, s.dt)
+
+        if ctrl.has_moving_mesh:
+            # (pseudo-)mass matrices (geometry.cxx:1020-1154)
+            if ctrl.use_global_velocity_scaling:
+                apparent = jnp.minimum(s.max_global_vel_mag
+                                       * ctrl.inertial_scaling,
+                                       jnp.sqrt(shearm / rho_e))
+                rho_q = bulkm / (apparent * apparent)
+            else:
+                rho_q = bulkm / (pseudo_speed * pseudo_speed)
+            rho_m = rho_q if ctrl.is_quasi_static else rho_e
+            bulk_comp = 1.0 / (bulkm + shearm / 3.0)
+            ab_e = M.alpha_biot(tab, s.emw)
+            bf_e = M.beta_fluid(tab, s.emw)
+            cp_e = M.cp(tab, s.emw)
+            hm_coeff = ab_e + phi_e - ab_e * phi_e
+            m = rho_m * volume / npe
+            tm = rho_e * cp_e * volume / npe
+            hm = (hm_coeff * bulk_comp + phi_e * bf_e) * volume / npe
+            ym = 9.0 * bulkm * shearm / (3.0 * bulkm + shearm) / npe
+            mpack = asm_pack([(volume, m, tm, hm, ym)] * 3)
+            volume_n = mpack[:, 0]
+            mass = mpack[:, 1]
+            tmass = mpack[:, 2]
+            hmass = mpack[:, 3]
+            ymass = mpack[:, 4]
+        else:
+            volume_n, mass, tmass, hmass, ymass = (
+                s.volume_n, s.mass, s.tmass, s.hmass, s.ymass)
+
+        # Jaumann rotation with post-move geometry (dynearthsol.cxx:853-855)
+        if rheol & RH_ELASTIC:
+            dndx2, dndz2 = shape_fn(xs2, zs2, volume)
+            w2 = 0.5 * ((vzs2[0] * dndx2[0] + vzs2[1] * dndx2[1]
+                         + vzs2[2] * dndx2[2])
+                        - (vxs2[0] * dndz2[0] + vxs2[1] * dndz2[1]
+                           + vxs2[2] * dndz2[2]))
+            wdt = w2 * s.dt
+
+            def rot(t):
+                return jnp.stack([t[0] - 2.0 * t[2] * wdt,
+                                  t[1] + 2.0 * t[2] * wdt,
+                                  t[2] + (t[0] - t[1]) * wdt])
+
+            stress = rot(stress)
+            strain = rot(strain)
+
+        # averaged-output accumulators (output.cxx:300-340)
+        upd_avg = {}
+        if param.sim.is_outputting_averaged_fields:
+            interval = param.mesh.quality_check_step_interval
+            reset = (steps % interval) == 1
+            upd_avg = dict(
+                stress_avg=jnp.where(reset, stress, s.stress_avg + stress),
+                delta_plstrain_avg=jnp.where(
+                    reset, delta_plstrain,
+                    s.delta_plstrain_avg + delta_plstrain),
+                coord_avg0=jnp.where(reset, coord, s.coord_avg0),
+                strain_avg0=jnp.where(reset, strain, s.strain_avg0),
+                time_avg0=jnp.where(reset, time, s.time_avg0))
+
+        return dataclasses.replace(
+            s, coord=coord, vel=vel, temperature=temperature,
+            volume=volume, volume_old=volume_old, volume_n=volume_n,
+            mass=mass, tmass=tmass, hmass=hmass, ymass=ymass,
+            force=force, stress=stress, stressyy=stressyy, strain=strain,
+            strain_rate=strain_rate, plstrain=plstrain,
+            delta_plstrain=delta_plstrain, viscosity=viscosity,
+            dpressure=dpressure, edvoldt=edvoldt, l2_residual=l2_res,
+            dt=dt_out, time=time, steps=steps,
+            max_global_vel_mag=vmax, global_dt_min=gdtmin, **upd_avg)
+
+    return step
+
+
+def make_chunk_runner(param: Param, ctx, compensation_pressure: float,
+                      n: int):
+    """jit(run_chunk)(ctx, state): transpose -> scan n steps -> back."""
+    step = make_flat_step(param, ctx, compensation_pressure)
+
+    @jax.jit
+    def run_chunk(sctx, state):
+        g = state_to_flat(state)
+
+        def body(s, _):
+            return step(sctx, s), None
+
+        g, _ = jax.lax.scan(body, g, length=n)
+        return flat_to_state(g)
+
+    return run_chunk

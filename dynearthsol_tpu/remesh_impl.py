@@ -600,43 +600,81 @@ def remesh_simulation(sim, bad_quality: int):
                                         dtype=np.float64)[:, None],
                              old_volume)
 
-    # --- 2. regenerate the mesh
-    seed = param.markers.random_seed + int(s.steps)
-    if ndims == 2:
-        h_field = None
-        if (param.mesh.meshing_elem_shape == 0
-                and param.mesh.use_mesh_optimizer):
-            # metric-driven adaptation (optimize_mesh_2d path)
-            if getattr(sim, "init_elem_size_n", None) is None:
-                sim.init_elem_size_n = compute_init_elem_size_n(
-                    old_coord, old_conn, old_volume)
-            h_field = metric_spacing_interp(
-                param, old_coord, old_conn, old_volume,
-                np.asarray(s.plstrain, dtype=np.float64),
-                sim.init_elem_size_n)
-        new_coord, new_conn, new_bcflag = generate_new_mesh_2d(
-            param, old_coord, topo, seed, h=h_field)
-        if param.mesh.meshing_elem_shape == 0:
-            # renumbering_mesh after unstructured regeneration
-            # (remeshing.cxx:2970-2974)
-            from .mesh.generate import renumber_mesh
-            new_coord, new_conn, _, new_bcflag = renumber_mesh(
-                new_coord, new_conn, bcflag=new_bcflag)
-    else:
-        if (param.mesh.meshing_elem_shape == 0
-                and param.mesh.use_mesh_optimizer):
-            if getattr(sim, "init_elem_size_n", None) is None:
-                sim.init_elem_size_n = compute_init_elem_size_n(
-                    old_coord, old_conn, old_volume)
-            h_field = metric_spacing_interp(
-                param, old_coord, old_conn, old_volume,
-                np.asarray(s.plstrain, dtype=np.float64),
-                sim.init_elem_size_n)
-            new_coord, new_conn, new_bcflag = generate_optimized_mesh_3d(
-                param, old_coord, topo, seed, h_field)
+    # --- 2. regenerate the mesh, with the reference's retry/quality-
+    # relaxation loop (remeshing.cxx:1263-1340): a regeneration that
+    # produces tiny elements (bad_quality 3) relaxes the sizing field
+    # (the Triangle min_angle*0.9 / max_ratio*1.1 analog is h*1.1 for
+    # the Delaunay generator — coarser target spacing inserts fewer
+    # points, hence fewer slivers); one below min_quality retries with
+    # a jittered seed.  5 loops max, then "proceeding with risks".
+    from .remeshing import SIZEFACTOR_2D, SIZEFACTOR_3D, _elem_quality_np
+
+    sizefactor = SIZEFACTOR_2D if ndims == 2 else SIZEFACTOR_3D
+    smallest_vol = (param.mesh.smallest_size * sizefactor
+                    * param.mesh.resolution ** ndims)
+    base_seed = param.markers.random_seed + int(s.steps)
+    h_field = None
+    if (param.mesh.meshing_elem_shape == 0
+            and param.mesh.use_mesh_optimizer):
+        # metric-driven adaptation (optimize_mesh path)
+        if getattr(sim, "init_elem_size_n", None) is None:
+            sim.init_elem_size_n = compute_init_elem_size_n(
+                old_coord, old_conn, old_volume)
+        h_field = metric_spacing_interp(
+            param, old_coord, old_conn, old_volume,
+            np.asarray(s.plstrain, dtype=np.float64),
+            sim.init_elem_size_n)
+
+    def _regen(seed, h_scale):
+        hf = None if h_field is None else \
+            (lambda p, _h=h_field: _h(p) * h_scale)
+        if ndims == 2:
+            c, k, b = generate_new_mesh_2d(param, old_coord, topo, seed,
+                                           h=hf)
+            if param.mesh.meshing_elem_shape == 0:
+                # renumbering_mesh after unstructured regeneration
+                # (remeshing.cxx:2970-2974)
+                from .mesh.generate import renumber_mesh
+                c, k, _, b = renumber_mesh(c, k, bcflag=b)
+            return c, k, b
+        if hf is not None:
+            return generate_optimized_mesh_3d(param, old_coord, topo,
+                                              seed, hf)
+        return generate_new_mesh_3d(param, old_coord, topo, seed)
+
+    h_scale = 1.0
+    for nloops in range(6):
+        new_coord, new_conn, new_bcflag = _regen(base_seed + nloops,
+                                                 h_scale)
+        v = new_coord[new_conn]
+        if ndims == 2:
+            ab = v[:, 1] - v[:, 0]
+            ac = v[:, 2] - v[:, 0]
+            vols = 0.5 * (ab[:, 0] * ac[:, 1] - ab[:, 1] * ac[:, 0])
         else:
-            new_coord, new_conn, new_bcflag = generate_new_mesh_3d(
-                param, old_coord, topo, seed)
+            d1 = v[:, 1] - v[:, 0]
+            d2 = v[:, 2] - v[:, 0]
+            d3 = v[:, 3] - v[:, 0]
+            vols = np.einsum("ij,ij->i", d1, np.cross(d2, d3)) / 6.0
+        worst = float(_elem_quality_np(new_coord, new_conn, vols).min())
+        if ndims == 3:
+            worst = worst ** (1.0 / 3.0)
+        if (vols < smallest_vol).any():
+            regen_bad = 3
+        elif worst < param.mesh.min_quality:
+            regen_bad = 1
+        else:
+            regen_bad = 0
+        if regen_bad == 0:
+            break
+        if nloops == 5:
+            print("\n    Warning: exceeding loop limit in remeshing. "
+                  "Proceeding with risks.", end="")
+            break
+        if regen_bad == 3:
+            h_scale *= 1.1
+        print(f"\n    regenerated mesh bad (code {regen_bad}, "
+              f"q={worst:.3f}); retrying", end="")
     topo2 = finish_topology(ndims, new_conn, new_bcflag)
     print(f" -> {topo2.nnode} nodes, {topo2.nelem} elems")
 
@@ -709,7 +747,7 @@ def remesh_simulation(sim, bad_quality: int):
     # --- 6. markers: relocate on the new mesh, replenish depleted elements
     if sim.markers is not None:
         remap_markers(sim.markers, old_coord, old_conn, new_coord, new_conn,
-                      param, seed)
+                      param, base_seed)
         emw = mk.emw_from_markers(sim.markers, topo2.nelem, param.mat.nmat)
     else:
         emw = np.ones((topo2.nelem, param.mat.nmat))

@@ -1148,7 +1148,7 @@ class Simulation:
         if n not in self._chunk_fns:
             import os
 
-            from .ops import grid2d, grid3d, pallas2d, pallas3d
+            from .ops import flat2d, grid2d, grid3d, pallas2d, pallas3d
 
             step = self._step_fn
             if (pallas2d.pallas_step_applicable(self.param, self.ctx)
@@ -1187,6 +1187,13 @@ class Simulation:
 
                     g, _ = jax.lax.scan(body, g, length=n)
                     return from_grid(g, *dims)
+            elif (flat2d.flat_step_applicable(self.param, self.ctx)
+                    and not os.environ.get("DES_NO_FLAT")):
+                # unstructured SoA column step (ops/flat2d.py): avoids
+                # the generic path's (nelem, npe, ndims) rank-3 tiling
+                # penalty — the post-remesh production path
+                run_chunk = flat2d.make_chunk_runner(
+                    self.param, self.ctx, self.compensation_pressure, n)
             else:
                 @jax.jit
                 def run_chunk(ctx, state):

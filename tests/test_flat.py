@@ -1,0 +1,101 @@
+"""Unstructured SoA column step (ops/flat2d.py) vs the generic step.
+
+The flat step reuses the generic step's formulas and the SAME per-node
+summation order (degree-unrolled gather over the node_sum support
+table), so in f64 it must reproduce the generic trajectory to fp
+roundoff on an unstructured Delaunay mesh."""
+
+import numpy as np
+import pytest
+
+import dynearthsol_tpu as des
+from dynearthsol_tpu.ops import flat2d
+
+
+def mk_param(rheo="elasto-visco-plastic", **over):
+    d = {
+        "sim": {"ndims": 2, "float_dtype": "float64",
+                "is_outputting_averaged_fields": False},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 0,
+                 "xlength": 16e3, "ylength": 0.0, "zlength": 8e3,
+                 "resolution": 1e3, "quality_check_step_interval": 7},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "has_thermal_diffusion": True, "damping_option": 1},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": -1e-9, "vbc_x1": 1,
+               "vbc_val_x1": 1e-9, "vbc_z0": 0, "vbc_z1": 0,
+               "has_winkler_foundation": False,
+               "has_water_loading": False},
+        "mat": {"rheology_type": rheo, "is_plane_strain": True,
+                "rho0": [2800.0], "bulk_modulus": [50e9],
+                "shear_modulus": [30e9], "visc_max": 1e24,
+                "visc_min": 1e19},
+    }
+    for sec, kv in over.items():
+        d.setdefault(sec, {}).update(kv)
+    return des.param_from_dict(d)
+
+
+FIELDS = ("coord", "vel", "temperature", "stress", "stressyy", "strain",
+          "strain_rate", "plstrain", "delta_plstrain", "viscosity",
+          "volume", "volume_old", "volume_n", "mass", "tmass", "hmass",
+          "ymass", "force", "edvoldt", "dt", "time",
+          "max_global_vel_mag", "global_dt_min", "l2_residual")
+
+
+def run_both(param, n=20):
+    import jax
+    from dynearthsol_tpu.simulation import make_step_fn
+
+    sim = des.Simulation(param)
+    assert flat2d.flat_step_applicable(sim.param, sim.ctx)
+    step = jax.jit(make_step_fn(param, sim.compensation_pressure))
+    ref = sim.state
+    for _ in range(n):
+        ref = step(sim.ctx, ref)
+
+    run = flat2d.make_chunk_runner(param, sim.ctx,
+                                   sim.compensation_pressure, n)
+    out = run(sim.ctx, sim.state)
+    return ref, out
+
+
+def assert_match(ref, out, tol=1e-12):
+    for f in FIELDS:
+        a = np.asarray(getattr(ref, f), dtype=np.float64)
+        b = np.asarray(getattr(out, f), dtype=np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        err = np.abs(a - b).max() / scale
+        assert err < tol, (f, err)
+
+
+def test_flat_matches_generic_evp():
+    ref, out = run_both(mk_param())
+    assert_match(ref, out)
+
+
+def test_flat_matches_generic_maxwell_surface_correction():
+    ref, out = run_both(mk_param(
+        rheo="maxwell",
+        control={"has_surface_correction": True}))
+    assert_match(ref, out)
+
+
+def test_flat_gate():
+    # structured mesh -> grid path, not flat
+    p = mk_param(mesh={"meshing_elem_shape": 1})
+    sim = des.Simulation(p)
+    assert not flat2d.flat_step_applicable(sim.param, sim.ctx)
+    # hydraulic diffusion falls back to the generic step
+    p2 = mk_param(control={"has_hydraulic_diffusion": True})
+    sim2 = des.Simulation(p2)
+    assert not flat2d.flat_step_applicable(sim2.param, sim2.ctx)
+
+
+def test_flat_dispatched_by_simulation():
+    """Simulation.run_steps must route unstructured meshes through the
+    flat path (and produce finite state)."""
+    sim = des.Simulation(mk_param())
+    fn = sim._chunk_fn(5)
+    # the flat runner is a plain jitted callable from flat2d
+    sim.run_steps(5, chunk=5)
+    assert np.isfinite(np.asarray(sim.state.stress)).all()
