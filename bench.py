@@ -24,6 +24,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 
+# the container's sitecustomize prepends the tunneled TPU platform,
+# overriding JAX_PLATFORMS; honor an explicit env request (CPU testing)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import dynearthsol_tpu as des
 
 def _reference_baseline():
@@ -139,12 +144,14 @@ def main(argv=None):
                          "precision path (TPU emulates f64 — expect "
                          "~30-60x slower; SURVEY §7.2 precision story)")
     ap.add_argument("--case", default="flagship",
-                    choices=["flagship", "flagship3d", "unstructured"],
+                    choices=["flagship", "flagship3d", "unstructured",
+                             "postremesh"],
                     help="flagship: structured 512x256 2D EVP (Pallas "
                          "path); flagship3d: 983k-tet 3D EVP (Pallas 3D "
                          "path); unstructured: same physics on an "
-                         "unstructured Delaunay mesh — the generic-gather "
-                         "path every post-remesh production run lives on")
+                         "unstructured Delaunay mesh (the flat SoA "
+                         "path); postremesh: remesh once, then measure "
+                         "the sustained post-remesh steady state")
     args = ap.parse_args(argv)
 
     slow64 = args.dtype == "float64"
@@ -171,12 +178,34 @@ def main(argv=None):
             "nelem": nelem,
             "vs_baseline": round(rate / REF_BASELINE_ELEMSTEPS_PER_S, 4),
         }))
-    else:
+    elif args.case == "unstructured":
         param = flagship_param(dtype=args.dtype)
-        param.mesh.meshing_elem_shape = 0  # unstructured -> generic path
+        param.mesh.meshing_elem_shape = 0  # unstructured -> flat SoA path
         rate, nelem = _measure(param, chunk=100, bench_steps=200)
         print(json.dumps({
             "metric": "evp2d_unstructured_element_steps_per_sec",
+            "value": round(rate, 1),
+            "unit": "elem*steps/s",
+            "nelem": nelem,
+            "vs_baseline": round(rate / REF_BASELINE_ELEMSTEPS_PER_S, 4),
+        }))
+    else:  # postremesh: the steady state a production rift run lives in
+        from dynearthsol_tpu.remeshing import remesh
+
+        param = flagship_param(dtype=args.dtype)
+        param.mesh.meshing_elem_shape = 0
+        sim = des.Simulation(param)
+        sim.run_steps(20, chunk=20)       # settle, then force one remesh
+        remesh(sim, 1)
+        nelem = sim.topo.nelem
+        sim.run_steps(100, chunk=100)     # warmup compile on new shapes
+        jax.block_until_ready(sim.state.coord)
+        t0 = time.perf_counter()
+        sim.run_steps(200, chunk=100)
+        jax.block_until_ready(sim.state.coord)
+        rate = nelem * 200 / (time.perf_counter() - t0)
+        print(json.dumps({
+            "metric": "evp2d_postremesh_element_steps_per_sec",
             "value": round(rate, 1),
             "unit": "elem*steps/s",
             "nelem": nelem,

@@ -71,7 +71,6 @@ def flat_step_applicable(param: Param, ctx) -> bool:
     return (ctx.sgrid is None and ctx.axis is None and ctx.ndims == 2
             and not ctrl.has_hydraulic_diffusion
             and not ctrl.has_PT
-            and (ctrl.surface_process_option == 0 or ctx.surf.etop == 0)
             and rheol in (RH_ELASTIC, RH_VISCOUS, RH_MAXWELL, RH_EP,
                           RH_EVP)
             and (rheol not in (RH_EP, RH_EVP) or param.mat.is_plane_strain))
@@ -359,10 +358,21 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         v2 = cgather(vel)
         vxs2 = tuple(v2[c][0] for c in range(3))
         vzs2 = tuple(v2[c][1] for c in range(3))
+        dhacc, edvacc_surf = s.dhacc, s.edvacc_surf
         if ctrl.has_moving_mesh:
             coord = F.update_coordinate(s.coord, vel, s.dt)
-            xs2 = tuple(xs[i] + vxs2[i] * s.dt for i in range(3))
-            zs2 = tuple(zs[i] + vzs2[i] * s.dt for i in range(3))
+            if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
+                # nodal-only surface processes (bc.cxx:1667-1831), then
+                # re-gather the surface-moved coordinates
+                coord, dhacc, edvacc_surf, _dh = \
+                    SP.apply_surface_processes(param, ctx.surf, coord,
+                                               s.dt, dhacc, edvacc_surf)
+                c2 = cgather(coord)
+                xs2 = tuple(c2[c][0] for c in range(3))
+                zs2 = tuple(c2[c][1] for c in range(3))
+            else:
+                xs2 = tuple(xs[i] + vxs2[i] * s.dt for i in range(3))
+                zs2 = tuple(zs[i] + vzs2[i] * s.dt for i in range(3))
             volume_old = vol
             volume = volume_of(xs2, zs2)
             if ctx.surf.etop > 0 and ctrl.has_surface_correction:
@@ -460,6 +470,7 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             strain_rate=strain_rate, plstrain=plstrain,
             delta_plstrain=delta_plstrain, viscosity=viscosity,
             dpressure=dpressure, edvoldt=edvoldt, l2_residual=l2_res,
+            dhacc=dhacc, edvacc_surf=edvacc_surf,
             dt=dt_out, time=time, steps=steps,
             max_global_vel_mag=vmax, global_dt_min=gdtmin, **upd_avg)
 

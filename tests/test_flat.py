@@ -80,6 +80,20 @@ def test_flat_matches_generic_maxwell_surface_correction():
     assert_match(ref, out)
 
 
+def test_flat_matches_generic_surface_processes():
+    """In-step surface diffusion + sedimentation (option 102) plus the
+    surface element correction, vs the generic step."""
+    ref, out = run_both(mk_param(
+        control={"surface_process_option": 102,
+                 "surface_diffusivity": 1e-6,
+                 "has_surface_correction": True,
+                 "terrig_sediment_area": 3.17e-7}))
+    assert_match(ref, out)
+    a = np.asarray(ref.dhacc)
+    b = np.asarray(out.dhacc)
+    assert np.abs(a - b).max() <= 1e-12 * max(np.abs(a).max(), 1e-300)
+
+
 def test_flat_gate():
     # structured mesh -> grid path, not flat
     p = mk_param(mesh={"meshing_elem_shape": 1})
