@@ -1,0 +1,477 @@
+"""Unstructured-mesh 3D step in SoA column layout.
+
+The 3D sibling of ops/flat2d.py (see its docstring for the rank-3
+small-dims tiling pathology this layout avoids): element tensors ride
+k-major (6, nelem), corner slots come from npe=4 static-index k-packed
+gathers, and assembly is the degree-unrolled masked gather over the
+node_sum support table with corner-major slot renumbering — the same
+per-node summation order as the generic step, so f64 trajectories match
+to roundoff (tests/test_flat.py).
+
+Structured 3D meshes take grid3d/pallas3d; this path serves unstructured
+tet meshes — i.e. every post-remesh 3D production run.  Reference kernel
+order: dynearthsol.cxx:746-956."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import bc as bc_mod
+from ..config import (RH_ELASTIC, RH_EP, RH_EVP, RH_MAXWELL, RH_VISCOUS,
+                      Param)
+from . import fields as F
+from . import matprops as M
+from . import rheology as R
+from . import surface as SP
+from .flat2d import E_TENSORS, flat_to_state, state_to_flat
+from .matprops import MIN_STRAIN_RATE
+
+
+def flat3d_step_applicable(param: Param, ctx) -> bool:
+    ctrl = param.control
+    rheol = param.mat.rheol_type
+    return (ctx.sgrid is None and ctx.axis is None and ctx.ndims == 3
+            and not ctrl.has_hydraulic_diffusion
+            and not ctrl.has_PT
+            and rheol in (RH_ELASTIC, RH_VISCOUS, RH_MAXWELL, RH_EP,
+                          RH_EVP))
+
+
+def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
+    ctrl = param.control
+    mat = param.mat
+    nelem = int(ctx.nelem)
+    nnode = int(ctx.nnode)
+    max_vbc_val = ctx.max_vbc_val
+    visc_min = ctx.mat.visc_min
+    therm_diff_max = ctx.mat.therm_diff_max
+    rheol = mat.rheol_type
+    pseudo_speed = max_vbc_val * ctrl.inertial_scaling
+    npe = 4.0
+
+    conn_np = np.asarray(ctx.conn)
+    c_idx = tuple(jnp.asarray(conn_np[:, c]) for c in range(4))
+
+    gidx = np.asarray(ctx.gather_idx)
+    gmask = np.asarray(ctx.gather_mask)
+    e_of = gidx // 4
+    c_of = gidx % 4
+    gidx_cm = np.where(gmask, c_of * nelem + e_of, 0)
+    max_deg = gidx.shape[1]
+    g_cols = tuple(jnp.asarray(gidx_cm[:, d]) for d in range(max_deg))
+    m_cols = tuple(jnp.asarray(gmask[:, d]) for d in range(max_deg))
+
+    def cgather(pack):
+        out = []
+        for c in range(4):
+            rows = pack[c_idx[c]]
+            out.append(tuple(rows[:, j] for j in range(pack.shape[1])))
+        return out
+
+    def asm_pack(slot_cols):
+        k = len(slot_cols[0])
+        pack = jnp.stack(
+            [jnp.concatenate([slot_cols[c][j] for c in range(4)])
+             for j in range(k)], axis=1)
+        acc = jnp.zeros((nnode, k), dtype=pack.dtype)
+        for d in range(max_deg):
+            vals = pack[g_cols[d]]
+            acc = acc + jnp.where(m_cols[d][:, None], vals, 0.0)
+        return acc
+
+    def asm_equal(v):
+        return asm_pack([(v,)] * 4)[:, 0]
+
+    def shape_fn(xs, ys, zs, vol):
+        """P1 tet gradients (fields.cxx:11-54)."""
+        iv = 1.0 / (6.0 * vol)
+
+        def d(a, i, j):
+            return a[i] - a[j]
+
+        x01, x02, x03 = d(xs, 0, 1), d(xs, 0, 2), d(xs, 0, 3)
+        x12, x13, x23 = d(xs, 1, 2), d(xs, 1, 3), d(xs, 2, 3)
+        y01, y02, y03 = d(ys, 0, 1), d(ys, 0, 2), d(ys, 0, 3)
+        y12, y13, y23 = d(ys, 1, 2), d(ys, 1, 3), d(ys, 2, 3)
+        z01, z02, z03 = d(zs, 0, 1), d(zs, 0, 2), d(zs, 0, 3)
+        z12, z13, z23 = d(zs, 1, 2), d(zs, 1, 3), d(zs, 2, 3)
+        dndx = (iv * (y13 * z12 - y12 * z13), iv * (y02 * z23 - y23 * z02),
+                iv * (y13 * z03 - y03 * z13), iv * (y01 * z02 - y02 * z01))
+        dndy = (iv * (z13 * x12 - z12 * x13), iv * (z02 * x23 - z23 * x02),
+                iv * (z13 * x03 - z03 * x13), iv * (z01 * x02 - z02 * x01))
+        dndz = (iv * (x13 * y12 - x12 * y13), iv * (x02 * y23 - x23 * y02),
+                iv * (x13 * y03 - x03 * y13), iv * (x01 * y02 - x02 * y01))
+        return dndx, dndy, dndz
+
+    def volume_of(xs, ys, zs):
+        d1 = (xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0])
+        d2 = (xs[2] - xs[0], ys[2] - ys[0], zs[2] - zs[0])
+        d3 = (xs[3] - xs[0], ys[3] - ys[0], zs[3] - zs[0])
+        return (d1[0] * (d2[1] * d3[2] - d2[2] * d3[1])
+                + d1[1] * (d2[2] * d3[0] - d2[0] * d3[2])
+                + d1[2] * (d2[0] * d3[1] - d2[1] * d3[0])) / 6.0
+
+    def min_height(xs, ys, zs, vol):
+        """3*V / largest facet area (geometry.cxx:830-852)."""
+        def tri_area(i, j, k):
+            ux, uy, uz = xs[j] - xs[i], ys[j] - ys[i], zs[j] - zs[i]
+            vx, vy, vz = xs[k] - xs[i], ys[k] - ys[i], zs[k] - zs[i]
+            cx = uy * vz - uz * vy
+            cy = uz * vx - ux * vz
+            cz = ux * vy - uy * vx
+            return 0.5 * jnp.sqrt(cx * cx + cy * cy + cz * cz)
+
+        maxa = jnp.maximum(
+            jnp.maximum(tri_area(0, 1, 2), tri_area(0, 1, 3)),
+            jnp.maximum(tri_area(2, 3, 0), tri_area(2, 3, 1)))
+        return 3.0 * vol / maxa
+
+    def compute_dt_cols(xs, ys, zs, vol, vxs, vys, vzs, shearm, rho_e):
+        dtype = vol.dtype
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype=dtype)
+        vx_m = sum(vxs[i] for i in range(4)) / npe
+        vy_m = sum(vys[i] for i in range(4)) / npe
+        vz_m = sum(vzs[i] for i in range(4)) / npe
+        vmag = jnp.sqrt(vx_m ** 2 + vy_m ** 2 + vz_m ** 2)
+        vmax = jnp.maximum(vmag.max(), max_vbc_val)
+        if ctrl.fixed_dt != 0.0:
+            fdt = jnp.asarray(ctrl.fixed_dt, dtype=dtype)
+            return fdt, vmax, fdt
+        minh = min_height(xs, ys, zs, vol)
+        minl = minh.min()
+        dt_maxwell = (0.5 * visc_min / (1e-40 + shearm)).min()
+        dt_diffusion = (0.5 * minh * minh / therm_diff_max).min() \
+            if ctrl.has_thermal_diffusion else big
+        swave = jnp.sqrt(shearm / rho_e)
+        gdtmin = (minl / swave / 5.0).min()
+        if ctrl.use_global_velocity_scaling:
+            dt_advection = 0.5 * minl / vmax
+            if ctrl.is_quasi_static:
+                dt_elastic = 0.5 * minl / (vmax * ctrl.inertial_scaling)
+            else:
+                dt_elastic = 0.5 * minl / np.sqrt(
+                    mat.bulk_modulus[mat.mattype_ref]
+                    / mat.rho0[mat.mattype_ref])
+            dt_elastic = jnp.maximum(dt_elastic, gdtmin)
+        else:
+            dt_advection = 0.5 * minl / max_vbc_val
+            if ctrl.is_quasi_static:
+                dt_elastic = 0.5 * minl / (max_vbc_val
+                                           * ctrl.inertial_scaling)
+            else:
+                dt_elastic = 0.5 * minl / np.sqrt(
+                    mat.bulk_modulus[mat.mattype_ref]
+                    / mat.rho0[mat.mattype_ref])
+        dt = jnp.minimum(jnp.minimum(dt_elastic, dt_maxwell),
+                         jnp.minimum(dt_advection, dt_diffusion)) \
+            * ctrl.dt_fraction
+        return dt, vmax, gdtmin
+
+    def inv2(t):
+        a = (t[0] + t[1] + t[2]) / 3.0
+        return (0.5 * ((t[0] - a) ** 2 + (t[1] - a) ** 2 + (t[2] - a) ** 2)
+                + t[3] ** 2 + t[4] ** 2 + t[5] ** 2)
+
+    def update_stress_cols(tab, s, de, edot, sr, bulkm, shearm, temp_e,
+                           dt):
+        """Constitutive switch (rheology.cxx:676-991); mirrors grid3d."""
+        stress = tuple(s.stress[i] for i in range(6))
+        old_tr = stress[0] + stress[1] + stress[2]
+        plstrain, delta_plstrain = s.plstrain, s.delta_plstrain
+        viscosity = s.viscosity
+
+        def creep_visc():
+            s0 = (stress[0] + stress[1] + stress[2]) / 3.0
+            ed = jnp.maximum(jnp.sqrt(inv2(sr)), MIN_STRAIN_RATE)
+            return M.visc_core(tab, s.emw, temp_e, s0, ed)
+
+        if rheol == RH_ELASTIC:
+            stress = R.elastic3_c(bulkm, shearm, de, stress)
+        elif rheol == RH_VISCOUS:
+            viscosity = creep_visc()
+            strain_new = tuple(s.strain[i] + de[i] for i in range(6))
+            total_dv = strain_new[0] + strain_new[1] + strain_new[2]
+            stress = R.viscous3_c(bulkm, viscosity, total_dv, edot)
+        elif rheol == RH_MAXWELL:
+            viscosity = creep_visc()
+            dv = s.volume / s.volume_old - 1.0
+            stress = R.maxwell3_c(bulkm, shearm, viscosity, dt, dv, de,
+                                  stress)
+        elif rheol == RH_EP:
+            amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
+                tab, s.emw, s.plstrain)
+            stress, depls, _ = R.elasto_plastic3_c(
+                bulkm, shearm, amc, anphi, anpsi, hardn, ten_max, de,
+                stress)
+            plstrain = s.plstrain + depls
+            delta_plstrain = depls
+        elif rheol == RH_EVP:
+            viscosity = creep_visc()
+            dv = s.volume / s.volume_old - 1.0
+            sv = R.maxwell3_c(bulkm, shearm, viscosity, dt, dv, de,
+                              stress)
+            amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
+                tab, s.emw, s.plstrain)
+            sp, depls, _ = R.elasto_plastic3_c(
+                bulkm, shearm, amc, anphi, anpsi, hardn, ten_max, de,
+                stress)
+            use_v = inv2(sv) < inv2(sp)
+            stress = tuple(jnp.where(use_v, a, b) for a, b in zip(sv, sp))
+            plstrain = jnp.where(use_v, s.plstrain, s.plstrain + depls)
+            delta_plstrain = jnp.where(use_v, s.delta_plstrain, depls)
+        else:  # pragma: no cover - gated
+            raise ValueError(f"flat3d: unsupported rheology {rheol}")
+        if ctrl.is_using_mixed_stress:
+            dpressure = stress[0] + stress[1] + stress[2] - old_tr
+        else:
+            dpressure = s.dpressure
+        return (stress, plstrain, delta_plstrain, viscosity, dpressure)
+
+    def step(ctx, s):
+        tab = ctx.mat
+        dt = s.dt
+        steps = s.steps + 1
+        time = s.time + s.dt
+
+        nodal_pack = jnp.concatenate(
+            [s.coord, s.vel, s.temperature[:, None]], axis=1)
+        slots = cgather(nodal_pack)
+        xs = tuple(slots[c][0] for c in range(4))
+        ys = tuple(slots[c][1] for c in range(4))
+        zs = tuple(slots[c][2] for c in range(4))
+        vxs = tuple(slots[c][3] for c in range(4))
+        vys = tuple(slots[c][4] for c in range(4))
+        vzs = tuple(slots[c][5] for c in range(4))
+        ts = tuple(slots[c][6] for c in range(4))
+
+        vol = s.volume
+        dndx, dndy, dndz = shape_fn(xs, ys, zs, vol)
+        temp_e = (ts[0] + ts[1] + ts[2] + ts[3]) / npe
+        bulkm = M.bulkm(tab, s.emw)
+        shearm = M.shearm(tab, s.emw)
+        rho_e = M.rho_from_T(tab, s.emw, temp_e)
+
+        # strain rate (fields.cxx:408-483)
+        lxx = sum(vxs[i] * dndx[i] for i in range(4))
+        lyy = sum(vys[i] * dndy[i] for i in range(4))
+        lzz = sum(vzs[i] * dndz[i] for i in range(4))
+        lxy = 0.5 * (sum(vxs[i] * dndy[i] for i in range(4))
+                     + sum(vys[i] * dndx[i] for i in range(4)))
+        lxz = 0.5 * (sum(vxs[i] * dndz[i] for i in range(4))
+                     + sum(vzs[i] * dndx[i] for i in range(4)))
+        lyz = 0.5 * (sum(vys[i] * dndz[i] for i in range(4))
+                     + sum(vzs[i] * dndy[i] for i in range(4)))
+        sr = (lxx, lyy, lzz, lxy, lxz, lyz)
+
+        # thermal diffusion + dvoldt share ONE assembly
+        etmp = (lxx + lyy + lzz) * vol
+        if ctrl.has_thermal_diffusion:
+            kappa = M.therm_cond(tab, s.emw)
+            source = s.radiogenic_source * vol * rho_e / npe
+            kv = kappa * vol
+            gx = sum(dndx[i] * ts[i] for i in range(4))
+            gy = sum(dndy[i] * ts[i] for i in range(4))
+            gz = sum(dndz[i] * ts[i] for i in range(4))
+            both = asm_pack([
+                (etmp, kv * (dndx[c] * gx + dndy[c] * gy + dndz[c] * gz)
+                 - source) for c in range(4)])
+            dv_sum, tdot = both[:, 0], both[:, 1]
+            temperature = jnp.where(
+                ctx.top_mask, param.bc.surface_temperature,
+                s.temperature - s.dt * tdot / s.tmass)
+        else:
+            dv_sum = asm_equal(etmp)
+            temperature = s.temperature
+
+        dvoldt = dv_sum / s.volume_n
+        dvs = [cols[0] for cols in cgather(dvoldt[:, None])]
+        edvoldt = (dvs[0] + dvs[1] + dvs[2] + dvs[3]) / npe
+
+        adj = (edvoldt - (lxx + lyy + lzz)) / 3.0
+        edot = (lxx + adj, lyy + adj, lzz + adj, lxy, lxz, lyz)
+        de = tuple(edot[i] * dt for i in range(6))
+        strain = jnp.stack([s.strain[i] + de[i] for i in range(6)])
+        strain_rate = jnp.stack(edot)
+
+        s_mid = dataclasses.replace(s, edvoldt=edvoldt)
+        (stress_c, plstrain, delta_plstrain, viscosity, dpressure) = \
+            update_stress_cols(tab, s_mid, de, edot, sr, bulkm, shearm,
+                               temp_e, dt)
+
+        if ctrl.is_using_mixed_stress:
+            dp_nd = asm_equal(dpressure * vol) / s.volume_n
+            dps = [cols[0] for cols in cgather(dp_nd[:, None])]
+            ddp = ((dps[0] + dps[1] + dps[2] + dps[3]) / npe
+                   - dpressure) / 3.0
+            stress_c = (stress_c[0] + ddp, stress_c[1] + ddp,
+                        stress_c[2] + ddp) + stress_c[3:]
+        stress = jnp.stack(stress_c)
+
+        # force assembly (fields.cxx:612-703)
+        phi_e = M.phi_porosity(tab, s.emw)
+        if ctrl.gravity != 0:
+            buoy = (rho_e * (1.0 - phi_e) + 1000.0 * phi_e) \
+                * ctrl.gravity / npe
+        else:
+            buoy = jnp.zeros_like(vol)
+        fpack = asm_pack([
+            ((stress_c[0] * dndx[c] + stress_c[3] * dndy[c]
+              + stress_c[4] * dndz[c]) * vol,
+             (stress_c[3] * dndx[c] + stress_c[1] * dndy[c]
+              + stress_c[5] * dndz[c]) * vol,
+             (stress_c[4] * dndx[c] + stress_c[5] * dndy[c]
+              + stress_c[2] * dndz[c] + buoy) * vol)
+            for c in range(4)])
+        force = -fpack
+        l2_res = F.residual_l2(force)
+
+        if ctrl.gravity != 0:
+            force = bc_mod.apply_stress_bcs(
+                param, ctx.sbc, s.coord, force, rho_e,
+                compensation_pressure, s.coord0)
+        force = bc_mod.apply_stress_bcs_neumann(ctx.sbc, s.coord, force)
+        force = F.apply_damping(force, s.vel, s.mass, s.ymass,
+                                ctrl.damping_option, ctrl.damping_factor)
+        vel = F.update_velocity(s.vel, force, s.mass, s.dt)
+        vel = bc_mod.apply_vbcs(ctx.vbc, vel, s.coord, time)
+
+        # update_mesh (dynearthsol.cxx:431-473)
+        v2 = cgather(vel)
+        vxs2 = tuple(v2[c][0] for c in range(4))
+        vys2 = tuple(v2[c][1] for c in range(4))
+        vzs2 = tuple(v2[c][2] for c in range(4))
+        dhacc, edvacc_surf = s.dhacc, s.edvacc_surf
+        if ctrl.has_moving_mesh:
+            coord = F.update_coordinate(s.coord, vel, s.dt)
+            if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
+                coord, dhacc, edvacc_surf, _dh = \
+                    SP.apply_surface_processes(param, ctx.surf, coord,
+                                               s.dt, dhacc, edvacc_surf)
+                c2 = cgather(coord)
+                xs2 = tuple(c2[c][0] for c in range(4))
+                ys2 = tuple(c2[c][1] for c in range(4))
+                zs2 = tuple(c2[c][2] for c in range(4))
+            else:
+                xs2 = tuple(xs[i] + vxs2[i] * s.dt for i in range(4))
+                ys2 = tuple(ys[i] + vys2[i] * s.dt for i in range(4))
+                zs2 = tuple(zs[i] + vzs2[i] * s.dt for i in range(4))
+            volume_old = vol
+            volume = volume_of(xs2, ys2, zs2)
+            if ctx.surf.etop > 0 and ctrl.has_surface_correction:
+                # correct_surface_element (bc.cxx:1613-1665); no surface
+                # plstrain decay in 3D (bc.cxx:1805-1810 is 2D-only)
+                top = ctx.surf.top_elem_mask > 0
+                rdv = volume / vol
+                tscale = jnp.where(top & (rdv >= 1.0), 1.0 / rdv, 1.0)
+                stress = stress * tscale
+                strain = strain * tscale
+                strain_rate = strain_rate * tscale
+                plstrain = plstrain * tscale
+                volume_old = jnp.where(top, volume, vol)
+        else:
+            coord, volume_old, volume = s.coord, s.volume_old, vol
+            xs2, ys2, zs2 = xs, ys, zs
+
+        dt_new, vmax, gdtmin = compute_dt_cols(
+            xs2, ys2, zs2, volume, vxs2, vys2, vzs2, shearm, rho_e)
+        refresh = (steps % 10 == 0) | ctrl.use_global_velocity_scaling
+        dt_out = jnp.where(refresh, dt_new, s.dt)
+
+        if ctrl.has_moving_mesh:
+            if ctrl.use_global_velocity_scaling:
+                apparent = jnp.minimum(s.max_global_vel_mag
+                                       * ctrl.inertial_scaling,
+                                       jnp.sqrt(shearm / rho_e))
+                rho_q = bulkm / (apparent * apparent)
+            else:
+                rho_q = bulkm / (pseudo_speed * pseudo_speed)
+            rho_m = rho_q if ctrl.is_quasi_static else rho_e
+            bulk_comp = 1.0 / bulkm  # 3D (geometry.cxx:1098)
+            ab_e = M.alpha_biot(tab, s.emw)
+            bf_e = M.beta_fluid(tab, s.emw)
+            cp_e = M.cp(tab, s.emw)
+            hm_coeff = ab_e + phi_e - ab_e * phi_e
+            m = rho_m * volume / npe
+            tm = rho_e * cp_e * volume / npe
+            hm = (hm_coeff * bulk_comp + phi_e * bf_e) * volume / npe
+            ym = 9.0 * bulkm * shearm / (3.0 * bulkm + shearm) / npe
+            mpack = asm_pack([(volume, m, tm, hm, ym)] * 4)
+            volume_n = mpack[:, 0]
+            mass = mpack[:, 1]
+            tmass = mpack[:, 2]
+            hmass = mpack[:, 3]
+            ymass = mpack[:, 4]
+        else:
+            volume_n, mass, tmass, hmass, ymass = (
+                s.volume_n, s.mass, s.tmass, s.hmass, s.ymass)
+
+        # Jaumann rotation with post-move geometry (dynearthsol.cxx:853-855)
+        if rheol & RH_ELASTIC:
+            dndx2, dndy2, dndz2 = shape_fn(xs2, ys2, zs2, volume)
+            w3 = 0.5 * (sum(vxs2[i] * dndy2[i] for i in range(4))
+                        - sum(vys2[i] * dndx2[i] for i in range(4)))
+            w4 = 0.5 * (sum(vxs2[i] * dndz2[i] for i in range(4))
+                        - sum(vzs2[i] * dndx2[i] for i in range(4)))
+            w5 = 0.5 * (sum(vys2[i] * dndz2[i] for i in range(4))
+                        - sum(vzs2[i] * dndy2[i] for i in range(4)))
+            w3t, w4t, w5t = w3 * s.dt, w4 * s.dt, w5 * s.dt
+
+            def rot(t):
+                return jnp.stack([
+                    t[0] - 2.0 * t[3] * w3t - 2.0 * t[4] * w4t,
+                    t[1] + 2.0 * t[3] * w3t - 2.0 * t[5] * w5t,
+                    t[2] + 2.0 * t[4] * w4t + 2.0 * t[5] * w5t,
+                    t[3] + (t[0] - t[1]) * w3t - t[4] * w5t - t[5] * w4t,
+                    t[4] + (t[0] - t[2]) * w4t + t[3] * w5t - t[5] * w3t,
+                    t[5] + (t[1] - t[2]) * w5t + t[3] * w4t + t[4] * w3t])
+
+            stress = rot(stress)
+            strain = rot(strain)
+
+        upd_avg = {}
+        if param.sim.is_outputting_averaged_fields:
+            interval = param.mesh.quality_check_step_interval
+            reset = (steps % interval) == 1
+            upd_avg = dict(
+                stress_avg=jnp.where(reset, stress, s.stress_avg + stress),
+                delta_plstrain_avg=jnp.where(
+                    reset, delta_plstrain,
+                    s.delta_plstrain_avg + delta_plstrain),
+                coord_avg0=jnp.where(reset, coord, s.coord_avg0),
+                strain_avg0=jnp.where(reset, strain, s.strain_avg0),
+                time_avg0=jnp.where(reset, time, s.time_avg0))
+
+        return dataclasses.replace(
+            s, coord=coord, vel=vel, temperature=temperature,
+            volume=volume, volume_old=volume_old, volume_n=volume_n,
+            mass=mass, tmass=tmass, hmass=hmass, ymass=ymass,
+            force=force, stress=stress, strain=strain,
+            strain_rate=strain_rate, plstrain=plstrain,
+            delta_plstrain=delta_plstrain, viscosity=viscosity,
+            dpressure=dpressure, edvoldt=edvoldt, l2_residual=l2_res,
+            dhacc=dhacc, edvacc_surf=edvacc_surf,
+            dt=dt_out, time=time, steps=steps,
+            max_global_vel_mag=vmax, global_dt_min=gdtmin, **upd_avg)
+
+    return step
+
+
+def make_chunk_runner(param: Param, ctx, compensation_pressure: float,
+                      n: int):
+    step = make_flat_step(param, ctx, compensation_pressure)
+
+    @jax.jit
+    def run_chunk(sctx, state):
+        g = state_to_flat(state)
+
+        def body(s, _):
+            return step(sctx, s), None
+
+        g, _ = jax.lax.scan(body, g, length=n)
+        return flat_to_state(g)
+
+    return run_chunk

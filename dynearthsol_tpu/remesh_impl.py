@@ -212,18 +212,56 @@ def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None):
     bcflag[np.abs(coord[:, 0]) < tol] |= BOUNDX0
     bcflag[np.abs(coord[:, 0] - m.xlength) < tol] |= BOUNDX1
 
-    tri = Delaunay(coord, qhull_options="Qbb Qc Qz")
-    conn = tri.simplices.astype(np.int32)
-    # drop elements whose centroid lies outside the (non-convex) domain
-    c = coord[conn].mean(axis=1)
-    keep = (c[:, 1] <= surf(c[:, 0]) + 1e-9 * m.zlength) \
-        & (c[:, 1] >= bot(c[:, 0]) - 1e-9 * m.zlength)
-    # and degenerate slivers
-    a, b, cc = coord[conn[:, 0]], coord[conn[:, 1]], coord[conn[:, 2]]
-    area2 = np.abs((b[:, 0] - a[:, 0]) * (cc[:, 1] - a[:, 1])
-                   - (b[:, 1] - a[:, 1]) * (cc[:, 0] - a[:, 0]))
-    keep &= area2 > 1e-10 * np.median(area2)
-    conn = conn[keep]
+    from .remeshing import SIZEFACTOR_2D, _elem_quality_np
+
+    smallest_vol = (param.mesh.smallest_size * SIZEFACTOR_2D
+                    * param.mesh.resolution ** 2)
+
+    def _triangulate(coord, bcflag):
+        tri = Delaunay(coord, qhull_options="Qbb Qc Qz")
+        conn = tri.simplices.astype(np.int32)
+        # drop elements whose centroid lies outside the (non-convex)
+        # domain
+        c = coord[conn].mean(axis=1)
+        keep = (c[:, 1] <= surf(c[:, 0]) + 1e-9 * m.zlength) \
+            & (c[:, 1] >= bot(c[:, 0]) - 1e-9 * m.zlength)
+        a, b, cc = coord[conn[:, 0]], coord[conn[:, 1]], coord[conn[:, 2]]
+        area2 = np.abs((b[:, 0] - a[:, 0]) * (cc[:, 1] - a[:, 1])
+                       - (b[:, 1] - a[:, 1]) * (cc[:, 0] - a[:, 0]))
+        keep &= area2 > 1e-10 * np.median(area2)
+        # boundary-cap slivers: 3 near-collinear points of ONE boundary
+        # face triangulate into a sliver whose centroid passes the
+        # containment test; they are outside the true boundary polyline,
+        # so dropping them leaves no hole
+        vols = 0.5 * area2
+        q = _elem_quality_np(coord, conn, vols)
+        cap = np.zeros(len(conn), dtype=bool)
+        for bit in (BOUNDX0, BOUNDX1, BOUNDZ0, BOUNDZ1):
+            cap |= ((bcflag[conn] & bit) != 0).all(axis=1)
+        keep &= ~(cap & ((q < m.min_quality) | (vols < smallest_vol)))
+        return conn[keep]
+
+    # interior-point deletion retry (delete_points,
+    # remeshing.cxx:509-618 analog): a tiny/low-quality element with an
+    # interior vertex loses that vertex and the region re-triangulates
+    conn = _triangulate(coord, bcflag)
+    for _ in range(3):
+        v = coord[conn]
+        vols = 0.5 * np.abs(
+            (v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
+            - (v[:, 1, 1] - v[:, 0, 1]) * (v[:, 2, 0] - v[:, 0, 0]))
+        q = _elem_quality_np(coord, conn, vols)
+        bad = (q < m.min_quality) | (vols < smallest_vol)
+        if not bad.any():
+            break
+        bad_nodes = np.unique(conn[bad].ravel())
+        interior_bad = bad_nodes[bcflag[bad_nodes] == 0]
+        if interior_bad.size == 0:
+            break
+        mask = np.ones(coord.shape[0], dtype=bool)
+        mask[interior_bad] = False
+        coord, bcflag = coord[mask], bcflag[mask]
+        conn = _triangulate(coord, bcflag)
     coord, conn, bcflag = _drop_unused_nodes(coord, conn, bcflag)
     return coord, _orient_2d(coord, conn), bcflag
 

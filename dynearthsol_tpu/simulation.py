@@ -1148,7 +1148,8 @@ class Simulation:
         if n not in self._chunk_fns:
             import os
 
-            from .ops import flat2d, grid2d, grid3d, pallas2d, pallas3d
+            from .ops import flat2d, flat3d, grid2d, grid3d, pallas2d, \
+                pallas3d
 
             step = self._step_fn
             if (pallas2d.pallas_step_applicable(self.param, self.ctx)
@@ -1193,6 +1194,10 @@ class Simulation:
                 # the generic path's (nelem, npe, ndims) rank-3 tiling
                 # penalty — the post-remesh production path
                 run_chunk = flat2d.make_chunk_runner(
+                    self.param, self.ctx, self.compensation_pressure, n)
+            elif (flat3d.flat3d_step_applicable(self.param, self.ctx)
+                    and not os.environ.get("DES_NO_FLAT")):
+                run_chunk = flat3d.make_chunk_runner(
                     self.param, self.ctx, self.compensation_pressure, n)
             else:
                 @jax.jit

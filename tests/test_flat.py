@@ -94,6 +94,63 @@ def test_flat_matches_generic_surface_processes():
     assert np.abs(a - b).max() <= 1e-12 * max(np.abs(a).max(), 1e-300)
 
 
+def mk_param3d(rheo="elasto-visco-plastic"):
+    return des.param_from_dict({
+        "sim": {"ndims": 3, "float_dtype": "float64",
+                "is_outputting_averaged_fields": False},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 0,
+                 "xlength": 8e3, "ylength": 4e3, "zlength": 4e3,
+                 "resolution": 1e3, "quality_check_step_interval": 10**8},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "has_thermal_diffusion": True, "damping_option": 1,
+                    "has_surface_correction": True},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": -1e-9, "vbc_x1": 1,
+               "vbc_val_x1": 1e-9, "vbc_y0": 1, "vbc_val_y0": 0.0,
+               "vbc_y1": 1, "vbc_val_y1": 0.0,
+               "vbc_z0": 0, "vbc_z1": 0,
+               "has_winkler_foundation": False,
+               "has_water_loading": False},
+        "ic": {"weakzone_option": 0 if rheo == "maxwell" else 1},
+        "mat": {"rheology_type": rheo, "is_plane_strain": False,
+                "rho0": [2800.0], "bulk_modulus": [50e9],
+                "shear_modulus": [30e9], "visc_max": 1e24,
+                "visc_min": 1e19},
+    })
+
+
+def run_both3d(param, n):
+    import jax
+    from dynearthsol_tpu.ops import flat3d
+    from dynearthsol_tpu.simulation import make_step_fn
+
+    sim = des.Simulation(param)
+    assert flat3d.flat3d_step_applicable(sim.param, sim.ctx)
+    step = jax.jit(make_step_fn(param, sim.compensation_pressure))
+    ref = sim.state
+    for _ in range(n):
+        ref = step(sim.ctx, ref)
+    run = flat3d.make_chunk_runner(param, sim.ctx,
+                                   sim.compensation_pressure, n)
+    out = run(sim.ctx, sim.state)
+    return ref, out
+
+
+def test_flat3d_matches_generic_maxwell():
+    """15-step trajectory gate, branch-free rheology (the 3D EVP
+    min-select amplifies the one-ulp reduce-order difference between
+    XLA's tree-sum and the flat fold ~1000x/step — same bistability as
+    tests/test_pallas3d.py documents)."""
+    ref, out = run_both3d(mk_param3d("maxwell"), 15)
+    assert_match(ref, out, tol=1e-11)
+
+
+def test_flat3d_matches_generic_evp_short():
+    """3-step EVP gate: exercises eig3 plasticity + min-select before
+    the branch-flip amplification overtakes roundoff (8e-14 measured)."""
+    ref, out = run_both3d(mk_param3d(), 3)
+    assert_match(ref, out, tol=1e-12)
+
+
 def test_flat_gate():
     # structured mesh -> grid path, not flat
     p = mk_param(mesh={"meshing_elem_shape": 1})
