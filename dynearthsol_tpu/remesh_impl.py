@@ -217,6 +217,43 @@ def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None):
     smallest_vol = (param.mesh.smallest_size * SIZEFACTOR_2D
                     * param.mesh.resolution ** 2)
 
+    # constrained-segment recovery (the CDT guarantee Triangle provides,
+    # mesh.cxx:2577-2621): every consecutive boundary-chain pair must
+    # appear as a Delaunay edge.  Unconstrained Delaunay can cut across
+    # a concave valley; inserting the midpoint of a missing segment
+    # (a Steiner point) locally refines until the chain is recovered.
+    def _chains(coord, bcflag):
+        out = []
+        for bit, axis in ((BOUNDZ1, 0), (BOUNDZ0, 0),
+                          (BOUNDX0, 1), (BOUNDX1, 1)):
+            ids = np.where((bcflag & bit) != 0)[0]
+            out.append(ids[np.argsort(coord[ids, axis])])
+        return out
+
+    def _recover_segments(coord, bcflag, max_rounds=4):
+        for _ in range(max_rounds):
+            tri = Delaunay(coord, qhull_options="Qbb Qc Qz")
+            e = tri.simplices[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
+            e.sort(axis=1)
+            n = coord.shape[0]
+            ekeys = np.unique(e[:, 0].astype(np.int64) * n + e[:, 1])
+            new_pts, new_flags = [], []
+            for ids in _chains(coord, bcflag):
+                a, b = ids[:-1], ids[1:]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                miss = ~np.isin(lo.astype(np.int64) * n + hi, ekeys)
+                for i in np.where(miss)[0]:
+                    new_pts.append(0.5 * (coord[a[i]] + coord[b[i]]))
+                    new_flags.append(bcflag[a[i]] & bcflag[b[i]])
+            if not new_pts:
+                return coord, bcflag
+            coord = np.concatenate([coord, np.asarray(new_pts)])
+            bcflag = np.concatenate(
+                [bcflag, np.asarray(new_flags, dtype=bcflag.dtype)])
+        return coord, bcflag
+
+    coord, bcflag = _recover_segments(coord, bcflag)
+
     def _triangulate(coord, bcflag):
         tri = Delaunay(coord, qhull_options="Qbb Qc Qz")
         conn = tri.simplices.astype(np.int32)

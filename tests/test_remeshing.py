@@ -96,6 +96,46 @@ def test_generate_new_mesh_preserves_topography():
     assert (area2 > 0).all()
 
 
+def test_generate_new_mesh_recovers_concave_boundary():
+    """A deep surface valley makes the domain non-convex; unconstrained
+    Delaunay would cut across it.  The regeneration must (a) recover
+    every boundary-chain segment as a mesh edge (CDT conformity via
+    Steiner midpoints, mesh.cxx:2577-2621 role) and (b) keep all element
+    centroids inside the domain, with acceptable quality."""
+    from dynearthsol_tpu.constants import BOUNDZ1
+    from dynearthsol_tpu.remeshing import _elem_quality_np
+
+    param = rift_param(mesh={"meshing_elem_shape": 0})
+    sim = des.Simulation(param)
+    coord = np.asarray(sim.state.coord).copy()
+    top = (sim.topo.bcflag & BOUNDZ1) != 0
+    # a sharp 3-km-deep valley (1.5 resolutions wide)
+    coord[top, 1] -= 3e3 * np.exp(-((coord[top, 0] - 15e3) / 1.5e3) ** 2)
+    nc, nconn, nflag = generate_new_mesh_2d(param, coord, sim.topo, seed=3)
+
+    # (a) every consecutive top-chain pair is an edge of the mesh
+    e = nconn[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
+    e = np.sort(e, axis=1)
+    n = nc.shape[0]
+    ekeys = np.unique(e[:, 0].astype(np.int64) * n + e[:, 1])
+    ids = np.where((nflag & BOUNDZ1) != 0)[0]
+    ids = ids[np.argsort(nc[ids, 0])]
+    lo = np.minimum(ids[:-1], ids[1:]).astype(np.int64)
+    hi = np.maximum(ids[:-1], ids[1:])
+    assert np.isin(lo * n + hi, ekeys).all(), "top chain not recovered"
+
+    # (b) centroids inside, quality acceptable
+    cen = nc[nconn].mean(axis=1)
+    f = np.interp(cen[:, 0], nc[ids, 0], nc[ids, 1])
+    assert (cen[:, 1] <= f + 1.0).all()
+    v = nc[nconn]
+    vols = 0.5 * np.abs(
+        (v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
+        - (v[:, 1, 1] - v[:, 0, 1]) * (v[:, 2, 0] - v[:, 0, 0]))
+    q = _elem_quality_np(nc, nconn, vols)
+    assert q.min() > 0.2, q.min()
+
+
 def test_remesh_cycle_runs_and_conserves():
     """Distort until the quality trigger fires, remesh, keep stepping."""
     param = rift_param()
