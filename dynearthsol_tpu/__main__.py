@@ -62,6 +62,16 @@ def run(param, argv_echo: str = ""):
     t_start = _time.monotonic_ns()
     p = param
 
+    # per-phase device profiling (SURVEY §5.1: the reference's NVTX
+    # ranges map to jax.profiler traces + the named_scope annotations in
+    # ops/geometry.py, ops/fields.py).  Set DES_PROFILE_DIR to capture a
+    # TensorBoard-readable trace of the whole run.
+    prof_dir = __import__("os").environ.get("DES_PROFILE_DIR")
+    if prof_dir:
+        import jax
+
+        jax.profiler.start_trace(prof_dir)
+
     if p.sim.is_restarting:
         sim, start_frame = restart(p)
         out = Output(p, start_frame=start_frame + 1, start_time_ns=t_start)
@@ -256,6 +266,11 @@ def run(param, argv_echo: str = ""):
               f"{t_compute_ns * 1e-9 / nsteps:.3e} s/step")
     print(f"Output:   {t_output_ns * 1e-9:.2f} s")
     print(f"Remesh:   {t_remesh_ns * 1e-9:.2f} s")
+    if prof_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"Profile:  trace written to {prof_dir}")
     return sim
 
 
