@@ -25,9 +25,10 @@ same componentwise cores as grid2d.py) on flat SoA columns:
 The summation order per node is identical to node_sum's, so this step
 reproduces the generic step BIT-FOR-BIT in f64 (tests/test_flat.py).
 
-Feature coverage mirrors grid2d.grid_step_applicable (no hydraulic/PT/
-surface processes; those configs fall back to the generic step).
-Reference kernel order: dynearthsol.cxx:746-956.
+Feature coverage: all rheologies of the grid paths plus in-step surface
+processes and hydraulic (Biot) diffusion; only PT-relaxation configs
+fall back to the generic step.  Reference kernel order:
+dynearthsol.cxx:746-956.
 """
 
 from __future__ import annotations
@@ -69,7 +70,6 @@ def flat_step_applicable(param: Param, ctx) -> bool:
     ctrl = param.control
     rheol = param.mat.rheol_type
     return (ctx.sgrid is None and ctx.axis is None and ctx.ndims == 2
-            and not ctrl.has_hydraulic_diffusion
             and not ctrl.has_PT
             and rheol in (RH_ELASTIC, RH_VISCOUS, RH_MAXWELL, RH_EP,
                           RH_EVP)
@@ -150,8 +150,10 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         dmax = jnp.maximum(jnp.maximum(d01, d12), d02)
         return 2.0 * vol / jnp.sqrt(dmax)
 
-    def compute_dt_cols(xs, zs, vol, vxs, vzs, shearm, rho_e):
-        """CFL dt (geometry.cxx:756-923); mirrors grid2d."""
+    def compute_dt_cols(xs, zs, vol, vxs, vzs, shearm, rho_e,
+                        hydro_diff_max=None):
+        """CFL dt (geometry.cxx:756-923); mirrors grid2d (+ the
+        hydraulic diffusion limit when enabled)."""
         dtype = vol.dtype
         big = jnp.asarray(jnp.finfo(dtype).max, dtype=dtype)
         vx_m = (vxs[0] + vxs[1] + vxs[2]) / npe
@@ -166,6 +168,12 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         dt_maxwell = (0.5 * visc_min / (1e-40 + shearm)).min()
         dt_diffusion = (0.5 * minh * minh / therm_diff_max).min() \
             if ctrl.has_thermal_diffusion else big
+        if ctrl.has_hydraulic_diffusion and hydro_diff_max is not None:
+            dt_hydro = jnp.where(hydro_diff_max > 0,
+                                 (0.5 * minh * minh).min()
+                                 / hydro_diff_max, big)
+        else:
+            dt_hydro = big
         swave = jnp.sqrt(shearm / rho_e)
         gdtmin = (minl / swave / 5.0).min()
         if ctrl.use_global_velocity_scaling:
@@ -186,15 +194,17 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 dt_elastic = 0.5 * minl / np.sqrt(
                     mat.bulk_modulus[mat.mattype_ref]
                     / mat.rho0[mat.mattype_ref])
-        dt = jnp.minimum(jnp.minimum(dt_elastic, dt_maxwell),
-                         jnp.minimum(dt_advection, dt_diffusion)) \
-            * ctrl.dt_fraction
+        dt = jnp.minimum(
+            jnp.minimum(jnp.minimum(dt_elastic, dt_maxwell),
+                        jnp.minimum(dt_advection, dt_diffusion)),
+            dt_hydro) * ctrl.dt_fraction
         return dt, vmax, gdtmin
 
     def update_stress_cols(tab, s, de, edot, sr, bulkm, shearm, temp_e,
-                           dt):
+                           dt, dpp=None):
         """Constitutive switch (rheology.cxx:676-991) on columns;
-        mirrors grid2d.update_stress_planes."""
+        mirrors grid2d.update_stress_planes (+ the Biot effective-stress
+        increment ``dpp`` on the trial diagonal, rheology.cxx:696-755)."""
         stress = (s.stress[0], s.stress[1], s.stress[2])
         old_tr = stress[0] + stress[1]
         stressyy = s.stressyy
@@ -208,7 +218,7 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             return M.visc_core(tab, s.emw, temp_e, s0, ed)
 
         if rheol == RH_ELASTIC:
-            stress = R.elastic2_c(bulkm, shearm, de, stress)
+            stress = R.elastic2_c(bulkm, shearm, de, stress, dpp)
         elif rheol == RH_VISCOUS:
             viscosity = creep_visc()
             strain_new = (s.strain[0] + de[0], s.strain[1] + de[1],
@@ -225,7 +235,7 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 tab, s.emw, s.plstrain)
             stress, stressyy, depls, _ = R.elasto_plastic2d_c(
                 bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
-                de, stress, s.stressyy)
+                de, stress, s.stressyy, dpp)
             plstrain = s.plstrain + depls
             delta_plstrain = depls
         elif rheol == RH_EVP:
@@ -238,7 +248,7 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 tab, s.emw, s.plstrain)
             sp, spyy, depls, _ = R.elasto_plastic2d_c(
                 bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
-                de, stress, s.stressyy)
+                de, stress, s.stressyy, dpp)
             spII = 0.25 * (sp[0] - sp[1]) ** 2 + sp[2] ** 2
             use_v = svII < spII
             stress = tuple(jnp.where(use_v, a, b) for a, b in zip(sv, sp))
@@ -260,10 +270,13 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         steps = s.steps + 1
         time = s.time + s.dt
 
-        # ONE packed corner gather (coord, vel, T), unstacked to columns
-        nodal_pack = jnp.concatenate(
-            [s.coord, s.vel, s.temperature[:, None]], axis=1)
-        slots = cgather(nodal_pack)         # [corner][x z vx vz T]
+        # ONE packed corner gather (coord, vel, T [, pp, dpp]),
+        # unstacked to columns
+        cols = [s.coord, s.vel, s.temperature[:, None]]
+        if ctrl.has_hydraulic_diffusion:
+            cols += [s.ppressure[:, None], s.dppressure[:, None]]
+        nodal_pack = jnp.concatenate(cols, axis=1)
+        slots = cgather(nodal_pack)         # [corner][x z vx vz T ...]
         xs = tuple(slots[c][0] for c in range(3))
         zs = tuple(slots[c][1] for c in range(3))
         vxs = tuple(slots[c][2] for c in range(3))
@@ -317,10 +330,20 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                             s.strain[2] + de[2]])
         strain_rate = jnp.stack(edot)
 
+        # Biot effective-stress increment from nodal dppressure
+        # (rheology.cxx:696-755) + this step's pre-update mean stress
+        # for the poroelastic source (fields.cxx:297-406)
+        old_mean_stress = s.old_mean_stress
+        dpp = None
+        if ctrl.has_hydraulic_diffusion:
+            old_mean_stress = (s.stress[0] + s.stress[1]) / 2.0
+            alpha_b = M.alpha_biot(tab, s.emw)
+            dpp = alpha_b * (slots[0][6] + slots[1][6] + slots[2][6]) / npe
+
         s_mid = dataclasses.replace(s, edvoldt=edvoldt)
         (stress_c, stressyy, plstrain, delta_plstrain, viscosity,
          dpressure) = update_stress_cols(tab, s_mid, de, edot, sr,
-                                         bulkm, shearm, temp_e, dt)
+                                         bulkm, shearm, temp_e, dt, dpp)
 
         if ctrl.is_using_mixed_stress:
             # NMD pressure smoothing (geometry.cxx:279-331)
@@ -337,11 +360,44 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 * ctrl.gravity / npe
         else:
             buoy = jnp.zeros_like(vol)
-        fpack = asm_pack([
-            ((stress_c[0] * dndx[c] + stress_c[2] * dndz[c]) * vol,
-             (stress_c[2] * dndx[c] + stress_c[1] * dndz[c] + buoy) * vol)
-            for c in range(3)])
-        force = -fpack
+        if ctrl.has_hydraulic_diffusion:
+            # pore-pressure diffusion contributions (fields.cxx:297-406)
+            # ride the force assembly (k=3): they depend only on the
+            # updated stress / pre-move geometry, and the reference
+            # applies the pp update after the velocity update
+            mean_change = (stress_c[0] + stress_c[1]) / 2.0 \
+                - old_mean_stress
+            matrix_comp = 1.0 / (bulkm + 4.0 * shearm / 3.0)
+            bulk_comp2 = 1.0 / (bulkm + shearm / 3.0)
+            gamma_w = 1000.0 * ctrl.gravity
+            perm_e = M.perm(tab, s.emw)
+            mu_e = M.mu_fluid(tab, s.emw)
+            beta_f = M.beta_fluid(tab, s.emw)
+            hc = perm_e * gamma_w / mu_e
+            kv_h = hc * vol
+            diff_e = hc / (phi_e * beta_f + alpha_b * matrix_comp) \
+                / gamma_w
+            hydro_diff_max = jnp.maximum(diff_e.max(), 1e-38)
+            pe_src = alpha_b * mean_change * bulk_comp2 * vol / npe / dt
+            heads = tuple(slots[c][5] / gamma_w + zs[c] for c in range(3))
+            ghx = sum(dndx[c] * heads[c] for c in range(3))
+            ghz = sum(dndz[c] * heads[c] for c in range(3))
+            fpack = asm_pack([
+                ((stress_c[0] * dndx[c] + stress_c[2] * dndz[c]) * vol,
+                 (stress_c[2] * dndx[c] + stress_c[1] * dndz[c] + buoy)
+                 * vol,
+                 kv_h * (dndx[c] * ghx + dndz[c] * ghz) + pe_src)
+                for c in range(3)])
+            pp_tdot = fpack[:, 2]
+            force = -fpack[:, :2]
+        else:
+            hydro_diff_max = s.hydro_diff_max
+            fpack = asm_pack([
+                ((stress_c[0] * dndx[c] + stress_c[2] * dndz[c]) * vol,
+                 (stress_c[2] * dndx[c] + stress_c[1] * dndz[c] + buoy)
+                 * vol)
+                for c in range(3)])
+            force = -fpack
         l2_res = F.residual_l2(force)
 
         if ctrl.gravity != 0:
@@ -352,6 +408,19 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         force = F.apply_damping(force, s.vel, s.mass, s.ymass,
                                 ctrl.damping_option, ctrl.damping_factor)
         vel = F.update_velocity(s.vel, force, s.mass, s.dt)
+
+        # pore-pressure update after velocity, before vbcs
+        # (dynearthsol.cxx:842-850 order)
+        ppressure, dppressure = s.ppressure, s.dppressure
+        if ctrl.has_hydraulic_diffusion:
+            upd = jnp.where(
+                s.hmass > 0.0,
+                pp_tdot * s.dt / jnp.where(s.hmass > 0, s.hmass, 1.0),
+                0.0)
+            ppressure = jnp.where(ctx.pp_bc_mask, s.ppressure,
+                                  s.ppressure - upd)
+            dppressure = jnp.where(ctx.pp_bc_mask, s.dppressure, upd)
+
         vel = bc_mod.apply_vbcs(ctx.vbc, vel, s.coord, time)
 
         # update_mesh (dynearthsol.cxx:431-473)
@@ -398,7 +467,8 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
 
         # CFL dt, refreshed every 10 steps (dynearthsol.cxx:861-871)
         dt_new, vmax, gdtmin = compute_dt_cols(
-            xs2, zs2, volume, vxs2, vzs2, shearm, rho_e)
+            xs2, zs2, volume, vxs2, vzs2, shearm, rho_e,
+            s.hydro_diff_max)
         refresh = (steps % 10 == 0) | ctrl.use_global_velocity_scaling
         dt_out = jnp.where(refresh, dt_new, s.dt)
 
@@ -471,6 +541,9 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             delta_plstrain=delta_plstrain, viscosity=viscosity,
             dpressure=dpressure, edvoldt=edvoldt, l2_residual=l2_res,
             dhacc=dhacc, edvacc_surf=edvacc_surf,
+            ppressure=ppressure, dppressure=dppressure,
+            old_mean_stress=old_mean_stress,
+            hydro_diff_max=hydro_diff_max,
             dt=dt_out, time=time, steps=steps,
             max_global_vel_mag=vmax, global_dt_min=gdtmin, **upd_avg)
 

@@ -151,13 +151,30 @@ def test_flat3d_matches_generic_evp_short():
     assert_match(ref, out, tol=1e-12)
 
 
+def test_flat_matches_generic_hydraulic():
+    """Biot poroelastic diffusion through the flat path: effective
+    stress, pore-pressure update, and the hydraulic dt limit."""
+    ref, out = run_both(mk_param(
+        rheo="maxwell",
+        control={"has_hydraulic_diffusion": True},
+        mat={"porosity": [0.1], "hydraulic_perm": [1e-15],
+             "fluid_bulk_modulus": [2.2e9], "biot_coeff": [0.8]}))
+    assert_match(ref, out)
+    for f in ("ppressure", "dppressure", "old_mean_stress",
+              "hydro_diff_max"):
+        a = np.asarray(getattr(ref, f), np.float64)
+        b = np.asarray(getattr(out, f), np.float64)
+        assert np.abs(a - b).max() <= 1e-12 * max(np.abs(a).max(),
+                                                  1e-300), f
+
+
 def test_flat_gate():
     # structured mesh -> grid path, not flat
     p = mk_param(mesh={"meshing_elem_shape": 1})
     sim = des.Simulation(p)
     assert not flat2d.flat_step_applicable(sim.param, sim.ctx)
-    # hydraulic diffusion falls back to the generic step
-    p2 = mk_param(control={"has_hydraulic_diffusion": True})
+    # PT relaxation falls back to the generic step
+    p2 = mk_param(control={"has_PT": True})
     sim2 = des.Simulation(p2)
     assert not flat2d.flat_step_applicable(sim2.param, sim2.ctx)
 
