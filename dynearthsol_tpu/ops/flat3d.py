@@ -35,7 +35,6 @@ def flat3d_step_applicable(param: Param, ctx) -> bool:
     ctrl = param.control
     rheol = param.mat.rheol_type
     return (ctx.sgrid is None and ctx.axis is None and ctx.ndims == 3
-            and not ctrl.has_hydraulic_diffusion
             and not ctrl.has_PT
             and rheol in (RH_ELASTIC, RH_VISCOUS, RH_MAXWELL, RH_EP,
                           RH_EVP))
@@ -130,7 +129,8 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             jnp.maximum(tri_area(2, 3, 0), tri_area(2, 3, 1)))
         return 3.0 * vol / maxa
 
-    def compute_dt_cols(xs, ys, zs, vol, vxs, vys, vzs, shearm, rho_e):
+    def compute_dt_cols(xs, ys, zs, vol, vxs, vys, vzs, shearm, rho_e,
+                        hydro_diff_max=None):
         dtype = vol.dtype
         big = jnp.asarray(jnp.finfo(dtype).max, dtype=dtype)
         vx_m = sum(vxs[i] for i in range(4)) / npe
@@ -146,6 +146,12 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         dt_maxwell = (0.5 * visc_min / (1e-40 + shearm)).min()
         dt_diffusion = (0.5 * minh * minh / therm_diff_max).min() \
             if ctrl.has_thermal_diffusion else big
+        if ctrl.has_hydraulic_diffusion and hydro_diff_max is not None:
+            dt_hydro = jnp.where(hydro_diff_max > 0,
+                                 (0.5 * minh * minh).min()
+                                 / hydro_diff_max, big)
+        else:
+            dt_hydro = big
         swave = jnp.sqrt(shearm / rho_e)
         gdtmin = (minl / swave / 5.0).min()
         if ctrl.use_global_velocity_scaling:
@@ -166,9 +172,10 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 dt_elastic = 0.5 * minl / np.sqrt(
                     mat.bulk_modulus[mat.mattype_ref]
                     / mat.rho0[mat.mattype_ref])
-        dt = jnp.minimum(jnp.minimum(dt_elastic, dt_maxwell),
-                         jnp.minimum(dt_advection, dt_diffusion)) \
-            * ctrl.dt_fraction
+        dt = jnp.minimum(
+            jnp.minimum(jnp.minimum(dt_elastic, dt_maxwell),
+                        jnp.minimum(dt_advection, dt_diffusion)),
+            dt_hydro) * ctrl.dt_fraction
         return dt, vmax, gdtmin
 
     def inv2(t):
@@ -177,8 +184,9 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 + t[3] ** 2 + t[4] ** 2 + t[5] ** 2)
 
     def update_stress_cols(tab, s, de, edot, sr, bulkm, shearm, temp_e,
-                           dt):
-        """Constitutive switch (rheology.cxx:676-991); mirrors grid3d."""
+                           dt, dpp=None):
+        """Constitutive switch (rheology.cxx:676-991); mirrors grid3d
+        (+ the Biot dpp diagonal, rheology.cxx:696-755)."""
         stress = tuple(s.stress[i] for i in range(6))
         old_tr = stress[0] + stress[1] + stress[2]
         plstrain, delta_plstrain = s.plstrain, s.delta_plstrain
@@ -190,7 +198,7 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             return M.visc_core(tab, s.emw, temp_e, s0, ed)
 
         if rheol == RH_ELASTIC:
-            stress = R.elastic3_c(bulkm, shearm, de, stress)
+            stress = R.elastic3_c(bulkm, shearm, de, stress, dpp)
         elif rheol == RH_VISCOUS:
             viscosity = creep_visc()
             strain_new = tuple(s.strain[i] + de[i] for i in range(6))
@@ -206,7 +214,7 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 tab, s.emw, s.plstrain)
             stress, depls, _ = R.elasto_plastic3_c(
                 bulkm, shearm, amc, anphi, anpsi, hardn, ten_max, de,
-                stress)
+                stress, dpp)
             plstrain = s.plstrain + depls
             delta_plstrain = depls
         elif rheol == RH_EVP:
@@ -218,7 +226,7 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 tab, s.emw, s.plstrain)
             sp, depls, _ = R.elasto_plastic3_c(
                 bulkm, shearm, amc, anphi, anpsi, hardn, ten_max, de,
-                stress)
+                stress, dpp)
             use_v = inv2(sv) < inv2(sp)
             stress = tuple(jnp.where(use_v, a, b) for a, b in zip(sv, sp))
             plstrain = jnp.where(use_v, s.plstrain, s.plstrain + depls)
@@ -237,8 +245,10 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         steps = s.steps + 1
         time = s.time + s.dt
 
-        nodal_pack = jnp.concatenate(
-            [s.coord, s.vel, s.temperature[:, None]], axis=1)
+        cols = [s.coord, s.vel, s.temperature[:, None]]
+        if ctrl.has_hydraulic_diffusion:
+            cols += [s.ppressure[:, None], s.dppressure[:, None]]
+        nodal_pack = jnp.concatenate(cols, axis=1)
         slots = cgather(nodal_pack)
         xs = tuple(slots[c][0] for c in range(4))
         ys = tuple(slots[c][1] for c in range(4))
@@ -297,10 +307,20 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         strain = jnp.stack([s.strain[i] + de[i] for i in range(6)])
         strain_rate = jnp.stack(edot)
 
+        # Biot effective-stress increment + pre-update mean stress
+        old_mean_stress = s.old_mean_stress
+        dpp = None
+        if ctrl.has_hydraulic_diffusion:
+            old_mean_stress = (s.stress[0] + s.stress[1]
+                               + s.stress[2]) / 3.0
+            alpha_b = M.alpha_biot(tab, s.emw)
+            dpp = alpha_b * (slots[0][8] + slots[1][8] + slots[2][8]
+                             + slots[3][8]) / npe
+
         s_mid = dataclasses.replace(s, edvoldt=edvoldt)
         (stress_c, plstrain, delta_plstrain, viscosity, dpressure) = \
             update_stress_cols(tab, s_mid, de, edot, sr, bulkm, shearm,
-                               temp_e, dt)
+                               temp_e, dt, dpp)
 
         if ctrl.is_using_mixed_stress:
             dp_nd = asm_equal(dpressure * vol) / s.volume_n
@@ -318,15 +338,50 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 * ctrl.gravity / npe
         else:
             buoy = jnp.zeros_like(vol)
-        fpack = asm_pack([
-            ((stress_c[0] * dndx[c] + stress_c[3] * dndy[c]
-              + stress_c[4] * dndz[c]) * vol,
-             (stress_c[3] * dndx[c] + stress_c[1] * dndy[c]
-              + stress_c[5] * dndz[c]) * vol,
-             (stress_c[4] * dndx[c] + stress_c[5] * dndy[c]
-              + stress_c[2] * dndz[c] + buoy) * vol)
-            for c in range(4)])
-        force = -fpack
+        if ctrl.has_hydraulic_diffusion:
+            # pore-pressure contributions ride the force assembly (k=4);
+            # fields.cxx:297-406, bulk_comp = 1/K in 3D (geometry.cxx:1098)
+            mean_change = (stress_c[0] + stress_c[1] + stress_c[2]) / 3.0 \
+                - old_mean_stress
+            matrix_comp = 1.0 / (bulkm + 4.0 * shearm / 3.0)
+            bulk_comp2 = 1.0 / bulkm
+            gamma_w = 1000.0 * ctrl.gravity
+            perm_e = M.perm(tab, s.emw)
+            mu_e = M.mu_fluid(tab, s.emw)
+            beta_f = M.beta_fluid(tab, s.emw)
+            hc = perm_e * gamma_w / mu_e
+            kv_h = hc * vol
+            diff_e = hc / (phi_e * beta_f + alpha_b * matrix_comp) \
+                / gamma_w
+            hydro_diff_max = jnp.maximum(diff_e.max(), 1e-38)
+            pe_src = alpha_b * mean_change * bulk_comp2 * vol / npe / dt
+            heads = tuple(slots[c][7] / gamma_w + zs[c] for c in range(4))
+            ghx = sum(dndx[c] * heads[c] for c in range(4))
+            ghy = sum(dndy[c] * heads[c] for c in range(4))
+            ghz = sum(dndz[c] * heads[c] for c in range(4))
+            fpack = asm_pack([
+                ((stress_c[0] * dndx[c] + stress_c[3] * dndy[c]
+                  + stress_c[4] * dndz[c]) * vol,
+                 (stress_c[3] * dndx[c] + stress_c[1] * dndy[c]
+                  + stress_c[5] * dndz[c]) * vol,
+                 (stress_c[4] * dndx[c] + stress_c[5] * dndy[c]
+                  + stress_c[2] * dndz[c] + buoy) * vol,
+                 kv_h * (dndx[c] * ghx + dndy[c] * ghy + dndz[c] * ghz)
+                 + pe_src)
+                for c in range(4)])
+            pp_tdot = fpack[:, 3]
+            force = -fpack[:, :3]
+        else:
+            hydro_diff_max = s.hydro_diff_max
+            fpack = asm_pack([
+                ((stress_c[0] * dndx[c] + stress_c[3] * dndy[c]
+                  + stress_c[4] * dndz[c]) * vol,
+                 (stress_c[3] * dndx[c] + stress_c[1] * dndy[c]
+                  + stress_c[5] * dndz[c]) * vol,
+                 (stress_c[4] * dndx[c] + stress_c[5] * dndy[c]
+                  + stress_c[2] * dndz[c] + buoy) * vol)
+                for c in range(4)])
+            force = -fpack
         l2_res = F.residual_l2(force)
 
         if ctrl.gravity != 0:
@@ -337,6 +392,18 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         force = F.apply_damping(force, s.vel, s.mass, s.ymass,
                                 ctrl.damping_option, ctrl.damping_factor)
         vel = F.update_velocity(s.vel, force, s.mass, s.dt)
+
+        # pore-pressure update after velocity, before vbcs
+        ppressure, dppressure = s.ppressure, s.dppressure
+        if ctrl.has_hydraulic_diffusion:
+            upd = jnp.where(
+                s.hmass > 0.0,
+                pp_tdot * s.dt / jnp.where(s.hmass > 0, s.hmass, 1.0),
+                0.0)
+            ppressure = jnp.where(ctx.pp_bc_mask, s.ppressure,
+                                  s.ppressure - upd)
+            dppressure = jnp.where(ctx.pp_bc_mask, s.dppressure, upd)
+
         vel = bc_mod.apply_vbcs(ctx.vbc, vel, s.coord, time)
 
         # update_mesh (dynearthsol.cxx:431-473)
@@ -377,7 +444,8 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             xs2, ys2, zs2 = xs, ys, zs
 
         dt_new, vmax, gdtmin = compute_dt_cols(
-            xs2, ys2, zs2, volume, vxs2, vys2, vzs2, shearm, rho_e)
+            xs2, ys2, zs2, volume, vxs2, vys2, vzs2, shearm, rho_e,
+            s.hydro_diff_max)
         refresh = (steps % 10 == 0) | ctrl.use_global_velocity_scaling
         dt_out = jnp.where(refresh, dt_new, s.dt)
 
@@ -454,6 +522,9 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             delta_plstrain=delta_plstrain, viscosity=viscosity,
             dpressure=dpressure, edvoldt=edvoldt, l2_residual=l2_res,
             dhacc=dhacc, edvacc_surf=edvacc_surf,
+            ppressure=ppressure, dppressure=dppressure,
+            old_mean_stress=old_mean_stress,
+            hydro_diff_max=hydro_diff_max,
             dt=dt_out, time=time, steps=steps,
             max_global_vel_mag=vmax, global_dt_min=gdtmin, **upd_avg)
 

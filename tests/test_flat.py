@@ -144,6 +144,26 @@ def test_flat3d_matches_generic_maxwell():
     assert_match(ref, out, tol=1e-11)
 
 
+def test_flat3d_matches_generic_hydraulic():
+    """3D Biot diffusion through the flat path (short horizon, f64)."""
+    p = mk_param3d("maxwell")
+    p.control.has_hydraulic_diffusion = True
+    p.mat.porosity = [0.1]
+    p.mat.hydraulic_perm = [1e-15]
+    p.mat.biot_coeff = [0.8]
+    ref, out = run_both3d(p, 10)
+    assert_match(ref, out, tol=1e-11)
+    pp_scale = np.abs(np.asarray(ref.ppressure, np.float64)).max()
+    for f in ("ppressure", "dppressure", "hydro_diff_max"):
+        a = np.asarray(getattr(ref, f), np.float64)
+        b = np.asarray(getattr(out, f), np.float64)
+        # dppressure is the per-step increment (~1e-7 of ppressure):
+        # judge it against the pressure scale, not its own tiny scale
+        scale = pp_scale if f == "dppressure" \
+            else max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() <= 1e-11 * scale, f
+
+
 def test_flat3d_matches_generic_evp_short():
     """3-step EVP gate: exercises eig3 plasticity + min-select before
     the branch-flip amplification overtakes roundoff (8e-14 measured)."""
