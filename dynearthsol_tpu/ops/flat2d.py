@@ -40,8 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import bc as bc_mod
-from ..config import (RH_ELASTIC, RH_EP, RH_EVP, RH_MAXWELL, RH_VISCOUS,
-                      Param)
+from ..config import (RH_ELASTIC, RH_EP, RH_EP_RSF, RH_EVP,
+                      RH_EVP_RSF, RH_MAXWELL, RH_VISCOUS, Param)
 from . import fields as F
 from . import matprops as M
 from . import rheology as R
@@ -72,8 +72,9 @@ def flat_step_applicable(param: Param, ctx) -> bool:
     return (ctx.sgrid is None and ctx.axis is None and ctx.ndims == 2
             and not ctrl.has_PT
             and rheol in (RH_ELASTIC, RH_VISCOUS, RH_MAXWELL, RH_EP,
-                          RH_EVP)
-            and (rheol not in (RH_EP, RH_EVP) or param.mat.is_plane_strain))
+                          RH_EVP, RH_EP_RSF, RH_EVP_RSF)
+            and (rheol == RH_MAXWELL or rheol == RH_VISCOUS
+                 or rheol == RH_ELASTIC or param.mat.is_plane_strain))
 
 
 def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
@@ -200,16 +201,46 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             dt_hydro) * ctrl.dt_fraction
         return dt, vmax, gdtmin
 
+    is_rsf = rheol in (RH_EP_RSF, RH_EVP_RSF)
+    rheol_ep = rheol in (RH_EP, RH_EP_RSF)
+    rheol_evp = rheol in (RH_EVP, RH_EVP_RSF)
+
+    def slip_rate2_c(s0, s1, s2, vx_m, vz_m):
+        """Column form of R.slip_rate2 (rheology.cxx:107-148)."""
+        rad = jnp.sqrt(0.25 * (s0 - s1) ** 2 + s2 ** 2)
+        a = 0.5 * (s0 - s1)
+        b = -rad
+        ok = b < -1e-15
+        safe_b = jnp.where(ok, b, 1.0)
+        cos2t = jnp.where(ok, a / safe_b, 1.0)
+        sin2t = jnp.where(ok, s2 / safe_b, 0.0)
+        theta = 0.5 * jnp.arctan2(sin2t, cos2t)
+        dx = jnp.cos(theta + jnp.pi / 4)
+        dz = jnp.sin(theta + jnp.pi / 4)
+        return jnp.abs(vx_m * dx + vz_m * dz)
+
     def update_stress_cols(tab, s, de, edot, sr, bulkm, shearm, temp_e,
-                           dt, dpp=None):
+                           dt, dpp=None, vmean=None):
         """Constitutive switch (rheology.cxx:676-991) on columns;
         mirrors grid2d.update_stress_planes (+ the Biot effective-stress
-        increment ``dpp`` on the trial diagonal, rheology.cxx:696-755)."""
+        increment ``dpp``, rheology.cxx:696-755, and the rate-state
+        friction variants, rheology.cxx:882-914 + matprops.cxx:532-552).
+        ``vmean`` = element-mean pre-update velocity columns (RSF)."""
         stress = (s.stress[0], s.stress[1], s.stress[2])
         old_tr = stress[0] + stress[1]
         stressyy = s.stressyy
         plstrain, delta_plstrain = s.plstrain, s.delta_plstrain
         viscosity = s.viscosity
+        dyn_fric_coeff = s.dyn_fric_coeff
+        state_variable = s.state_variable
+
+        if is_rsf:
+            slip = slip_rate2_c(stress[0], stress[1], stress[2],
+                                vmean[0], vmean[1])
+            (amc_r, anphi_r, anpsi_r, hardn_r, ten_max_r,
+             dyn_fric_coeff, state_variable) = M.plastic_props_rsf(
+                tab, s.emw, s.plstrain, slip, s.state_variable, dt,
+                param.mat.state_var_model)
 
         def creep_visc():
             s0 = (stress[0] + stress[1]) / 2.0
@@ -230,22 +261,30 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             dv = s.volume / s.volume_old - 1.0
             stress = R.maxwell2_c(bulkm, shearm, viscosity, dt, dv, de,
                                   stress)
-        elif rheol == RH_EP:
-            amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
-                tab, s.emw, s.plstrain)
+        elif rheol_ep:
+            if is_rsf:
+                amc, anphi, anpsi = amc_r, anphi_r, anpsi_r
+                hardn, ten_max = hardn_r, ten_max_r
+            else:
+                amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
+                    tab, s.emw, s.plstrain)
             stress, stressyy, depls, _ = R.elasto_plastic2d_c(
                 bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
                 de, stress, s.stressyy, dpp)
             plstrain = s.plstrain + depls
             delta_plstrain = depls
-        elif rheol == RH_EVP:
+        elif rheol_evp:
             viscosity = creep_visc()
             dv = s.volume / s.volume_old - 1.0
             sv = R.maxwell2_c(bulkm, shearm, viscosity, dt, dv, de,
                               stress)
             svII = 0.25 * (sv[0] - sv[1]) ** 2 + sv[2] ** 2
-            amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
-                tab, s.emw, s.plstrain)
+            if is_rsf:
+                amc, anphi, anpsi = amc_r, anphi_r, anpsi_r
+                hardn, ten_max = hardn_r, ten_max_r
+            else:
+                amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
+                    tab, s.emw, s.plstrain)
             sp, spyy, depls, _ = R.elasto_plastic2d_c(
                 bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
                 de, stress, s.stressyy, dpp)
@@ -262,7 +301,7 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         else:
             dpressure = s.dpressure
         return (stress, stressyy, plstrain, delta_plstrain, viscosity,
-                dpressure)
+                dpressure, dyn_fric_coeff, state_variable)
 
     def step(ctx, s):
         tab = ctx.mat
@@ -340,10 +379,15 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             alpha_b = M.alpha_biot(tab, s.emw)
             dpp = alpha_b * (slots[0][6] + slots[1][6] + slots[2][6]) / npe
 
+        vmean = None
+        if is_rsf:
+            vmean = ((vxs[0] + vxs[1] + vxs[2]) / npe,
+                     (vzs[0] + vzs[1] + vzs[2]) / npe)
         s_mid = dataclasses.replace(s, edvoldt=edvoldt)
         (stress_c, stressyy, plstrain, delta_plstrain, viscosity,
-         dpressure) = update_stress_cols(tab, s_mid, de, edot, sr,
-                                         bulkm, shearm, temp_e, dt, dpp)
+         dpressure, dyn_fric_coeff, state_variable) = update_stress_cols(
+            tab, s_mid, de, edot, sr, bulkm, shearm, temp_e, dt, dpp,
+            vmean)
 
         if ctrl.is_using_mixed_stress:
             # NMD pressure smoothing (geometry.cxx:279-331)
@@ -541,6 +585,7 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             delta_plstrain=delta_plstrain, viscosity=viscosity,
             dpressure=dpressure, edvoldt=edvoldt, l2_residual=l2_res,
             dhacc=dhacc, edvacc_surf=edvacc_surf,
+            dyn_fric_coeff=dyn_fric_coeff, state_variable=state_variable,
             ppressure=ppressure, dppressure=dppressure,
             old_mean_stress=old_mean_stress,
             hydro_diff_max=hydro_diff_max,

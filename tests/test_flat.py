@@ -188,6 +188,69 @@ def test_flat_matches_generic_hydraulic():
                                                   1e-300), f
 
 
+def test_flat_matches_generic_rsf():
+    """Rate-state friction through the flat path (simple-shear geometry
+    on an unstructured mesh): slip rate, state evolution, dynamic
+    friction feeding the MC cap."""
+    param = des.param_from_dict({
+        "sim": {"ndims": 2, "float_dtype": "float64",
+                "is_outputting_averaged_fields": False},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 0,
+                 "xlength": 1.0, "ylength": 0.0, "zlength": 1.0,
+                 "resolution": 1.0, "quality_check_step_interval": 10**8},
+        "control": {"gravity": 0.0, "fixed_dt": 1.0,
+                    "inertial_scaling": 1e5,
+                    "use_global_velocity_scaling": True,
+                    "damping_option": 1,
+                    "has_thermal_diffusion": False},
+        "ic": {"weakzone_option": 0},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": 0.0,
+               "vbc_x1": 1, "vbc_val_x1": 0.0,
+               "vbc_z0": 1, "vbc_val_z0": 0.0,
+               "vbc_z1": 4, "vbc_val_z1": 1e-5},
+        "mat": {"rheology_type": "elasto-plastic-rate-state-friction",
+                "is_plane_strain": True,
+                "rho0": [1.0], "alpha": [0.0],
+                "bulk_modulus": [2e8], "shear_modulus": [2e8],
+                "cohesion0": [1e6], "cohesion1": [1e6],
+                "friction_angle0": [30.0], "friction_angle1": [30.0],
+                "direct_a": [0.2], "evolution_b": [0.1],
+                "characteristic_distance": [1e-3],
+                "characteristic_velocity": [1e-6],
+                "state_var_model": 0},
+    })
+    import jax
+    from dynearthsol_tpu.simulation import make_step_fn
+
+    sim = des.Simulation(param)
+    assert flat2d.flat_step_applicable(sim.param, sim.ctx)
+    step = jax.jit(make_step_fn(param, sim.compensation_pressure))
+    ref = sim.state
+    for _ in range(30):
+        ref = step(sim.ctx, ref)
+    run = flat2d.make_chunk_runner(param, sim.ctx,
+                                   sim.compensation_pressure, 30)
+    out = run(sim.ctx, sim.state)
+    # stressyy and edvoldt are identically ~0 here (pure isochoric
+    # shear): judge their roundoff against the natural scales (stress,
+    # strain rate), not their own ~1e-14 cancellation noise
+    fields = tuple(f for f in FIELDS if f not in ("stressyy", "edvoldt"))
+    for f in fields:
+        a = np.asarray(getattr(ref, f), dtype=np.float64)
+        b = np.asarray(getattr(out, f), dtype=np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-10, f
+    syy = np.abs(np.asarray(ref.stressyy) - np.asarray(out.stressyy))
+    assert syy.max() <= 1e-10 * np.abs(np.asarray(ref.stress)).max()
+    edv = np.abs(np.asarray(ref.edvoldt) - np.asarray(out.edvoldt))
+    assert edv.max() <= 1e-10 * np.abs(np.asarray(ref.strain_rate)).max()
+    for f in ("dyn_fric_coeff", "state_variable"):
+        a = np.asarray(getattr(ref, f), np.float64)
+        b = np.asarray(getattr(out, f), np.float64)
+        assert np.abs(a - b).max() <= 1e-10 * max(np.abs(a).max(),
+                                                  1e-300), f
+
+
 def test_flat_gate():
     # structured mesh -> grid path, not flat
     p = mk_param(mesh={"meshing_elem_shape": 1})
