@@ -21,8 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import bc as bc_mod
-from ..config import (RH_ELASTIC, RH_EP, RH_EVP, RH_MAXWELL, RH_VISCOUS,
-                      Param)
+from ..config import (RH_ELASTIC, RH_EP, RH_EP_RSF, RH_EVP,
+                      RH_EVP_RSF, RH_MAXWELL, RH_VISCOUS, Param)
 from . import fields as F
 from . import matprops as M
 from . import rheology as R
@@ -37,7 +37,7 @@ def flat3d_step_applicable(param: Param, ctx) -> bool:
     return (ctx.sgrid is None and ctx.axis is None and ctx.ndims == 3
             and not ctrl.has_PT
             and rheol in (RH_ELASTIC, RH_VISCOUS, RH_MAXWELL, RH_EP,
-                          RH_EVP))
+                          RH_EVP, RH_EP_RSF, RH_EVP_RSF))
 
 
 def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
@@ -183,14 +183,33 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         return (0.5 * ((t[0] - a) ** 2 + (t[1] - a) ** 2 + (t[2] - a) ** 2)
                 + t[3] ** 2 + t[4] ** 2 + t[5] ** 2)
 
+    is_rsf = rheol in (RH_EP_RSF, RH_EVP_RSF)
+    rheol_ep = rheol in (RH_EP, RH_EP_RSF)
+    rheol_evp = rheol in (RH_EVP, RH_EVP_RSF)
+
     def update_stress_cols(tab, s, de, edot, sr, bulkm, shearm, temp_e,
-                           dt, dpp=None):
+                           dt, dpp=None, vmean=None):
         """Constitutive switch (rheology.cxx:676-991); mirrors grid3d
-        (+ the Biot dpp diagonal, rheology.cxx:696-755)."""
+        (+ the Biot dpp diagonal, rheology.cxx:696-755, and the RSF
+        variants, rheology.cxx:151-194 + matprops.cxx:532-552)."""
         stress = tuple(s.stress[i] for i in range(6))
         old_tr = stress[0] + stress[1] + stress[2]
         plstrain, delta_plstrain = s.plstrain, s.delta_plstrain
         viscosity = s.viscosity
+        dyn_fric_coeff = s.dyn_fric_coeff
+        state_variable = s.state_variable
+
+        if is_rsf:
+            # the 3D slip projection needs the principal frame; the
+            # (nelem, 6)/(nelem, 3) stacks are small one-off
+            # materializations feeding R.slip_rate3 unchanged
+            s_aos = jnp.stack(stress, axis=1)
+            v_aos = jnp.stack(vmean, axis=1)
+            slip = R.slip_rate3(s_aos, v_aos)
+            (amc_r, anphi_r, anpsi_r, hardn_r, ten_max_r,
+             dyn_fric_coeff, state_variable) = M.plastic_props_rsf(
+                tab, s.emw, s.plstrain, slip, s.state_variable, dt,
+                param.mat.state_var_model)
 
         def creep_visc():
             s0 = (stress[0] + stress[1] + stress[2]) / 3.0
@@ -209,21 +228,29 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             dv = s.volume / s.volume_old - 1.0
             stress = R.maxwell3_c(bulkm, shearm, viscosity, dt, dv, de,
                                   stress)
-        elif rheol == RH_EP:
-            amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
-                tab, s.emw, s.plstrain)
+        elif rheol_ep:
+            if is_rsf:
+                amc, anphi, anpsi = amc_r, anphi_r, anpsi_r
+                hardn, ten_max = hardn_r, ten_max_r
+            else:
+                amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
+                    tab, s.emw, s.plstrain)
             stress, depls, _ = R.elasto_plastic3_c(
                 bulkm, shearm, amc, anphi, anpsi, hardn, ten_max, de,
                 stress, dpp)
             plstrain = s.plstrain + depls
             delta_plstrain = depls
-        elif rheol == RH_EVP:
+        elif rheol_evp:
             viscosity = creep_visc()
             dv = s.volume / s.volume_old - 1.0
             sv = R.maxwell3_c(bulkm, shearm, viscosity, dt, dv, de,
                               stress)
-            amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
-                tab, s.emw, s.plstrain)
+            if is_rsf:
+                amc, anphi, anpsi = amc_r, anphi_r, anpsi_r
+                hardn, ten_max = hardn_r, ten_max_r
+            else:
+                amc, anphi, anpsi, hardn, ten_max = M.plastic_props(
+                    tab, s.emw, s.plstrain)
             sp, depls, _ = R.elasto_plastic3_c(
                 bulkm, shearm, amc, anphi, anpsi, hardn, ten_max, de,
                 stress, dpp)
@@ -237,7 +264,8 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             dpressure = stress[0] + stress[1] + stress[2] - old_tr
         else:
             dpressure = s.dpressure
-        return (stress, plstrain, delta_plstrain, viscosity, dpressure)
+        return (stress, plstrain, delta_plstrain, viscosity, dpressure,
+                dyn_fric_coeff, state_variable)
 
     def step(ctx, s):
         tab = ctx.mat
@@ -317,10 +345,16 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             dpp = alpha_b * (slots[0][8] + slots[1][8] + slots[2][8]
                              + slots[3][8]) / npe
 
+        vmean = None
+        if is_rsf:
+            vmean = (sum(vxs[i] for i in range(4)) / npe,
+                     sum(vys[i] for i in range(4)) / npe,
+                     sum(vzs[i] for i in range(4)) / npe)
         s_mid = dataclasses.replace(s, edvoldt=edvoldt)
-        (stress_c, plstrain, delta_plstrain, viscosity, dpressure) = \
+        (stress_c, plstrain, delta_plstrain, viscosity, dpressure,
+         dyn_fric_coeff, state_variable) = \
             update_stress_cols(tab, s_mid, de, edot, sr, bulkm, shearm,
-                               temp_e, dt, dpp)
+                               temp_e, dt, dpp, vmean)
 
         if ctrl.is_using_mixed_stress:
             dp_nd = asm_equal(dpressure * vol) / s.volume_n
@@ -522,6 +556,7 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             delta_plstrain=delta_plstrain, viscosity=viscosity,
             dpressure=dpressure, edvoldt=edvoldt, l2_residual=l2_res,
             dhacc=dhacc, edvacc_surf=edvacc_surf,
+            dyn_fric_coeff=dyn_fric_coeff, state_variable=state_variable,
             ppressure=ppressure, dppressure=dppressure,
             old_mean_stress=old_mean_stress,
             hydro_diff_max=hydro_diff_max,

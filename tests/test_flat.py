@@ -251,6 +251,47 @@ def test_flat_matches_generic_rsf():
                                                   1e-300), f
 
 
+def test_flat3d_matches_generic_rsf():
+    """3D rate-state friction through the flat path (slip projected in
+    the principal frame, rheology.cxx:151-194)."""
+    param = des.param_from_dict({
+        "sim": {"ndims": 3, "float_dtype": "float64",
+                "is_outputting_averaged_fields": False},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 0,
+                 "xlength": 1.0, "ylength": 1.0, "zlength": 1.0,
+                 "resolution": 1.0, "quality_check_step_interval": 10**8},
+        "control": {"gravity": 0.0, "fixed_dt": 1.0,
+                    "inertial_scaling": 1e5,
+                    "use_global_velocity_scaling": True,
+                    "damping_option": 1,
+                    "has_thermal_diffusion": False},
+        "ic": {"weakzone_option": 0},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": 0.0,
+               "vbc_x1": 1, "vbc_val_x1": 0.0,
+               "vbc_y0": 1, "vbc_val_y0": 0.0,
+               "vbc_y1": 1, "vbc_val_y1": 0.0,
+               "vbc_z0": 1, "vbc_val_z0": 0.0,
+               "vbc_z1": 4, "vbc_val_z1": 1e-5},
+        "mat": {"rheology_type": "elasto-plastic-rate-state-friction",
+                "is_plane_strain": False,
+                "rho0": [1.0], "alpha": [0.0],
+                "bulk_modulus": [2e8], "shear_modulus": [2e8],
+                "cohesion0": [1e6], "cohesion1": [1e6],
+                "friction_angle0": [30.0], "friction_angle1": [30.0],
+                "direct_a": [0.2], "evolution_b": [0.1],
+                "characteristic_distance": [1e-3],
+                "characteristic_velocity": [1e-6],
+                "state_var_model": 0},
+    })
+    ref, out = run_both3d(param, 20)
+    for f in ("coord", "vel", "stress", "plstrain", "dt", "time",
+              "dyn_fric_coeff", "state_variable"):
+        a = np.asarray(getattr(ref, f), dtype=np.float64)
+        b = np.asarray(getattr(out, f), dtype=np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-10, f
+
+
 def test_flat_gate():
     # structured mesh -> grid path, not flat
     p = mk_param(mesh={"meshing_elem_shape": 1})
