@@ -76,13 +76,48 @@ def _flatten_bottom(param) -> bool:
     return param.mesh.remeshing_option in (1, 2, 11, 13)
 
 
-def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None):
+def sediment_refine_points(param, surf, markers, nelem, old_coord,
+                           old_conn, old_volume):
+    """Interior refinement seeds for oversized sediment-bearing surface
+    elements (refine_surface_elem, remeshing.cxx:1028-1092): the
+    midpoints between each surface node of the facet and the element's
+    sub-surface node, so freshly deposited layers keep resolution
+    through a remesh.  2D only (the reference's 3D branch is 'todo')."""
+    ndims = old_coord.shape[1]
+    if int(surf.etop) == 0 or markers is None or ndims != 2:
+        return np.zeros((0, ndims))
+    from .remeshing import SIZEFACTOR_2D
+
+    surface_vol = (param.mesh.sediment_size * SIZEFACTOR_2D
+                   * param.mesh.resolution ** ndims)
+    top_elems = np.asarray(surf.top_elems)
+    facet_nodes = np.asarray(surf.facet_nodes)
+    hist = markers.elem_histogram(nelem, param.mat.nmat)
+    sed = param.mat.mattype_sed
+    pts = []
+    for i in range(top_elems.shape[0]):
+        e = int(top_elems[i])
+        if hist[e, sed] == 0 or old_volume[e] < surface_vol:
+            continue
+        fn = set(int(n) for n in facet_nodes[i])
+        sub = [int(n) for n in old_conn[e] if int(n) not in fn]
+        if not sub:
+            continue
+        for nj in fn:
+            pts.append(0.5 * (old_coord[nj] + old_coord[sub[0]]))
+    return np.asarray(pts) if pts else np.zeros((0, ndims))
+
+
+def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None,
+                         extra_interior=None):
     """New 2D mesh under the current topography.  Returns
     (coord, conn, bcflag).
 
     ``h`` (optional): callable mapping points (N,2) -> target node
     spacing, used by the metric-driven mesh-optimization path (the
-    MMG-analog, remeshing.cxx:2181-2434); None = uniform resolution."""
+    MMG-analog, remeshing.cxx:2181-2434); None = uniform resolution.
+    ``extra_interior``: additional interior seed points (the
+    refine_surface_elem sediment refinement)."""
     m = param.mesh
     res = m.resolution
     top = old_coord[(old_topo.bcflag & BOUNDZ1) != 0]
@@ -195,6 +230,9 @@ def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None):
               & (P[:, 1] < surf(P[:, 0]) - margin))
         interior = P[ok]
 
+    if extra_interior is not None and len(extra_interior):
+        interior = np.concatenate([np.asarray(interior).reshape(-1, 2),
+                                   np.asarray(extra_interior)])
     sizes = [len(top_pts), len(bot_pts), len(left_pts), len(right_pts),
              len(interior)]
     coord = np.concatenate([top_pts, bot_pts, left_pts, right_pts, interior])
@@ -700,12 +738,22 @@ def remesh_simulation(sim, bad_quality: int):
             np.asarray(s.plstrain, dtype=np.float64),
             sim.init_elem_size_n)
 
+    extra_interior = None
+    if ndims == 2 and param.mesh.meshing_sediment:
+        extra_interior = sediment_refine_points(
+            param, sim.ctx.surf, sim.markers, topo.nelem, old_coord,
+            old_conn, old_volume)
+        if len(extra_interior):
+            print(f"\n    sediment refinement: +{len(extra_interior)} "
+                  "surface seeds", end="")
+
     def _regen(seed, h_scale):
         hf = None if h_field is None else \
             (lambda p, _h=h_field: _h(p) * h_scale)
         if ndims == 2:
             c, k, b = generate_new_mesh_2d(param, old_coord, topo, seed,
-                                           h=hf)
+                                           h=hf,
+                                           extra_interior=extra_interior)
             if param.mesh.meshing_elem_shape == 0:
                 # renumbering_mesh after unstructured regeneration
                 # (remeshing.cxx:2970-2974)

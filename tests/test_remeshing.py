@@ -136,6 +136,38 @@ def test_generate_new_mesh_recovers_concave_boundary():
     assert q.min() > 0.2, q.min()
 
 
+def test_sediment_surface_refinement_seeds():
+    """refine_surface_elem analog (remeshing.cxx:1028-1092): oversized
+    sediment-bearing surface elements contribute interior midpoint
+    seeds, and the regeneration accepts them."""
+    from dynearthsol_tpu.remesh_impl import sediment_refine_points
+
+    param = rift_param(mesh={"meshing_elem_shape": 0,
+                             "meshing_sediment": True,
+                             "sediment_size": 0.01})
+    sim = des.Simulation(param)
+    coord = np.asarray(sim.state.coord, np.float64)
+    conn = sim.topo.connectivity
+    vol = np.asarray(sim.state.volume, np.float64)
+    # mattype_sed defaults to 0 = the only material here, so every
+    # surface element is "sediment-bearing"; the tiny sediment_size
+    # makes them all oversized
+    pts = sediment_refine_points(param, sim.ctx.surf, sim.markers,
+                                 sim.topo.nelem, coord, conn, vol)
+    assert len(pts) >= sim.ctx.surf.etop  # >= 1 midpoint per facet elem
+    # all seeds strictly interior
+    assert (pts[:, 1] < 0).all() and (pts[:, 1] > -param.mesh.zlength).all()
+    nc, nconn, nflag = generate_new_mesh_2d(param, coord, sim.topo,
+                                            seed=2, extra_interior=pts)
+    a, b, c = nc[nconn[:, 0]], nc[nconn[:, 1]], nc[nconn[:, 2]]
+    area2 = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - \
+            (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    assert (area2 > 0).all()
+    # the refined mesh has more nodes than one without seeds
+    nc0, _, _ = generate_new_mesh_2d(param, coord, sim.topo, seed=2)
+    assert nc.shape[0] > nc0.shape[0]
+
+
 def test_remesh_cycle_runs_and_conserves():
     """Distort until the quality trigger fires, remesh, keep stepping."""
     param = rift_param()
