@@ -164,6 +164,20 @@ def test_flat3d_matches_generic_hydraulic():
         assert np.abs(a - b).max() <= 1e-11 * scale, f
 
 
+def test_flat3d_matches_generic_surface_diffusion():
+    """3D in-step surface diffusion (facet-FEM dh, bc.cxx 3D branch)
+    through the flat path."""
+    p = mk_param3d("maxwell")
+    p.control.surface_process_option = 1
+    p.control.surface_diffusivity = 1e-6
+    p.control.has_surface_correction = True
+    ref, out = run_both3d(p, 10)
+    assert_match(ref, out, tol=1e-11)
+    a = np.asarray(ref.dhacc)
+    b = np.asarray(out.dhacc)
+    assert np.abs(a - b).max() <= 1e-11 * max(np.abs(a).max(), 1e-300)
+
+
 def test_flat3d_matches_generic_evp_short():
     """3-step EVP gate: exercises eig3 plasticity + min-select before
     the branch-flip amplification overtakes roundoff (8e-14 measured)."""
