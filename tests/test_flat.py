@@ -202,6 +202,21 @@ def test_flat_matches_generic_hydraulic():
                                                   1e-300), f
 
 
+def test_flat_matches_generic_winkler_water():
+    """Facet tractions (Winkler foundation + water loading,
+    bc.cxx:632-875) apply to the flat path's assembled nodal force
+    exactly as in the generic step."""
+    ref, out = run_both(mk_param(
+        rheo="maxwell",
+        bc={"has_winkler_foundation": True, "has_water_loading": True,
+            "winkler_delta_rho": 100.0}))
+    # 1e-10: the generic path computes force contributions via einsum
+    # (different mul/add association than the explicit column products),
+    # and the Winkler feedback amplifies the 1-ulp difference over 20
+    # steps to ~1.5e-11
+    assert_match(ref, out, tol=1e-10)
+
+
 def test_flat_matches_generic_rsf():
     """Rate-state friction through the flat path (simple-shear geometry
     on an unstructured mesh): slip rate, state evolution, dynamic
