@@ -291,14 +291,56 @@ def to_vtk(modelname: str, frame: int, outpath: str | None = None,
     return outpath
 
 
+def to_vtp(modelname: str, frame: int, outpath: str | None = None,
+           markersetname: str = "markerset") -> str | None:
+    """Marker set -> ParaView .vtp PolyData (the 2vtk.py -m role,
+    2vtk.py:524-600).  Returns None when the frame has no markers."""
+    r = OutputReader(modelname)
+    md = r.read_markers(frame, markersetname)
+    n = int(md.get("size", 0))
+    if n <= 0:
+        return None
+    outpath = outpath or f"{modelname}.{markersetname}.{frame:06d}.vtp"
+
+    def arr(f, data, name, dtype="Float64", ncomp=1):
+        f.write(f'  <DataArray type="{dtype}" Name="{name}" '
+                f'NumberOfComponents="{ncomp}" format="ascii">\n')
+        np.savetxt(f, np.asarray(data).reshape(n, -1), fmt="%.10g")
+        f.write("  </DataArray>\n")
+
+    with open(outpath, "w") as f:
+        f.write('<?xml version="1.0"?>\n'
+                '<VTKFile type="PolyData" version="0.1" '
+                'byte_order="LittleEndian">\n<PolyData>\n'
+                f'<Piece NumberOfPoints="{n}" NumberOfVerts="0" '
+                'NumberOfLines="0" NumberOfStrips="0" '
+                'NumberOfPolys="0">\n')
+        f.write("  <PointData>\n")
+        for suffix, dtype in ((".mattype", "Int32"), (".elem", "Int32"),
+                              (".id", "Int32"), (".time", "Float64"),
+                              (".z", "Float64"), (".distance", "Float64"),
+                              (".slope", "Float64")):
+            key = markersetname + suffix
+            if key in md:
+                arr(f, md[key], key, dtype)
+        f.write("  </PointData>\n  <Points>\n")
+        coord = np.asarray(md[markersetname + ".coord"])
+        p3 = np.zeros((n, 3))
+        p3[:, :coord.shape[1]] = coord
+        arr(f, p3, "coordinate", ncomp=3)
+        f.write("  </Points>\n</Piece>\n</PolyData>\n</VTKFile>\n")
+    return outpath
+
+
 def main(argv=None):
     """CLI: convert output frames to legacy VTK (the 2vtk.py workflow,
     2vtk.py:829-889).
 
-    usage: python -m dynearthsol_tpu.postproc [-p] [--melting] modelname
-           [start [end [delta]]]
+    usage: python -m dynearthsol_tpu.postproc [-p] [-m] [--melting]
+           modelname [start [end [delta]]]
 
     -p         save principal deviatoric stress vectors s1/s3 (2vtk -p)
+    -m         save marker data as .vtp PolyData (2vtk -m)
     --melting  save the peridotite-solidus melting indicator
     """
     import sys as _sys
@@ -306,7 +348,8 @@ def main(argv=None):
     argv = _sys.argv[1:] if argv is None else argv
     principal = "-p" in argv
     melting = "--melting" in argv
-    argv = [a for a in argv if a not in ("-p", "--melting")]
+    markers = "-m" in argv
+    argv = [a for a in argv if a not in ("-p", "-m", "--melting")]
     if not argv or argv[0] in ("-h", "--help"):
         print(main.__doc__)
         return 0 if argv else 1
@@ -332,6 +375,10 @@ def main(argv=None):
             continue
         path = to_vtk(modelname, fr, principal=principal, melting=melting)
         print(f"frame {fr} -> {path}")
+        if markers:
+            vtp = to_vtp(modelname, fr)
+            if vtp:
+                print(f"frame {fr} -> {vtp}")
         n += 1
     print(f"{n} frames converted")
     return 0

@@ -207,6 +207,14 @@ def test_postproc_reader_and_vtk(tmp_path):
                "melting"):
         assert nm in text, nm
 
+    # marker VTP export (2vtk -m role)
+    from dynearthsol_tpu.postproc import to_vtp
+    vtp = to_vtp(param.sim.modelname, 0, str(tmp_path / "mk.vtp"))
+    vt = open(vtp).read()
+    assert 'type="PolyData"' in vt
+    assert f'NumberOfPoints="{sim.markers.n}"' in vt
+    assert "markerset.mattype" in vt
+
     # principal directions: 2D closed form vs eigen decomposition
     from dynearthsol_tpu.postproc import compute_principal_stress
     st = np.asarray(sim.state.stress, np.float64)
