@@ -1,12 +1,20 @@
-"""Unstructured-mesh 2D step in SoA column layout: the post-remesh path.
+"""Connectivity-driven 2D step in SoA column layout.
 
-The generic step (simulation.make_step_fn) carries rank-3 intermediates
+Covers any triangle mesh (it needs only conn + the node_sum support
+table): unstructured/post-remesh meshes, and structured meshes whose
+feature set (surface processes, hydraulic diffusion, RSF, facet
+tractions) falls off the grid/pallas fast-path gates — i.e. the
+production-rifting configuration (bench.py --case production).
+
+Why not the generic step: make_step_fn carries rank-3 intermediates
 shaped (nelem, npe, ndims) — corner slots, shape-function gradients,
 force contributions.  On TPU those tile as (8, 128) on the LAST TWO dims
 (npe=3, ndims=2), so every materialization pays a ~170x padding
-amplification: a 6 MB logical array writes ~1 GB of HBM.  Measured on
-the 262k-element unstructured flagship: 91.5 ms/step, i.e. 3.1M
-elem*steps/s — 200x off the structured Pallas path.
+amplification: a 6 MB logical array writes ~1 GB of HBM.  The generic
+step measured 3.1M elem*steps/s on the 262k-element unstructured
+flagship (91.5 ms/step); this SoA layout removes that penalty entirely
+(bench.py --case unstructured/postremesh/production report the current
+measured numbers).
 
 This module re-expresses the SAME step (same op order, same formulas,
 same componentwise cores as grid2d.py) on flat SoA columns:
@@ -65,11 +73,15 @@ def flat_to_state(g):
 
 
 def flat_step_applicable(param: Param, ctx) -> bool:
-    """Static gate; the flat path targets unstructured 2D meshes (the
-    structured ones take the grid/pallas paths)."""
+    """Static gate.  The flat path needs only conn + gather tables, so it
+    applies to structured meshes too: the dispatcher checks the
+    grid/pallas paths first, so a structured config lands here exactly
+    when its feature set (surface processes, hydraulic diffusion, RSF,
+    facet tractions) falls off those paths — previously such configs
+    dropped to the ~200x-slower generic gather step."""
     ctrl = param.control
     rheol = param.mat.rheol_type
-    return (ctx.sgrid is None and ctx.axis is None and ctx.ndims == 2
+    return (ctx.axis is None and ctx.ndims == 2
             and not ctrl.has_PT
             and rheol in (RH_ELASTIC, RH_VISCOUS, RH_MAXWELL, RH_EP,
                           RH_EVP, RH_EP_RSF, RH_EVP_RSF)

@@ -32,9 +32,11 @@ from .matprops import MIN_STRAIN_RATE
 
 
 def flat3d_step_applicable(param: Param, ctx) -> bool:
+    """Static gate; applies to structured meshes too (dispatch checks the
+    grid/pallas paths first — see flat2d.flat_step_applicable)."""
     ctrl = param.control
     rheol = param.mat.rheol_type
-    return (ctx.sgrid is None and ctx.axis is None and ctx.ndims == 3
+    return (ctx.axis is None and ctx.ndims == 3
             and not ctrl.has_PT
             and rheol in (RH_ELASTIC, RH_VISCOUS, RH_MAXWELL, RH_EP,
                           RH_EVP, RH_EP_RSF, RH_EVP_RSF))

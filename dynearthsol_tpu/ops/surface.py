@@ -107,7 +107,7 @@ def surface_dh_2d(coord, surf: SurfInfo, surf_diff, dt, base_level,
     dh = jnp.where((z > base_level) & (conv > 0), -ratio_terrig * conv,
                    jnp.where((z <= base_level) & (conv < 0),
                              -ratio_marine * conv, -conv))
-    return dh * surf.top_mask_f
+    return dh * surf.top_mask_f.astype(coord.dtype)
 
 
 def surface_dh_3d(coord, surf: SurfInfo, surf_diff, dt):
@@ -139,7 +139,7 @@ def surface_dh_3d(coord, surf: SurfInfo, surf_diff, dt):
         total_dx = total_dx.at[f[:, j]].add(parea)
     safe_dx = jnp.where(total_dx > 0, total_dx, 1.0)
     conv = surf_diff * dt * total_slope / safe_dx
-    return -conv * surf.top_mask_f
+    return -conv * surf.top_mask_f.astype(coord.dtype)
 
 
 def _find_basin(depth, side: int):

@@ -638,6 +638,9 @@ class Simulation:
             self.state = self._restart_state(_restart)
         self._step_fn = make_step_fn(param, self.compensation_pressure)
         self._chunk_fns = {}
+        # name of the dispatched step implementation, set by _chunk_fn:
+        # "pallas2d"/"pallas3d"/"grid2d"/"grid3d"/"flat2d"/"flat3d"/"generic"
+        self.step_path = None
 
     # ---- init (dynearthsol.cxx:158-225) ----
     def _init_state(self) -> State:
@@ -1156,12 +1159,14 @@ class Simulation:
                     and not os.environ.get("DES_NO_PALLAS")):
                 # fused single-kernel Pallas step (ops/pallas2d.py): the
                 # whole dynearthsol.cxx:746-956 sequence in one kernel
+                self.step_path = "pallas2d"
                 self._chunk_fns[n] = pallas2d.make_chunk_runner(
                     self.param, self.ctx, self.compensation_pressure, n)
                 return self._chunk_fns[n]
             if (pallas3d.pallas3d_step_applicable(self.param, self.ctx)
                     and not os.environ.get("DES_NO_PALLAS")):
                 # fused single-kernel 3D Pallas step (ops/pallas3d.py)
+                self.step_path = "pallas3d"
                 self._chunk_fns[n] = pallas3d.make_chunk_runner(
                     self.param, self.ctx, self.compensation_pressure, n)
                 return self._chunk_fns[n]
@@ -1173,6 +1178,7 @@ class Simulation:
             if gridmod is not None:
                 # structured-grid plane step (TPU production path): element
                 # state converts to SoA planes once per chunk, not per step
+                self.step_path = gridmod.__name__.rsplit(".", 1)[-1]
                 gstep = gridmod.make_grid_step(self.param, self.ctx,
                                                self.compensation_pressure)
                 dims = self.ctx.sgrid
@@ -1190,16 +1196,22 @@ class Simulation:
                     return from_grid(g, *dims)
             elif (flat2d.flat_step_applicable(self.param, self.ctx)
                     and not os.environ.get("DES_NO_FLAT")):
-                # unstructured SoA column step (ops/flat2d.py): avoids
-                # the generic path's (nelem, npe, ndims) rank-3 tiling
-                # penalty — the post-remesh production path
+                # SoA column step (ops/flat2d.py): avoids the generic
+                # path's (nelem, npe, ndims) rank-3 tiling penalty — the
+                # post-remesh production path, and the production path
+                # for structured configs whose feature set (surface
+                # processes/hydraulic/RSF) falls off the grid/pallas gates
+                self.step_path = "flat2d"
                 run_chunk = flat2d.make_chunk_runner(
                     self.param, self.ctx, self.compensation_pressure, n)
             elif (flat3d.flat3d_step_applicable(self.param, self.ctx)
                     and not os.environ.get("DES_NO_FLAT")):
+                self.step_path = "flat3d"
                 run_chunk = flat3d.make_chunk_runner(
                     self.param, self.ctx, self.compensation_pressure, n)
             else:
+                self.step_path = "generic"
+
                 @jax.jit
                 def run_chunk(ctx, state):
                     def body(s, _):

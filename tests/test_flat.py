@@ -322,10 +322,13 @@ def test_flat3d_matches_generic_rsf():
 
 
 def test_flat_gate():
-    # structured mesh -> grid path, not flat
+    # structured mesh: flat is applicable, but the dispatcher prefers
+    # the grid path (checked first), so plain configs still route there
     p = mk_param(mesh={"meshing_elem_shape": 1})
     sim = des.Simulation(p)
-    assert not flat2d.flat_step_applicable(sim.param, sim.ctx)
+    assert flat2d.flat_step_applicable(sim.param, sim.ctx)
+    sim._chunk_fn(2)
+    assert sim.step_path in ("grid2d", "pallas2d")
     # PT relaxation falls back to the generic step
     p2 = mk_param(control={"has_PT": True})
     sim2 = des.Simulation(p2)
@@ -336,7 +339,94 @@ def test_flat_dispatched_by_simulation():
     """Simulation.run_steps must route unstructured meshes through the
     flat path (and produce finite state)."""
     sim = des.Simulation(mk_param())
-    fn = sim._chunk_fn(5)
-    # the flat runner is a plain jitted callable from flat2d
+    sim._chunk_fn(5)
+    assert sim.step_path == "flat2d"
     sim.run_steps(5, chunk=5)
+    assert np.isfinite(np.asarray(sim.state.stress)).all()
+
+
+def mk_production_param(**over):
+    """Structured-mesh production feature set (the examples/rifting-2d.cfg
+    shape: surface processes + Winkler + water + multi-material markers) —
+    the configs that previously fell off every fast path to the generic
+    step (grid2d.py gate excludes surface processes/hydraulic/RSF)."""
+    d = dict(
+        mesh={"meshing_elem_shape": 1},
+        control={"surface_process_option": 1,
+                 "surface_diffusivity": 1e-6,
+                 "has_surface_correction": True},
+        bc={"has_winkler_foundation": True, "has_water_loading": True,
+            "winkler_delta_rho": 100.0},
+    )
+    for sec, kv in over.items():
+        d.setdefault(sec, {}).update(kv)
+    return mk_param(**d)
+
+
+def test_flat_structured_production_dispatch():
+    """A structured mesh with surface processes + Winkler must dispatch
+    to the flat path, NOT the generic gather step (VERDICT r2 #1)."""
+    sim = des.Simulation(mk_production_param())
+    from dynearthsol_tpu.ops import grid2d
+    assert not grid2d.grid_step_applicable(sim.param, sim.ctx)
+    sim._chunk_fn(2)
+    assert sim.step_path == "flat2d"
+
+
+def test_flat_structured_production_matches_generic():
+    """flat-vs-generic trajectory equivalence on a STRUCTURED mesh with
+    the production feature set (surface diffusion + surface element
+    correction + Winkler/water tractions).
+
+    Tolerance 1e-10, not 1e-12: the one-step difference is ulp-level
+    (3e-14 on vel, measured), but the EVP viscous/plastic min-select
+    amplifies roundoff at Lyapunov rates over the 20-step horizon (the
+    maxwell variant below holds 1e-12 over the same horizon)."""
+    ref, out = run_both(mk_production_param())
+    assert_match(ref, out, tol=1e-10)
+    a, b = np.asarray(ref.dhacc), np.asarray(out.dhacc)
+    assert np.abs(a - b).max() <= 1e-10 * max(np.abs(a).max(), 1e-300)
+
+
+def test_flat_structured_production_maxwell_matches_generic():
+    """Branch-free rheology variant of the production case: holds the
+    tight tolerance over the full horizon (no plastic-select
+    amplification)."""
+    ref, out = run_both(mk_production_param(mat={"rheology_type":
+                                                 "maxwell"}))
+    assert_match(ref, out)
+
+
+def test_flat_structured_hydraulic_matches_generic():
+    """Structured mesh + Biot hydraulic diffusion lands on flat and
+    matches the generic trajectory."""
+    p = mk_param(
+        mesh={"meshing_elem_shape": 1},
+        control={"has_hydraulic_diffusion": True},
+        mat={"porosity": [0.1], "hydraulic_perm": [1e-15],
+             "fluid_rho0": [1000.0], "fluid_bulk_modulus": [2e9],
+             "fluid_visc": [1e-3], "biot_coeff": [0.8]})
+    sim = des.Simulation(p)
+    sim._chunk_fn(2)
+    assert sim.step_path == "flat2d"
+    ref, out = run_both(p)
+    assert_match(ref, out)
+    for f in ("ppressure", "dppressure"):
+        a = np.asarray(getattr(ref, f), dtype=np.float64)
+        b = np.asarray(getattr(out, f), dtype=np.float64)
+        scale = max(np.abs(np.asarray(ref.ppressure)).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-12, f
+
+
+def test_flat3d_structured_dispatch():
+    """3D structured mesh with surface processes falls to flat3d, not
+    generic."""
+    p = mk_param3d("maxwell")
+    p.mesh.meshing_elem_shape = 1
+    p.control.surface_process_option = 1
+    p.control.surface_diffusivity = 1e-6
+    sim = des.Simulation(p)
+    sim._chunk_fn(2)
+    assert sim.step_path == "flat3d"
+    sim.run_steps(4, chunk=2)
     assert np.isfinite(np.asarray(sim.state.stress)).all()
