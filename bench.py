@@ -1,60 +1,82 @@
 #!/usr/bin/env python
-"""Throughput benchmark: 2D elasto-visco-plastic (EVP) rifting-style box.
+"""Throughput benchmark suite for dynearthsol_tpu.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "cases": {...}}
+
+With no arguments it runs the full case suite (each case in its own
+subprocess so one failure cannot kill the others) and reports the
+flagship number as the headline metric plus a per-case table in "cases".
+`--case NAME` runs a single case in-process and prints just its line.
 
 The reference publishes no absolute numbers (BASELINE.md); its own
-throughput metric is s/step.  We report element-steps/second (elements *
-steps / wall-second) on the flagship 2D EVP workload, and compare against an
-estimated 64-core OpenMP reference throughput of the same workload
-(REF_BASELINE_ELEMSTEPS_PER_S below; measured reference numbers to replace
-the estimate when a reference build is available).
+throughput metric is s/step (dynearthsol.cxx:963-1002).  We report
+element-steps/second and compare against MEASURED single-core runs of the
+in-container reference build x 64 (perfect-OpenMP-scaling assumption —
+overstates the baseline, understates our speedup):
+  tools/reference_baseline.json     (2D, refbuild/dynearthsol2d)
+  tools/reference_baseline_3d.json  (3D, refbuild/dynearthsol3d)
+
+Backend outages (the TPU tunnel goes down for hours at a time) are
+reported legibly: a bounded subprocess probe retries jax.devices(), and
+on failure the output line carries "error" instead of dying with a
+stacktrace (VERDICT r2 weak #1).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 # the step-scan XLA program is large; cache it across runs/rounds
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-import jax
 
-# the container's sitecustomize prepends the tunneled TPU platform,
-# overriding JAX_PLATFORMS; honor an explicit env request (CPU testing)
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
-import dynearthsol_tpu as des
-
-def _reference_baseline():
-    """64-core OpenMP reference throughput on the flagship workload.
-
-    tools/measure_reference_baseline.py runs the in-container reference
-    build (refbuild/dynearthsol2d) on the SAME 512x256 EVP model and
-    records its own s/step metric; the baseline is that single-core
-    measurement x 64 (perfect-scaling assumption — real OpenMP scaling of
-    this memory-bound code is sublinear, so this overstates the baseline
-    and understates our speedup).  Falls back to the round-1 estimate when
-    the measurement file is absent."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tools", "reference_baseline.json")
+def _baseline(case_dim: str) -> float:
+    """Measured 1-core reference throughput x 64 for the given dimension."""
+    name = ("reference_baseline.json" if case_dim == "2d"
+            else "reference_baseline_3d.json")
     try:
-        with open(path) as f:
-            meas = json.load(f)
-        return meas["elemsteps_per_s_1core"] * 64.0
+        with open(os.path.join(REPO, "tools", name)) as f:
+            return json.load(f)["elemsteps_per_s_1core"] * 64.0
     except (OSError, KeyError, ValueError):
-        return 2.0e8  # round-1 estimate
+        return 2.0e8  # round-1 estimate (2D); absent-measurement fallback
 
 
-REF_BASELINE_ELEMSTEPS_PER_S = _reference_baseline()
+def probe_backend(retries: int = 3, timeout_s: int = 120) -> dict:
+    """Check that the JAX backend initializes, in a subprocess with a
+    timeout (an axon-tunnel outage makes jax.devices() block forever
+    in-process).  Returns {"ok": bool, "detail": str}."""
+    code = ("import jax, os\n"
+            "if os.environ.get('JAX_PLATFORMS'):\n"
+            "    jax.config.update('jax_platforms',"
+            " os.environ['JAX_PLATFORMS'])\n"
+            "print(jax.devices()[0].platform)\n")
+    detail = ""
+    for i in range(retries):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if r.returncode == 0:
+                return {"ok": True, "detail": r.stdout.strip().splitlines()[-1]}
+            detail = (r.stderr or r.stdout).strip()[-500:]
+        except subprocess.TimeoutExpired:
+            detail = f"jax.devices() timed out after {timeout_s}s (attempt {i + 1})"
+        if i < retries - 1:
+            time.sleep(30)
+    return {"ok": False, "detail": detail}
 
+
+# ---------------------------------------------------------------- params
 
 def flagship_param(nx_cells=512, nz_cells=256, dtype="float32"):
+    import dynearthsol_tpu as des
+
     xlength, zlength = 100e3, 50e3
     resolution = xlength / nx_cells
     return des.param_from_dict({
@@ -87,10 +109,59 @@ def flagship_param(nx_cells=512, nz_cells=256, dtype="float32"):
     })
 
 
+def production_param(dtype="float32"):
+    """The examples/rifting-2d.cfg feature set at flagship scale:
+    surface diffusion + surface element correction + Winkler foundation +
+    water loading + two-material markers (crust/mantle layers), EVP.
+    These features fall off the grid/pallas gates, so this measures the
+    flat SoA path on a structured mesh — the configuration a production
+    rift model actually runs (VERDICT r2 #1)."""
+    import dynearthsol_tpu as des
+
+    xlength, zlength = 100e3, 50e3
+    nx = 512
+    return des.param_from_dict({
+        "sim": {"max_steps": 10**9, "ndims": 2, "float_dtype": dtype,
+                "is_outputting_averaged_fields": False},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": xlength, "ylength": 0.0, "zlength": zlength,
+                 "resolution": xlength / nx,
+                 "quality_check_step_interval": 10**8},
+        "markers": {"markers_per_element": 4, "init_marker_option": 1},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "has_thermal_diffusion": True,
+                    "damping_option": 1,
+                    "surface_process_option": 1,
+                    "surface_diffusivity": 1e-6,
+                    "has_surface_correction": True},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": -1e-9,
+               "vbc_x1": 1, "vbc_val_x1": 1e-9,
+               "vbc_z0": 0, "vbc_z1": 0,
+               "has_winkler_foundation": True,
+               "has_water_loading": True,
+               "winkler_delta_rho": 100.0,
+               "surface_temperature": 273.0,
+               "mantle_temperature": 1600.0},
+        "ic": {"weakzone_option": 2, "weakzone_plstrain": 0.5,
+               "weakzone_xcenter": 0.5, "weakzone_zcenter": 0.2,
+               "weakzone_xsemi_axis": 3e3, "weakzone_zsemi_axis": 3e3,
+               "mattype_layer_depths": [0.3],
+               "layer_mattypes": [0, 1]},
+        "mat": {"rheology_type": "elasto-visco-plastic",
+                "is_plane_strain": True, "nmat": 2,
+                "rho0": [2800.0, 3300.0],
+                "bulk_modulus": [50e9, 80e9],
+                "shear_modulus": [30e9, 48e9],
+                "visc_max": 1e24, "visc_min": 1e19},
+    })
+
+
 def flagship3d_param(nx_cells=256, ny_cells=48, nz_cells=16,
                      dtype="float32"):
     """3D EVP box: 256x48x16 cells x 5 tets = 983k elements — the
     BASELINE.md north-star scale, on the fused Pallas 3D path."""
+    import dynearthsol_tpu as des
+
     resolution = 1e3
     return des.param_from_dict({
         "sim": {"max_steps": 10**9, "ndims": 3, "float_dtype": dtype,
@@ -121,7 +192,13 @@ def flagship3d_param(nx_cells=256, ny_cells=48, nz_cells=16,
     })
 
 
+# --------------------------------------------------------------- measure
+
 def _measure(param, chunk=250, bench_steps=500):
+    import jax
+
+    import dynearthsol_tpu as des
+
     sim = des.Simulation(param)
     nelem = sim.topo.nelem
     # warmup run uses the SAME chunk length: exactly one scan compile
@@ -131,68 +208,40 @@ def _measure(param, chunk=250, bench_steps=500):
     sim.run_steps(bench_steps, chunk=chunk)
     jax.block_until_ready(sim.state.coord)
     elapsed = time.perf_counter() - t0
-    return nelem * bench_steps / elapsed, nelem
+    return nelem * bench_steps / elapsed, nelem, sim.step_path
 
 
-def main(argv=None):
-    import argparse
+def run_case(case: str, dtype: str) -> dict:
+    import jax
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--dtype", default="float32",
-                    choices=["float32", "float64"],
-                    help="state dtype; float64 measures the oracle-"
-                         "precision path (TPU emulates f64 — expect "
-                         "~30-60x slower; SURVEY §7.2 precision story)")
-    ap.add_argument("--case", default="flagship",
-                    choices=["flagship", "flagship3d", "unstructured",
-                             "postremesh"],
-                    help="flagship: structured 512x256 2D EVP (Pallas "
-                         "path); flagship3d: 983k-tet 3D EVP (Pallas 3D "
-                         "path); unstructured: same physics on an "
-                         "unstructured Delaunay mesh (the flat SoA "
-                         "path); postremesh: remesh once, then measure "
-                         "the sustained post-remesh steady state")
-    args = ap.parse_args(argv)
+    import dynearthsol_tpu as des
 
-    slow64 = args.dtype == "float64"
-    if args.case == "flagship":
-        rate, _ = _measure(flagship_param(dtype=args.dtype),
-                           chunk=50 if slow64 else 250,
-                           bench_steps=100 if slow64 else 500)
-        print(json.dumps({
-            "metric": "evp2d_element_steps_per_sec"
-                      + ("_f64" if slow64 else ""),
-            "value": round(rate, 1),
-            "unit": "elem*steps/s",
-            "vs_baseline": round(rate / REF_BASELINE_ELEMSTEPS_PER_S, 4),
-        }))
-    elif args.case == "flagship3d":
-        rate, nelem = _measure(flagship3d_param(dtype=args.dtype),
-                               chunk=20 if slow64 else 100,
-                               bench_steps=40 if slow64 else 300)
-        print(json.dumps({
-            "metric": "evp3d_element_steps_per_sec"
-                      + ("_f64" if slow64 else ""),
-            "value": round(rate, 1),
-            "unit": "elem*steps/s",
-            "nelem": nelem,
-            "vs_baseline": round(rate / REF_BASELINE_ELEMSTEPS_PER_S, 4),
-        }))
-    elif args.case == "unstructured":
-        param = flagship_param(dtype=args.dtype)
+    slow64 = dtype == "float64"
+    if case == "flagship":
+        rate, nelem, path = _measure(flagship_param(dtype=dtype),
+                                     chunk=50 if slow64 else 250,
+                                     bench_steps=100 if slow64 else 500)
+        metric, dim = "evp2d_element_steps_per_sec", "2d"
+    elif case == "production":
+        rate, nelem, path = _measure(production_param(dtype=dtype),
+                                     chunk=50 if slow64 else 100,
+                                     bench_steps=100 if slow64 else 300)
+        metric, dim = "evp2d_production_element_steps_per_sec", "2d"
+    elif case == "flagship3d":
+        rate, nelem, path = _measure(flagship3d_param(dtype=dtype),
+                                     chunk=20 if slow64 else 100,
+                                     bench_steps=40 if slow64 else 300)
+        metric, dim = "evp3d_element_steps_per_sec", "3d"
+    elif case == "unstructured":
+        param = flagship_param(dtype=dtype)
         param.mesh.meshing_elem_shape = 0  # unstructured -> flat SoA path
-        rate, nelem = _measure(param, chunk=100, bench_steps=200)
-        print(json.dumps({
-            "metric": "evp2d_unstructured_element_steps_per_sec",
-            "value": round(rate, 1),
-            "unit": "elem*steps/s",
-            "nelem": nelem,
-            "vs_baseline": round(rate / REF_BASELINE_ELEMSTEPS_PER_S, 4),
-        }))
-    else:  # postremesh: the steady state a production rift run lives in
+        rate, nelem, path = _measure(param, chunk=100, bench_steps=200)
+        metric, dim = "evp2d_unstructured_element_steps_per_sec", "2d"
+    elif case == "postremesh":
+        # the steady state a production rift run lives in
         from dynearthsol_tpu.remeshing import remesh
 
-        param = flagship_param(dtype=args.dtype)
+        param = flagship_param(dtype=dtype)
         param.mesh.meshing_elem_shape = 0
         sim = des.Simulation(param)
         sim.run_steps(20, chunk=20)       # settle, then force one remesh
@@ -204,13 +253,98 @@ def main(argv=None):
         sim.run_steps(200, chunk=100)
         jax.block_until_ready(sim.state.coord)
         rate = nelem * 200 / (time.perf_counter() - t0)
-        print(json.dumps({
-            "metric": "evp2d_postremesh_element_steps_per_sec",
-            "value": round(rate, 1),
-            "unit": "elem*steps/s",
-            "nelem": nelem,
-            "vs_baseline": round(rate / REF_BASELINE_ELEMSTEPS_PER_S, 4),
-        }))
+        path = sim.step_path
+        metric, dim = "evp2d_postremesh_element_steps_per_sec", "2d"
+    else:
+        raise SystemExit(f"unknown case {case}")
+    if slow64:
+        metric += "_f64"
+    return {
+        "metric": metric,
+        "value": round(rate, 1),
+        "unit": "elem*steps/s",
+        "nelem": nelem,
+        "path": path,
+        "vs_baseline": round(rate / _baseline(dim), 4),
+    }
+
+
+SUITE = [("flagship", "float32"), ("flagship3d", "float32"),
+         ("production", "float32"), ("unstructured", "float32"),
+         ("postremesh", "float32"), ("flagship", "float64")]
+
+
+def run_suite() -> dict:
+    """Run every case in a subprocess; collect a per-case table."""
+    cases = {}
+    for case, dtype in SUITE:
+        key = case + ("_f64" if dtype == "float64" else "")
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--case", case, "--dtype", dtype]
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=2400, cwd=REPO)
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() \
+                else ""
+            if r.returncode == 0 and line.startswith("{"):
+                cases[key] = json.loads(line)
+            else:
+                cases[key] = {"error":
+                              (r.stderr or r.stdout).strip()[-300:]}
+        except subprocess.TimeoutExpired:
+            cases[key] = {"error": "case timed out (2400s)"}
+    head = cases.get("flagship", {})
+    out = {
+        "metric": head.get("metric", "evp2d_element_steps_per_sec"),
+        "value": head.get("value"),
+        "unit": "elem*steps/s",
+        "vs_baseline": head.get("vs_baseline"),
+        "cases": cases,
+    }
+    if "error" in head:
+        out["error"] = head["error"]
+    return out
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "float64"],
+                    help="state dtype; float64 measures the oracle-"
+                         "precision path (TPU emulates f64 — expect "
+                         "~30-60x slower; SURVEY §7.2 precision story)")
+    ap.add_argument("--case", default=None,
+                    choices=["flagship", "flagship3d", "production",
+                             "unstructured", "postremesh"],
+                    help="run one case in-process; default runs the full "
+                         "suite, one subprocess per case")
+    ap.add_argument("--no-probe", action="store_true",
+                    help="skip the backend liveness probe")
+    args = ap.parse_args(argv)
+
+    if args.case is not None:
+        # single case, in-process (this is also the subprocess entry)
+        import jax
+
+        if os.environ.get("JAX_PLATFORMS"):
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        print(json.dumps(run_case(args.case, args.dtype)))
+        return
+
+    if not args.no_probe:
+        probe = probe_backend()
+        if not probe["ok"]:
+            print(json.dumps({
+                "metric": "evp2d_element_steps_per_sec",
+                "value": None,
+                "unit": "elem*steps/s",
+                "vs_baseline": None,
+                "error": f"backend unavailable: {probe['detail']}",
+            }))
+            return
+    print(json.dumps(run_suite()))
 
 
 if __name__ == "__main__":

@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Measure the C++ reference's throughput on the bench.py flagship workload.
+"""Measure the C++ reference's throughput on the bench.py flagship workloads.
 
-Runs refbuild/dynearthsol2d (built by tools/build_reference.sh) on the same
-512x256-cell structured 2D EVP model bench.py measures, parses the binary's
-own end-of-run metric ("Compute: ... = X s/step", dynearthsol.cxx:963-1002),
-and writes tools/reference_baseline.json:
+Runs refbuild/dynearthsol2d or dynearthsol3d (built by
+tools/build_reference.sh) on the same structured EVP models bench.py
+measures, parses the binary's own end-of-run metric
+("Compute: ... = X s/step", dynearthsol.cxx:963-1002), and writes
+tools/reference_baseline.json (2D) / reference_baseline_3d.json (3D):
 
   {"elemsteps_per_s_1core": ..., "nelem": ..., "steps": ...,
    "s_per_step": ..., "host": ...}
@@ -14,7 +15,7 @@ perfectly-scaling 64-core OpenMP run (BASELINE.md's comparison target).
 Real OpenMP scaling is sublinear on this memory-bound code, so the
 extrapolation only overstates the baseline (understates our speedup).
 
-Usage: python tools/measure_reference_baseline.py [steps]
+Usage: python tools/measure_reference_baseline.py [steps] [--case 2d|3d]
 """
 
 import json
@@ -27,39 +28,18 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CFG = """\
+CFG_COMMON = """\
 [sim]
 modelname = bench
 max_steps = {steps}
 output_step_interval = 2147483647
 is_outputting_averaged_fields = no
 
-[mesh]
-meshing_option = 1
-meshing_elem_shape = 1
-xlength = 100e3
-ylength = 0
-zlength = 50e3
-resolution = {resolution}
-quality_check_step_interval = 10000
-
 [control]
 gravity = 10
 inertial_scaling = 1e5
 has_thermal_diffusion = yes
 damping_option = 1
-
-[bc]
-vbc_x0 = 1
-vbc_val_x0 = -1e-9
-vbc_x1 = 1
-vbc_val_x1 = 1e-9
-vbc_z0 = 0
-vbc_z1 = 0
-has_winkler_foundation = no
-has_water_loading = no
-surface_temperature = 273
-mantle_temperature = 1600
 
 [ic]
 weakzone_option = 2
@@ -93,20 +73,77 @@ dilation_angle0 = [ 0 ]
 dilation_angle1 = [ 0 ]
 """
 
+CFG_MESH_2D = """\
+[mesh]
+meshing_option = 1
+meshing_elem_shape = 1
+xlength = 100e3
+ylength = 0
+zlength = 50e3
+resolution = {resolution}
+quality_check_step_interval = 10000
 
-def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    exe = os.path.join(REPO, "refbuild", "dynearthsol2d")
+[bc]
+vbc_x0 = 1
+vbc_val_x0 = -1e-9
+vbc_x1 = 1
+vbc_val_x1 = 1e-9
+vbc_z0 = 0
+vbc_z1 = 0
+has_winkler_foundation = no
+has_water_loading = no
+surface_temperature = 273
+mantle_temperature = 1600
+"""
+
+# bench.py flagship3d: 256x48x16 cells x 5 tets = 983,040 elements
+CFG_MESH_3D = """\
+[mesh]
+meshing_option = 1
+meshing_elem_shape = 1
+xlength = 256e3
+ylength = 48e3
+zlength = 16e3
+resolution = 1e3
+quality_check_step_interval = 10000
+
+[bc]
+vbc_x0 = 1
+vbc_val_x0 = -1e-9
+vbc_x1 = 1
+vbc_val_x1 = 1e-9
+vbc_y0 = 1
+vbc_val_y0 = 0
+vbc_y1 = 1
+vbc_val_y1 = 0
+vbc_z0 = 0
+vbc_z1 = 0
+has_winkler_foundation = no
+has_water_loading = no
+surface_temperature = 273
+mantle_temperature = 1600
+"""
+
+
+def measure(case: str, steps: int) -> dict:
+    exe = os.path.join(REPO, "refbuild",
+                       "dynearthsol2d" if case == "2d" else "dynearthsol3d")
     if not os.path.exists(exe):
         raise SystemExit("build the reference first: tools/build_reference.sh")
-    nx, nz = 512, 256
-    nelem = nx * nz * 2
+    if case == "2d":
+        nx, nz = 512, 256
+        nelem = nx * nz * 2
+        mesh = CFG_MESH_2D.format(resolution=100e3 / nx)
+    else:
+        nelem = 256 * 48 * 16 * 5
+        mesh = CFG_MESH_3D
     with tempfile.TemporaryDirectory() as work:
         cfg = os.path.join(work, "bench.cfg")
         with open(cfg, "w") as f:
-            f.write(CFG.format(steps=steps, resolution=100e3 / nx))
+            f.write(CFG_COMMON.format(steps=steps) + mesh)
+        env = dict(os.environ, OMP_NUM_THREADS="1")
         r = subprocess.run([exe, "bench.cfg"], cwd=work, capture_output=True,
-                           text=True, timeout=3600)
+                           text=True, timeout=14400, env=env)
         if r.returncode != 0:
             raise SystemExit(f"reference run failed:\n{r.stdout[-2000:]}"
                              f"{r.stderr[-2000:]}")
@@ -114,17 +151,31 @@ def main():
         if not m:
             raise SystemExit(f"no s/step in output:\n{r.stdout[-2000:]}")
         s_per_step = float(m.group(1))
-    out = {
+    return {
         "elemsteps_per_s_1core": nelem / s_per_step,
         "nelem": nelem,
         "steps": steps,
         "s_per_step": s_per_step,
         "host": platform.processor() or platform.machine(),
-        "note": "refbuild/dynearthsol2d (g++ -O2, single-thread) on the "
-                "bench.py flagship workload; baseline = this x 64 "
-                "(perfect OpenMP scaling assumption, overstates baseline)",
+        "note": f"refbuild/dynearthsol{case[0]}d (g++ -O2, single-thread, "
+                f"OMP_NUM_THREADS=1) on the bench.py flagship{'' if case == '2d' else '3d'} "
+                "workload; baseline = this x 64 (perfect OpenMP scaling "
+                "assumption, overstates baseline)",
     }
-    path = os.path.join(REPO, "tools", "reference_baseline.json")
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    case = "2d"
+    if "--case" in args:
+        i = args.index("--case")
+        case = args[i + 1]
+        del args[i:i + 2]
+    steps = int(args[0]) if args else (100 if case == "2d" else 50)
+    out = measure(case, steps)
+    name = ("reference_baseline.json" if case == "2d"
+            else "reference_baseline_3d.json")
+    path = os.path.join(REPO, "tools", name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
