@@ -178,6 +178,31 @@ def compute_principal_stress(stress: np.ndarray):
     return s1, s3
 
 
+def compute_heat_flux(coord, conn, temperature, conductivity=3.3):
+    """Per-element conductive heat flux (Dynearthsol.py:158-179, the
+    2vtk.py output_heatflux field; default conductivity 2vtk.py:62).
+
+    The reference builds the (x, z, T) plane normal with cross products;
+    that construction reduces algebraically to the P1 temperature
+    gradient, so compute it directly (works in 2D and 3D):
+
+      flux   = -1e3 * k * grad(T)   [mW/m^2]
+      magnitude = 1e3 * k * |grad(T)|
+
+    Returns (flux (nelem, ndims), magnitude (nelem,))."""
+    ndims = coord.shape[1]
+    p = coord[conn]                      # (nelem, npe, ndims)
+    t = temperature[conn]                # (nelem, npe)
+    # edge matrix E rows = x_i - x_last; dT rows = T_i - T_last;
+    # grad solves E @ g = dT per element
+    E = p[:, :-1, :] - p[:, -1:, :]      # (nelem, ndims, ndims)
+    dT = t[:, :-1] - t[:, -1:]           # (nelem, ndims)
+    grad = np.linalg.solve(E, dT[..., None])[..., 0]
+    flux = -1.0e3 * conductivity * grad
+    mag = 1.0e3 * conductivity * np.linalg.norm(grad, axis=1)
+    return flux, mag
+
+
 def compute_melting(coord, conn, temperature, material, bcflag,
                     topmask_bit=32):
     """Peridotite-solidus melting indicator (2vtk.py:173-198): positive
@@ -200,10 +225,11 @@ def compute_melting(coord, conn, temperature, material, bcflag,
 
 
 def to_vtk(modelname: str, frame: int, outpath: str | None = None,
-           principal: bool = False, melting: bool = False) -> str:
+           principal: bool = False, melting: bool = False,
+           heatflux: bool = False, conductivity: float = 3.3) -> str:
     """Convert one frame to a legacy ASCII .vtk file with derived fields
-    (the 2vtk.py role; ``principal``/``melting`` mirror its -p and
-    output_melting switches)."""
+    (the 2vtk.py role; ``principal``/``melting``/``heatflux`` mirror its
+    -p, output_melting, and output_heatflux switches)."""
     r = OutputReader(modelname)
     coord = r.read_field(frame, "coordinate")
     conn = r.read_field(frame, "connectivity")
@@ -288,6 +314,19 @@ def to_vtk(modelname: str, frame: int, outpath: str | None = None,
                                    r.read_field(frame, "bcflag"))
             f.write("SCALARS melting double 1\nLOOKUP_TABLE default\n")
             np.savetxt(f, melt, fmt="%.10g")
+        if heatflux and r.has_field(frame, "temperature"):
+            flux, fmag = compute_heat_flux(
+                coord, conn, r.read_field(frame, "temperature"),
+                conductivity)
+            # per-component scalars + magnitude (2vtk.py:337-344 layout)
+            names = ("heat_flux_x", "heat_flux_z") if ndims == 2 else \
+                ("heat_flux_x", "heat_flux_y", "heat_flux_z")
+            for j, nm in enumerate(names):
+                f.write(f"SCALARS {nm} double 1\nLOOKUP_TABLE default\n")
+                np.savetxt(f, flux[:, j], fmt="%.10g")
+            f.write("SCALARS heat_flux_magnitude double 1\n"
+                    "LOOKUP_TABLE default\n")
+            np.savetxt(f, fmag, fmt="%.10g")
     return outpath
 
 
@@ -342,14 +381,18 @@ def main(argv=None):
     -p         save principal deviatoric stress vectors s1/s3 (2vtk -p)
     -m         save marker data as .vtp PolyData (2vtk -m)
     --melting  save the peridotite-solidus melting indicator
+    --heatflux save the conductive heat-flux components + magnitude
+               (2vtk output_heatflux)
     """
     import sys as _sys
 
     argv = _sys.argv[1:] if argv is None else argv
     principal = "-p" in argv
     melting = "--melting" in argv
+    heatflux = "--heatflux" in argv
     markers = "-m" in argv
-    argv = [a for a in argv if a not in ("-p", "-m", "--melting")]
+    argv = [a for a in argv
+            if a not in ("-p", "-m", "--melting", "--heatflux")]
     if not argv or argv[0] in ("-h", "--help"):
         print(main.__doc__)
         return 0 if argv else 1
@@ -373,7 +416,8 @@ def main(argv=None):
     for fr in range(start, end + 1, delta):
         if frames and fr not in frames:
             continue
-        path = to_vtk(modelname, fr, principal=principal, melting=melting)
+        path = to_vtk(modelname, fr, principal=principal, melting=melting,
+                      heatflux=heatflux)
         print(f"frame {fr} -> {path}")
         if markers:
             vtp = to_vtp(modelname, fr)

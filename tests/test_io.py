@@ -226,6 +226,56 @@ def test_postproc_reader_and_vtk(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(s3, axis=1), mag,
                                rtol=1e-12, atol=1e-30)
 
+    # heat flux in the VTK output (2vtk output_heatflux role)
+    vtk2 = to_vtk(param.sim.modelname, 0, str(tmp_path / "hf.vtk"),
+                  heatflux=True)
+    t2 = open(vtk2).read()
+    for nm in ("heat_flux_x", "heat_flux_z", "heat_flux_magnitude"):
+        assert nm in t2, nm
+
+
+def test_heat_flux_matches_reference_formula():
+    """compute_heat_flux's P1-gradient form vs the reference's
+    cross-product construction (Dynearthsol.py:158-179), verbatim."""
+    from dynearthsol_tpu.postproc import compute_heat_flux
+
+    rng = np.random.default_rng(0)
+    nnode, nelem = 40, 25
+    coord = rng.uniform(0.0, 1e3, size=(nnode, 2))
+    conn = rng.integers(0, nnode, size=(nelem, 3)).astype(np.int32)
+    # avoid degenerate elements (repeated nodes)
+    conn[:, 1] = (conn[:, 0] + 1 + conn[:, 1] % (nnode - 2)) % nnode
+    conn[:, 2] = (conn[:, 1] + 1 + conn[:, 2] % (nnode - 2)) % nnode
+    temperature = rng.uniform(273.0, 1600.0, size=nnode)
+    conductivity = 3.3
+
+    # --- reference formula, transcribed (Dynearthsol.py:158-179) ---
+    p = np.transpose(coord[conn], (1, 2, 0))
+    t = np.transpose(temperature[conn], (1, 0))
+    v_arr = np.zeros((2, 3, conn.shape[0]))
+    v_arr[:, :-1] = p[:-1] - p[-1]
+    v_arr[:, -1] = t[:-1] - t[-1]
+    nv = np.cross(v_arr[0].T, v_arr[1].T)
+    v_slope = np.cross(nv, np.cross(nv, [0, 0, 1])).T
+    norm = np.linalg.norm(v_slope[:-1], axis=0)
+    ref_val = -1.0e3 * conductivity * v_slope[-1] / norm
+    ref_flux = (v_slope[:-1] * ref_val / norm).T
+
+    flux, mag = compute_heat_flux(coord, conn, temperature, conductivity)
+    np.testing.assert_allclose(flux, ref_flux, rtol=1e-9)
+    np.testing.assert_allclose(mag, np.abs(ref_val), rtol=1e-9)
+
+    # 3D sanity: flux = -1e3*k*gradT on one reference tetrahedron with a
+    # linear temperature field
+    coord3 = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    g = np.array([2.0, -3.0, 5.0])
+    temp3 = coord3 @ g + 100.0
+    conn3 = np.array([[0, 1, 2, 3]], dtype=np.int32)
+    f3, m3 = compute_heat_flux(coord3, conn3, temp3, conductivity)
+    np.testing.assert_allclose(f3[0], -1e3 * conductivity * g, rtol=1e-12)
+    np.testing.assert_allclose(m3[0], 1e3 * conductivity
+                               * np.linalg.norm(g), rtol=1e-12)
+
 
 def test_compare_harness(tmp_path):
     """The golden-run comparator (benchmarks-cores/compare.py port):
