@@ -95,8 +95,20 @@ def test_golden_fields_match_reference(case, tmp_path):
     # branch, and plastic localization is Lyapunov-unstable.  The
     # reference's own regression harness only holds 1e-8 there because it
     # compares the SAME binary with itself (benchmarks-cores/Makefile:88-89
-    # pins OMP=1 for bit-exactness); across compilers the early trajectory
-    # is the checkable part.  (accum_thr, rate_thr, max_frame)
+    # pins OMP=1 for bit-exactness).
+    #
+    # MEASURED justification (tools/twin_divergence.py, 2026-08-18): the
+    # reference binary compared against ITSELF rebuilt with
+    # -mfma -ffp-contract=fast (identical physics code, one compiler flag)
+    # diverges Viscosity 1.6e-9 @ frame 1 -> 1.2e-8 @ f2 -> 1.1e-6 @ f3 ->
+    # 1.5e-4 @ f4 -> 2.3e-3 @ f5 -> 1.0e-1 @ f6 — ~10x growth per frame
+    # from an ulp seed, so no cross-compiler gate can hold 1e-8 beyond the
+    # first frames on this case.  Regenerating the golden with the FMA
+    # build changes our-vs-reference numbers by < 0.3% at every frame
+    # (7.87e-7 vs 7.89e-7 @ f1), i.e. XLA's noise is op ordering/fusion,
+    # not FMA alone.  Our measured diffs at the gated frames: worst LOOSE
+    # 9.1e-6 @ f2 (thr 1e-5), worst accumulated 3.0e-7 @ f2 (thr 1e-6).
+    # (accum_thr, rate_thr, max_frame)
     CASE_RULES = {
         "evp-winkler-2d": (1e-6, 1e-5, 2),
     }
