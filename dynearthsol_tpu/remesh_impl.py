@@ -76,6 +76,79 @@ def _flatten_bottom(param) -> bool:
     return param.mesh.remeshing_option in (1, 2, 11, 13)
 
 
+def reuse_points_2d(param, old_coord, old_topo, bad_quality,
+                    old_volume):
+    """Reference-parity point set for the uniform 2D regeneration
+    (new_mesh, remeshing.cxx:1109-1260): KEEP the old nodes — the
+    reference re-triangulates them with max_elem_size=-1 ("We don't want
+    to refine large elements during remeshing", remeshing.cxx:1289) so
+    refined-zone grading survives remeshing and nelem stays ~constant —
+    with these mutations:
+
+    * options 1/11/13: bottom nodes restored to z=-zlength; interior
+      nodes within min_dist of the flat bottom deleted
+      (flatten_bottom, remeshing.cxx:110-126)
+    * option 13: x0/x1 sides likewise (flatten_x0/x1, :128-150)
+    * bad_quality==3: interior nodes inside tiny elements deleted
+      (find_points_of_tiny_elem, :524-576; we restrict deletion to
+      interior nodes — the reference's boundary-point deletion for
+      options 10-13 needs its polygon machinery and rarely fires)
+
+    Returns (coord, bcflag) of the kept points."""
+    import numpy as np
+
+    m = param.mesh
+    opt = m.remeshing_option
+    coord = np.asarray(old_coord, dtype=np.float64).copy()
+    bcflag = np.asarray(old_topo.bcflag, dtype=np.uint32).copy()
+    from .remeshing import SIZEFACTOR_2D
+
+    smallest_vol = m.smallest_size * SIZEFACTOR_2D * m.resolution ** 2
+    min_dist = (m.smallest_size * SIZEFACTOR_2D) ** 0.5 * m.resolution
+    bound_any = BOUNDX0 | BOUNDX1 | BOUNDZ0 | BOUNDZ1
+    is_boundary = (bcflag & bound_any) != 0
+    delete = np.zeros(len(coord), dtype=bool)
+
+    if opt in (1, 2, 11, 13):
+        onbot = (bcflag & BOUNDZ0) != 0
+        coord[onbot, 1] = -m.zlength
+        delete |= (~is_boundary
+                   & (np.abs(coord[:, 1] + m.zlength) < min_dist))
+    if opt == 13:
+        onx0 = (bcflag & BOUNDX0) != 0
+        coord[onx0, 0] = 0.0
+        delete |= ~is_boundary & (coord[:, 0] < min_dist)
+        onx1 = (bcflag & BOUNDX1) != 0
+        coord[onx1, 0] = m.xlength
+        delete |= ~is_boundary & (coord[:, 0] > m.xlength - min_dist)
+
+    if bad_quality == 3:
+        vols = np.asarray(old_volume, dtype=np.float64)
+        tiny = np.where(vols < smallest_vol)[0]
+        if tiny.size:
+            conn = np.asarray(old_topo.connectivity)
+            cand = np.where(~is_boundary & ~delete)[0]
+            p = coord[cand]                          # (nc, 2)
+            for e in tiny:
+                a, b, c = coord[conn[e, 0]], coord[conn[e, 1]], \
+                    coord[conn[e, 2]]
+                d = (b[0] - a[0]) * (c[1] - a[1]) \
+                    - (c[0] - a[0]) * (b[1] - a[1])
+                if d == 0.0:
+                    continue
+                l1 = ((b[0] - p[:, 0]) * (c[1] - p[:, 1])
+                      - (c[0] - p[:, 0]) * (b[1] - p[:, 1])) / d
+                l2 = ((c[0] - p[:, 0]) * (a[1] - p[:, 1])
+                      - (a[0] - p[:, 0]) * (c[1] - p[:, 1])) / d
+                l3 = 1.0 - l1 - l2
+                tol = -1e-8  # barycentric-fn.cxx is_inside tolerance
+                inside = (l1 >= tol) & (l2 >= tol) & (l3 >= tol)
+                delete[cand[inside]] = True
+
+    keep = ~delete
+    return coord[keep], bcflag[keep]
+
+
 def sediment_refine_points(param, surf, markers, nelem, old_coord,
                            old_conn, old_volume):
     """Interior refinement seeds for oversized sediment-bearing surface
@@ -109,7 +182,7 @@ def sediment_refine_points(param, surf, markers, nelem, old_coord,
 
 
 def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None,
-                         extra_interior=None):
+                         extra_interior=None, reuse_pts=None):
     """New 2D mesh under the current topography.  Returns
     (coord, conn, bcflag).
 
@@ -117,7 +190,11 @@ def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None,
     spacing, used by the metric-driven mesh-optimization path (the
     MMG-analog, remeshing.cxx:2181-2434); None = uniform resolution.
     ``extra_interior``: additional interior seed points (the
-    refine_surface_elem sediment refinement)."""
+    refine_surface_elem sediment refinement).
+    ``reuse_pts``: (coord, bcflag) point set to re-triangulate instead
+    of synthesizing new points — the reference-parity remeshing mode
+    (reuse_points_2d; new_mesh re-triangulates the old nodes with
+    max_elem_size=-1, remeshing.cxx:1289)."""
     m = param.mesh
     res = m.resolution
     top = old_coord[(old_topo.bcflag & BOUNDZ1) != 0]
@@ -162,6 +239,16 @@ def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None,
     order = np.argsort(top[:, 0])
     top_pts = top[order]
     rng = np.random.default_rng(seed)
+
+    if reuse_pts is not None:
+        coord, bcflag = reuse_pts
+        coord = np.asarray(coord, dtype=np.float64)
+        bcflag = np.asarray(bcflag, dtype=np.uint32)
+        if extra_interior is not None and len(extra_interior):
+            coord = np.concatenate([coord, np.asarray(extra_interior)])
+            bcflag = np.concatenate(
+                [bcflag, np.zeros(len(extra_interior), dtype=np.uint32)])
+        return _finish_unstructured_2d(param, coord, bcflag, surf, bot)
 
     if h is None:
         bot_x = xs
@@ -249,6 +336,16 @@ def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None,
     tol = 1e-6 * m.xlength
     bcflag[np.abs(coord[:, 0]) < tol] |= BOUNDX0
     bcflag[np.abs(coord[:, 0] - m.xlength) < tol] |= BOUNDX1
+
+    return _finish_unstructured_2d(param, coord, bcflag, surf, bot)
+
+
+def _finish_unstructured_2d(param, coord, bcflag, surf, bot):
+    """Triangulate a 2D boundary-flagged point set: constrained-segment
+    recovery, Delaunay, outside/sliver culling, interior-point deletion
+    retry.  Shared by the synthesized-point and reused-point
+    (reference-parity, reuse_points_2d) regeneration modes."""
+    m = param.mesh
 
     from .remeshing import SIZEFACTOR_2D, _elem_quality_np
 
@@ -747,13 +844,23 @@ def remesh_simulation(sim, bad_quality: int):
             print(f"\n    sediment refinement: +{len(extra_interior)} "
                   "surface seeds", end="")
 
+    reuse = None
+    if ndims == 2 and param.mesh.meshing_elem_shape == 0 \
+            and h_field is None:
+        # reference-parity regeneration: re-triangulate the OLD nodes
+        # (new_mesh keeps them with max_elem_size=-1, remeshing.cxx:1289)
+        # so mesh grading survives and nelem stays ~constant
+        reuse = reuse_points_2d(param, old_coord, topo, bad_quality,
+                                old_volume)
+
     def _regen(seed, h_scale):
         hf = None if h_field is None else \
             (lambda p, _h=h_field: _h(p) * h_scale)
         if ndims == 2:
             c, k, b = generate_new_mesh_2d(param, old_coord, topo, seed,
                                            h=hf,
-                                           extra_interior=extra_interior)
+                                           extra_interior=extra_interior,
+                                           reuse_pts=reuse)
             if param.mesh.meshing_elem_shape == 0:
                 # renumbering_mesh after unstructured regeneration
                 # (remeshing.cxx:2970-2974)

@@ -38,7 +38,25 @@ RUNS = os.path.join(REPO, "tests", "golden", "runs")
 
 CASES = sorted(
     d for d in (os.listdir(RUNS) if os.path.isdir(RUNS) else [])
-    if os.path.exists(os.path.join(RUNS, d, "ref.info")))
+    if os.path.exists(os.path.join(RUNS, d, "ref.info"))
+    and d != "ep-remesh-2d")  # remesh-crossing case gates separately below
+
+
+def _prepare_case(rundir, work):
+    with open(os.path.join(rundir, "case.cfg")) as f:
+        cfg = f.read()
+    assert "modelname = ref" in cfg
+    cfg = cfg.replace("modelname = ref", "modelname = our")
+    cfg += ("\n[mesh]\n"
+            f"mesh_from_run = {os.path.join(rundir, 'ref')}\n"
+            "mesh_from_run_frame = 0\n")
+    with open(os.path.join(work, "case.cfg"), "w") as f:
+        f.write(cfg)
+    # aux inputs (.poly etc.) live next to the golden cfg
+    for fn in os.listdir(rundir):
+        if not fn.startswith("ref.") and fn not in ("case.cfg",
+                                                    "PROVENANCE"):
+            shutil.copy(os.path.join(rundir, fn), work)
 
 
 def _run_cli(cfg, cwd):
@@ -62,21 +80,7 @@ def _run_cli(cfg, cwd):
 def test_golden_fields_match_reference(case, tmp_path):
     rundir = os.path.join(RUNS, case)
     work = str(tmp_path)
-    with open(os.path.join(rundir, "case.cfg")) as f:
-        cfg = f.read()
-    assert "modelname = ref" in cfg
-    cfg = cfg.replace("modelname = ref", "modelname = our")
-    cfg += ("\n[mesh]\n"
-            f"mesh_from_run = {os.path.join(rundir, 'ref')}\n"
-            "mesh_from_run_frame = 0\n")
-    with open(os.path.join(work, "case.cfg"), "w") as f:
-        f.write(cfg)
-    # aux inputs (.poly etc.) live next to the golden cfg
-    for fn in os.listdir(rundir):
-        if not fn.startswith("ref.") and fn not in ("case.cfg",
-                                                    "PROVENANCE"):
-            shutil.copy(os.path.join(rundir, fn), work)
-
+    _prepare_case(rundir, work)
     _run_cli("case.cfg", work)
 
     from dynearthsol_tpu.compare import _frame_quantities, reldiff
@@ -135,3 +139,132 @@ def test_golden_fields_match_reference(case, tmp_path):
             if not ok:
                 failures.append((frame, kind, mx, sg))
     assert not failures, f"{case}: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# Remesh-crossing golden gate (VERDICT r2 ask #3): ep-remesh-2d runs the
+# reference CI's 2d-ep-irregular feature set through ONE reference remesh
+# event (remeshing_option 11, bottom-drift trigger between steps 37500 and
+# 40000).  Pre-remesh frames gate the ACCUMULATED quantities cross-code;
+# the post-remesh frame gates physical metrics, because each code remeshes
+# independently and node identities diverge.
+#
+# Thresholds are calibrated against the measured twin-run floor
+# (tools/twin_divergence.py: the reference vs itself rebuilt with
+# -mfma -ffp-contract=fast on this exact case, 2026-08-18):
+#
+#   pre-remesh accumulated fields (worst frame 1..15):
+#     twin floor        ours            gate
+#     Z coord  1.5e-5   3.0e-5          1e-4
+#     Stress II 3.8e-3  3.8e-3          1e-2
+#     Strain II 3.7e-3  3.7e-3          1e-2
+#   (instantaneous velocity/strain-rate are NOISE at any cross-build
+#   comparison here: the twin runs differ by 0.2-0.7 relative from frame 1
+#   — EP localization + dynamic-relaxation velocities are Lyapunov-
+#   amplified — so they are excluded, matching what the twin floor says
+#   is physically checkable.)
+#
+#   post-remesh frame 16 metrics:   twin floor   ours      gate
+#     nelem relative                0            1.3%      5%
+#     total volume                  4.7e-6       1.3e-5    1e-3
+#     integral plastic strain       5.4e-4       7.4e-3    3e-2
+#     stress II volume-wtd mean     6.5e-3       1.0e-1    1.5e-1
+#     topography max|dz|            0.92 m       3.8 m     10 m
+#   (the sII-mean gap vs the twin floor tracks the post-remesh relaxation
+#   of two legitimately different meshes — ours re-triangulates the kept
+#   old points like the reference but without Triangle's Steiner
+#   insertion, 597 vs 605 elements; noted for future tightening.)
+# ---------------------------------------------------------------------------
+
+REMESH_CASE = os.path.join(RUNS, "ep-remesh-2d")
+
+ACCUM_KINDS = {"X coordinate": 1e-4, "Z coordinate": 1e-4,
+               "Temperature": 1e-8, "Stress I": 1e-2, "Stress II": 1e-2,
+               "Strain I": 1e-2, "Strain II": 1e-2}
+
+
+def _info_rows(path):
+    info = np.loadtxt(path, ndmin=2)
+    return [(int(r[0]), int(r[5]), int(r[6])) for r in info]
+
+
+def _surface_profile(reader, frame, xgrid):
+    coord = reader.read_field(frame, "coordinate")
+    bc = reader.read_field(frame, "bcflag").astype(np.int64)
+    top = (bc & 32) != 0  # BOUNDZ1
+    o = np.argsort(coord[top, 0])
+    return np.interp(xgrid, coord[top, 0][o], coord[top, 1][o])
+
+
+def _elem_metrics(reader, frame):
+    coord = reader.read_field(frame, "coordinate")
+    conn = reader.read_field(frame, "connectivity")
+    pls = reader.read_field(frame, "plastic strain")
+    stress = reader.read_field(frame, "stress")
+    v = coord[conn]
+    vol = 0.5 * np.abs(
+        (v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
+        - (v[:, 1, 1] - v[:, 0, 1]) * (v[:, 2, 0] - v[:, 0, 0]))
+    sII = np.sqrt(0.25 * (stress[:, 0] - stress[:, 1]) ** 2
+                  + stress[:, 2] ** 2)
+    return dict(nelem=len(conn), vol=vol.sum(),
+                plsv=(pls * vol).sum(),
+                sII_mean=np.average(sII, weights=vol))
+
+
+@pytest.mark.skipif(not os.path.exists(
+    os.path.join(REMESH_CASE, "ref.info")), reason="golden run absent")
+def test_golden_remesh_crossing(tmp_path):
+    work = str(tmp_path)
+    _prepare_case(REMESH_CASE, work)
+    _run_cli("case.cfg", work)
+
+    from dynearthsol_tpu.compare import _frame_quantities, reldiff
+    from dynearthsol_tpu.postproc import OutputReader
+
+    rref = OutputReader(os.path.join(REMESH_CASE, "ref"))
+    rour = OutputReader(os.path.join(work, "our"))
+
+    # both codes remesh EXACTLY once, between the last two frames.
+    # Detected by CONNECTIVITY change, not node/element counts: the
+    # point-reuse regeneration (reuse_points_2d) can re-triangulate the
+    # same point set, leaving counts identical while the mesh changed.
+    def remesh_frames(reader, frames):
+        out = []
+        prev = reader.read_field(frames[0], "connectivity")
+        for f in frames[1:]:
+            cur = reader.read_field(f, "connectivity")
+            if cur.shape != prev.shape or (cur != prev).any():
+                out.append(f)
+            prev = cur
+        return out
+    frames = [r[0] for r in _info_rows(os.path.join(REMESH_CASE,
+                                                    "ref.info"))]
+    assert remesh_frames(rref, frames) == [16]
+    assert remesh_frames(rour, frames) == [16]
+
+    # pre-remesh: accumulated quantities cross-code
+    failures = []
+    for frame in range(1, 16):
+        old = _frame_quantities(rref, frame, include_markers=False)
+        new = _frame_quantities(rour, frame, include_markers=False)
+        for kind, thr in ACCUM_KINDS.items():
+            if kind not in old:
+                continue
+            mx, sg = reldiff(old[kind], new[kind])
+            if not (np.isfinite(mx + sg) and mx + sg <= thr):
+                failures.append((frame, kind, mx + sg, thr))
+    assert not failures, failures
+
+    # post-remesh: physical metrics
+    mr = _elem_metrics(rref, 16)
+    mo = _elem_metrics(rour, 16)
+    assert abs(mo["nelem"] - mr["nelem"]) / mr["nelem"] <= 0.05, (mr, mo)
+    assert abs(mo["vol"] - mr["vol"]) / mr["vol"] <= 1e-3, (mr, mo)
+    assert abs(mo["plsv"] - mr["plsv"]) / mr["plsv"] <= 3e-2, (mr, mo)
+    assert abs(mo["sII_mean"] - mr["sII_mean"]) / mr["sII_mean"] \
+        <= 1.5e-1, (mr, mo)
+    xg = np.linspace(0.0, 100e3, 400)
+    dz = np.abs(_surface_profile(rref, 16, xg)
+                - _surface_profile(rour, 16, xg))
+    assert dz.max() <= 10.0, dz.max()
