@@ -525,7 +525,8 @@ def pp_bc_mask(bc, bcflag: np.ndarray) -> np.ndarray:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["facet_nodes", "facet_elem", "kind",
-                 "neu_facet_nodes", "neu_dir", "neu_val", "z0_mask"],
+                 "neu_facet_nodes", "neu_dir", "neu_val", "z0_mask",
+                 "grav_mask", "neu_mask"],
     meta_fields=["n_grav", "n_neu"])
 @dataclasses.dataclass(frozen=True)
 class StressBCSpec:
@@ -545,6 +546,10 @@ class StressBCSpec:
     neu_dir: jnp.ndarray       # (n_neu,) int32 force component
     neu_val: jnp.ndarray       # (n_neu,) traction value
     z0_mask: jnp.ndarray       # (nnode,) bool, elastic-foundation nodes
+    # padded-row indicators for per-shard facet tables (halo path); None
+    # on a single device where no padding exists
+    grav_mask: jnp.ndarray | None = None   # (n_grav,) 1/0
+    neu_mask: jnp.ndarray | None = None    # (n_neu,) 1/0
 
     @staticmethod
     def from_topo(param, topo) -> "StressBCSpec":
@@ -629,10 +634,17 @@ def _facet_normal(fc):
 
 
 def apply_stress_bcs(param, spec: StressBCSpec, coord, force, rho_eff,
-                     compensation_pressure, coord0):
+                     compensation_pressure, coord0, halo_exchange=None):
     """Gravity-induced boundary tractions: Winkler foundation, water
-    loading, lithostatic sidewalls, elastic foundation
-    (bc.cxx:632-790)."""
+    loading, lithostatic sidewalls, elastic foundation (bc.cxx:632-790).
+
+    Under the halo-sharded step (``halo_exchange`` set), facet tables are
+    per-shard subsets (padded rows zeroed via ``spec.grav_mask``): facet
+    contributions scatter into a ZERO buffer which is overlap-exchanged
+    before adding, so overlap force rows receive both shards' facet
+    contributions and stay bit-identical across copies.  The elastic
+    foundation term is nodal/elementwise — identical on every window row
+    already — so it adds directly, never exchanged."""
     ctrl = param.control
     if ctrl.gravity == 0:
         return force
@@ -660,7 +672,13 @@ def apply_stress_bcs(param, spec: StressBCSpec, coord, force, rho_eff,
         p = jnp.where(spec.kind == 0, p_wink,
                       jnp.where(spec.kind == 1, p_water, p_side))
         contrib = -(p[:, None, None] * normal[:, None, :]) / npf
-        force = force.at[spec.facet_nodes].add(contrib)
+        if spec.grav_mask is not None:
+            contrib = contrib * spec.grav_mask[:, None, None]
+        if halo_exchange is None:
+            force = force.at[spec.facet_nodes].add(contrib)
+        else:
+            buf = jnp.zeros_like(force).at[spec.facet_nodes].add(contrib)
+            force = force + halo_exchange(buf)
 
     if param.bc.has_elastic_foundation:
         dz = coord[:, ndims - 1] - coord0[:, ndims - 1]
@@ -670,8 +688,10 @@ def apply_stress_bcs(param, spec: StressBCSpec, coord, force, rho_eff,
     return force
 
 
-def apply_stress_bcs_neumann(spec: StressBCSpec, coord, force):
-    """General traction (Neumann) BCs (bc.cxx:792-875)."""
+def apply_stress_bcs_neumann(spec: StressBCSpec, coord, force,
+                             halo_exchange=None):
+    """General traction (Neumann) BCs (bc.cxx:792-875).  See
+    apply_stress_bcs for the halo_exchange contract."""
     if spec.n_neu == 0:
         return force
     ndims = coord.shape[1]
@@ -684,4 +704,9 @@ def apply_stress_bcs_neumann(spec: StressBCSpec, coord, force):
     onehot = jax.nn.one_hot(spec.neu_dir, ndims, dtype=force.dtype)
     contrib = jnp.broadcast_to(add[:, None, None] * onehot[:, None, :],
                                (spec.n_neu, npf, ndims))
-    return force.at[spec.neu_facet_nodes].add(contrib)
+    if spec.neu_mask is not None:
+        contrib = contrib * spec.neu_mask[:, None, None]
+    if halo_exchange is None:
+        return force.at[spec.neu_facet_nodes].add(contrib)
+    buf = jnp.zeros_like(force).at[spec.neu_facet_nodes].add(contrib)
+    return force + halo_exchange(buf)

@@ -59,9 +59,26 @@ def node_sum_halo(contrib: jnp.ndarray, conn: jnp.ndarray, width: int,
     flat = contrib.reshape(contrib.shape[0] * contrib.shape[1], -1)
     out = jnp.zeros((width, flat.shape[1]), dtype=contrib.dtype)
     out = out.at[conn.ravel()].add(flat)
+    out = halo_overlap_add(out, axis_name, halo)
+    if contrib.ndim == 2:
+        return out[:, 0]
+    return out
 
+
+def halo_overlap_add(out: jnp.ndarray, axis_name: str,
+                     halo: HaloSpec) -> jnp.ndarray:
+    """Exchange the 2h-row overlap slabs of a per-shard nodal partial-sum
+    buffer with both neighbours and add.  After the exchange every
+    overlap row holds own_partial + neighbour_partial — a two-term IEEE
+    add, commutative, so the row is bit-identical on both owners.
+
+    Used by node_sum_halo for element assembly, and standalone as the
+    SECOND overlap exchange for facet-scattered partial sums (boundary
+    tractions bc.cxx:632-875; surface-diffusion edge sums bc.cxx:879-1074)
+    whose facets are partitioned by owning shard."""
     h2 = 2 * halo.h
     ndev = halo.ndev
+    width = out.shape[0]
     # (src, dst) pairs: edge devices receive zeros
     fwd = [(i, i + 1) for i in range(ndev - 1)]
     bwd = [(i + 1, i) for i in range(ndev - 1)]
@@ -69,8 +86,6 @@ def node_sum_halo(contrib: jnp.ndarray, conn: jnp.ndarray, width: int,
     from_right = jax.lax.ppermute(out[:h2], axis_name, bwd)
     out = out.at[:h2].add(from_left)
     out = out.at[width - h2:].add(from_right)
-    if contrib.ndim == 2:
-        return out[:, 0]
     return out
 
 

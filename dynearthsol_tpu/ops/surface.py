@@ -30,7 +30,7 @@ PLSTRAIN_HALF_LIFE = 1.0e2 * YEAR2SEC  # bc.cxx:1599
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["top_nodes", "top_mask_f", "facet_nodes", "top_elems",
-                 "all_top_elems", "top_elem_mask"],
+                 "all_top_elems", "top_elem_mask", "facet_mask"],
     meta_fields=["ntop", "etop"])
 @dataclass(frozen=True)
 class SurfInfo:
@@ -49,6 +49,10 @@ class SurfInfo:
     # same set as a full-length 0/1 mask: the in-step form (elementwise,
     # no scatter -> TPU-friendly and element-shardable under shard_map)
     top_elem_mask: jnp.ndarray  # (nelem,) float 1/0
+    # padded-row indicator for per-shard facet tables (the halo-sharded
+    # step partitions top facets by owning element shard); None on a
+    # single device where no padding exists
+    facet_mask: jnp.ndarray | None = None  # (etop,) 1/0
 
 
 def make_surf_info(topo) -> SurfInfo:
@@ -87,19 +91,31 @@ def make_surf_info(topo) -> SurfInfo:
 
 
 def surface_dh_2d(coord, surf: SurfInfo, surf_diff, dt, base_level,
-                  ratio_terrig, ratio_marine):
+                  ratio_terrig, ratio_marine, halo_exchange=None):
     """1D FD topography diffusion (bc.cxx:990-1073 2D branches).
-    Returns dh as a full (nnode,) array (zero off-surface)."""
+    Returns dh as a full (nnode,) array (zero off-surface).
+
+    ``halo_exchange`` (halo-sharded step): facets are per-shard subsets
+    (padded rows zeroed by surf.facet_mask); the per-node edge sums are
+    overlap-exchanged so every window row sees both shards' edges, then
+    the dh formula is elementwise — identical across window copies."""
     nnode = coord.shape[0]
     n0 = surf.facet_nodes[:, 0]
     n1 = surf.facet_nodes[:, 1]
     dx = jnp.abs(coord[n1, 0] - coord[n0, 0])
-    slope = (coord[n1, 1] - coord[n0, 1]) / dx
+    safe_edge = jnp.where(dx > 0, dx, 1.0)
+    slope = (coord[n1, 1] - coord[n0, 1]) / safe_edge
+    if surf.facet_mask is not None:
+        dx = dx * surf.facet_mask
+        slope = slope * surf.facet_mask
     # per-edge contributions: node0 gets -slope, node1 gets +slope
     total_slope = (jnp.zeros(nnode, dtype=coord.dtype)
                    .at[n0].add(-slope).at[n1].add(slope))
     total_dx = (jnp.zeros(nnode, dtype=coord.dtype)
                 .at[n0].add(dx).at[n1].add(dx))
+    if halo_exchange is not None:
+        total_slope = halo_exchange(total_slope[:, None])[:, 0]
+        total_dx = halo_exchange(total_dx[:, None])[:, 0]
     safe_dx = jnp.where(total_dx > 0, total_dx, 1.0)
     conv = surf_diff * dt * total_slope / safe_dx
     z = coord[:, 1]
@@ -110,7 +126,8 @@ def surface_dh_2d(coord, surf: SurfInfo, surf_diff, dt, base_level,
     return dh * surf.top_mask_f.astype(coord.dtype)
 
 
-def surface_dh_3d(coord, surf: SurfInfo, surf_diff, dt):
+def surface_dh_3d(coord, surf: SurfInfo, surf_diff, dt,
+                  halo_exchange=None):
     """Facet-FEM topography diffusion (bc.cxx:920-1050 3D branches)."""
     nnode = coord.shape[0]
     f = surf.facet_nodes  # (etop, 3)
@@ -119,7 +136,9 @@ def surface_dh_3d(coord, surf: SurfInfo, surf_diff, dt):
     d02 = p2 - p0
     nz = d01[:, 0] * d02[:, 1] - d01[:, 1] * d02[:, 0]
     parea = 0.5 * nz  # area projected on the horizontal plane
-    iv = 1.0 / (2.0 * parea)
+    # padded per-shard facet rows are degenerate (all nodes 0) -> parea=0;
+    # guard the division, the mask below zeroes their contributions
+    iv = 1.0 / (2.0 * jnp.where(parea != 0, parea, 1.0))
     shp2dx = jnp.stack([iv * (p1[:, 1] - p2[:, 1]),
                         iv * (p2[:, 1] - p0[:, 1]),
                         iv * (p0[:, 1] - p1[:, 1])], axis=1)
@@ -131,12 +150,18 @@ def surface_dh_3d(coord, surf: SurfInfo, surf_diff, dt):
     gx = (shp2dx * zf).sum(axis=1)
     gy = (shp2dy * zf).sum(axis=1)
     slope = (shp2dx * gx[:, None] + shp2dy * gy[:, None]) * parea[:, None]
+    if surf.facet_mask is not None:
+        slope = slope * surf.facet_mask[:, None]
+        parea = parea * surf.facet_mask
 
     total_slope = jnp.zeros(nnode, dtype=coord.dtype)
     total_dx = jnp.zeros(nnode, dtype=coord.dtype)
     for j in range(3):
         total_slope = total_slope.at[f[:, j]].add(slope[:, j])
         total_dx = total_dx.at[f[:, j]].add(parea)
+    if halo_exchange is not None:
+        total_slope = halo_exchange(total_slope[:, None])[:, 0]
+        total_dx = halo_exchange(total_dx[:, None])[:, 0]
     safe_dx = jnp.where(total_dx > 0, total_dx, 1.0)
     conv = surf_diff * dt * total_slope / safe_dx
     return -conv * surf.top_mask_f.astype(coord.dtype)
@@ -245,11 +270,17 @@ def hemipelagic_dh(param, z_top, dt):
 
 
 def apply_surface_processes(param, surf: SurfInfo, coord, dt, dhacc,
-                            edvacc_surf):
+                            edvacc_surf, halo_exchange=None):
     """One step of surface processes (surface_processes, bc.cxx:1667-1831).
 
     Takes post-advection coordinates; returns
-    (coord, dhacc, edvacc_surf, dh)."""
+    (coord, dhacc, edvacc_surf, dh).
+
+    ``halo_exchange`` (halo-sharded step, option 1 only — option 102's
+    basin scan is a global serial reduction and stays on the GSPMD
+    path): surf carries per-shard facet subsets; the edge scatters are
+    overlap-exchanged inside surface_dh_*, everything downstream is
+    elementwise/per-owned-facet."""
     ctrl = param.control
     ndims = coord.shape[1]
     opt = ctrl.surface_process_option
@@ -259,9 +290,11 @@ def apply_surface_processes(param, surf: SurfInfo, coord, dt, dhacc,
             dh = surface_dh_2d(coord, surf, ctrl.surface_diffusivity, dt,
                                ctrl.surf_base_level,
                                ctrl.surf_diff_ratio_terrig,
-                               ctrl.surf_diff_ratio_marine)
+                               ctrl.surf_diff_ratio_marine,
+                               halo_exchange=halo_exchange)
         else:
-            dh = surface_dh_3d(coord, surf, ctrl.surface_diffusivity, dt)
+            dh = surface_dh_3d(coord, surf, ctrl.surface_diffusivity, dt,
+                               halo_exchange=halo_exchange)
     else:
         dh = jnp.zeros(coord.shape[0], dtype=coord.dtype)
 
@@ -291,7 +324,10 @@ def apply_surface_processes(param, surf: SurfInfo, coord, dt, dhacc,
         d01 = coord2[f[:, 1]] - coord2[f[:, 0]]
         d02 = coord2[f[:, 2]] - coord2[f[:, 0]]
         base = 0.5 * (d01[:, 0] * d02[:, 1] - d01[:, 1] * d02[:, 0])
-    edvacc2 = edvacc_surf + dh_e * base / ndims
+    dv = dh_e * base / ndims
+    if surf.facet_mask is not None:
+        dv = dv * surf.facet_mask
+    edvacc2 = edvacc_surf + dv
     return coord2, dhacc2, edvacc2, dh
 
 

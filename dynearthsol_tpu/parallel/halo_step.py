@@ -22,9 +22,19 @@ memory scaling.  This module implements the domain decomposition SURVEY
   nodal updates (velocity, coordinates, vbcs) stay bit-identical across
   the overlap with NO second exchange per step.
 
-Same supported feature set as shard_step.py (the core loop: all
-rheologies incl. RSF, thermal + hydraulic diffusion, damping, vbcs, PT,
-NMD); surface processes and facet tractions use the GSPMD path.
+Facet-based terms (boundary tractions bc.cxx:632-875, surface diffusion
+bc.cxx:879-1074) ride the same machinery: facets are partitioned by
+their owning element's shard into padded per-shard tables, their
+scattered partial sums go through a SECOND overlap exchange
+(ops/assembly.halo_overlap_add), and every window row again ends up a
+commutative two-term sum — bit-identical across copies.
+
+Supported feature set: the full production loop — all rheologies incl.
+RSF, thermal + hydraulic diffusion, damping, vbcs, PT, NMD, Winkler/
+water/lithostatic/Neumann tractions, surface processes option 1.
+Option 102's terrigenous basin fill (a serial scan over the x-sorted
+global surface) and GoSPL coupling (option 11, host calls) use the
+GSPMD path.
 
 Reference mapping: this replaces the reference's OpenMP shared-memory
 assembly (elem_cache + node-support gather, fields.cxx:612-703) with an
@@ -53,12 +63,13 @@ _ELEM_ONE = {"volume", "volume_old", "emw"}
 
 
 def _supported(param, ctx) -> None:
-    if param.control.surface_process_option != 0:
+    if param.control.surface_process_option not in (0, 1):
+        # option 102's terrigenous basin fill is a serial scan over the
+        # x-sorted surface (global coupling); option 11 couples to GoSPL
+        # on host.  Those use the GSPMD path.
         raise NotImplementedError(
-            "surface processes use the GSPMD path, not the halo step")
-    if int(ctx.sbc.n_grav) > 0 or int(ctx.sbc.n_neu) > 0:
-        raise NotImplementedError(
-            "facet traction BCs use the GSPMD path, not the halo step")
+            "surface process option != 0/1 uses the GSPMD path, not the "
+            "halo step")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +86,35 @@ class HaloPlan:
     win_idx: np.ndarray    # (ndev, W) clipped global node row per window
     own_mask: np.ndarray   # (ndev, W) 1.0 where the row is owned & real
     valid: np.ndarray      # (ndev, W) True where the row is a real node
+    shard_of_elem: np.ndarray  # (nelem,) owning shard of each element
+    eslot: np.ndarray      # (nelem,) slot of each element in its eperm row
+    # top-facet partition by owning element's shard (None when etop == 0);
+    # also the layout of the sharded edvacc_surf state field
+    sperm: np.ndarray | None = None  # (ndev, S) global facet id, -1 = pad
+
+
+def _partition(shard_of: np.ndarray, ndev: int) -> np.ndarray:
+    """Stable partition of item ids by shard: (ndev, F) global id, -1
+    padding, F = max per-shard count (>= 1 so facet tables stay
+    non-empty under jit)."""
+    counts = np.bincount(shard_of, minlength=ndev)
+    fmax = max(int(counts.max()) if counts.size else 0, 1)
+    perm = np.full((ndev, fmax), -1, dtype=np.int64)
+    order = np.argsort(shard_of, kind="stable")
+    off = 0
+    for d in range(ndev):
+        perm[d, :counts[d]] = order[off:off + counts[d]]
+        off += counts[d]
+    return perm
+
+
+def _take_facets(perm: np.ndarray, arr, fill=0) -> np.ndarray:
+    """Gather per-facet rows through a partition table; padded rows get
+    ``fill``."""
+    a = np.asarray(arr)
+    out = a[np.where(perm < 0, 0, perm)]
+    m = (perm >= 0).reshape(perm.shape + (1,) * (a.ndim - 1))
+    return np.where(m, out, np.asarray(fill, dtype=a.dtype))
 
 
 def build_plan(ctx, ndev: int) -> HaloPlan:
@@ -91,14 +131,17 @@ def build_plan(ctx, ndev: int) -> HaloPlan:
     width = block + 2 * h
 
     shard_of_elem = np.clip(conn.min(axis=1) // block, 0, ndev - 1)
-    order = np.argsort(shard_of_elem, kind="stable")
+    eperm = _partition(shard_of_elem, ndev)
     counts = np.bincount(shard_of_elem, minlength=ndev)
-    emax = int(counts.max())
-    eperm = np.full((ndev, emax), -1, dtype=np.int64)
-    off = 0
+    eslot = np.zeros(nelem, dtype=np.int64)
     for d in range(ndev):
-        eperm[d, :counts[d]] = order[off:off + counts[d]]
-        off += counts[d]
+        ids = eperm[d, :counts[d]]
+        eslot[ids] = np.arange(ids.size)
+
+    sperm = None
+    if int(ctx.surf.etop) > 0:
+        sperm = _partition(
+            shard_of_elem[np.asarray(ctx.surf.top_elems)], ndev)
 
     base = np.arange(ndev)[:, None] * block - h            # (ndev, 1)
     idx = base + np.arange(width)[None, :]                 # (ndev, W)
@@ -117,7 +160,8 @@ def build_plan(ctx, ndev: int) -> HaloPlan:
     return HaloPlan(ndev=ndev, nnode=nnode, nelem=nelem, h=h,
                     block=block, width=width, eperm=eperm,
                     win_idx=win_idx, own_mask=own.astype(np.float64),
-                    valid=valid)
+                    valid=valid, shard_of_elem=shard_of_elem,
+                    eslot=eslot, sperm=sperm)
 
 
 def _window_nodal(a, plan: HaloPlan, zero_invalid: bool = False):
@@ -168,9 +212,22 @@ def _window_by_shape(tree, plan: HaloPlan, nnode: int):
 
 
 def build_halo_ctx(sim, plan: HaloPlan):
-    """Stacked (leading ndev axis on sharded leaves) ctx + its spec tree."""
+    """Stacked (leading ndev axis on sharded leaves) ctx + its spec tree.
+
+    Facet tables (boundary tractions ctx.sbc, surface facets ctx.surf)
+    are PARTITIONED by shard — grav/surface facets by their owning
+    element's shard, Neumann facets by their smallest node's block — and
+    padded to the max per-shard count with mask rows.  Facet node ids
+    translate to window-local rows (they fit: a facet's nodes are corners
+    of one element, whose span is <= h, so nodes lie in
+    [d*block, (d+1)*block + h) ⊂ the shard window); facet element ids
+    translate to local eperm slots.  Their scattered contributions go
+    through a second overlap exchange inside the step (see
+    ops/assembly.halo_overlap_add)."""
     ctx = sim.ctx
     nnode = plan.nnode
+    fdt = np.asarray(sim.state.coord).dtype  # mask dtype = force dtype
+    off = np.arange(plan.ndev) * plan.block - plan.h  # window starts
 
     conn = np.asarray(ctx.conn)
     conn_l = conn[np.where(plan.eperm < 0, 0, plan.eperm)] \
@@ -179,11 +236,53 @@ def build_halo_ctx(sim, plan: HaloPlan):
     elem_mask = jnp.asarray((plan.eperm >= 0),
                             dtype=np.asarray(ctx.elem_mask).dtype)
 
+    def _local_nodes(perm, facet_nodes):
+        m = perm >= 0
+        fn = _take_facets(perm, facet_nodes)
+        return jnp.asarray(
+            np.where(m[:, :, None], fn - off[:, None, None], 0),
+            dtype=np.asarray(facet_nodes).dtype)
+
+    # --- traction facet tables, partitioned per shard -------------------
+    sbc2 = _window_by_shape(ctx.sbc, plan, nnode)  # windows z0_mask
+    if int(ctx.sbc.n_grav) > 0:
+        fel = np.asarray(ctx.sbc.facet_elem)
+        gperm = _partition(plan.shard_of_elem[fel], plan.ndev)
+        sbc2 = dataclasses.replace(
+            sbc2, n_grav=int(gperm.shape[1]),
+            facet_nodes=_local_nodes(gperm, ctx.sbc.facet_nodes),
+            facet_elem=jnp.asarray(_take_facets(gperm, plan.eslot[fel]),
+                                   dtype=np.asarray(fel).dtype),
+            kind=jnp.asarray(_take_facets(gperm, ctx.sbc.kind)),
+            grav_mask=jnp.asarray((gperm >= 0).astype(fdt)))
+    if int(ctx.sbc.n_neu) > 0:
+        nfn = np.asarray(ctx.sbc.neu_facet_nodes)
+        nperm = _partition(
+            np.clip(nfn.min(axis=1) // plan.block, 0, plan.ndev - 1),
+            plan.ndev)
+        sbc2 = dataclasses.replace(
+            sbc2, n_neu=int(nperm.shape[1]),
+            neu_facet_nodes=_local_nodes(nperm, nfn),
+            neu_dir=jnp.asarray(_take_facets(nperm, ctx.sbc.neu_dir)),
+            neu_val=jnp.asarray(_take_facets(nperm, ctx.sbc.neu_val)),
+            neu_mask=jnp.asarray((nperm >= 0).astype(fdt)))
+
+    # --- surface facet tables, partitioned per shard --------------------
     surf2 = dataclasses.replace(
         ctx.surf,
         top_mask_f=_window_nodal(ctx.surf.top_mask_f, plan,
                                  zero_invalid=True),
         top_elem_mask=_shard_elem(ctx.surf.top_elem_mask, plan))
+    if plan.sperm is not None:
+        tel = np.asarray(ctx.surf.top_elems)
+        surf2 = dataclasses.replace(
+            surf2, etop=int(plan.sperm.shape[1]),
+            facet_nodes=_local_nodes(plan.sperm, ctx.surf.facet_nodes),
+            top_elems=jnp.asarray(
+                _take_facets(plan.sperm, plan.eslot[tel]),
+                dtype=tel.dtype),
+            facet_mask=jnp.asarray((plan.sperm >= 0).astype(fdt)))
+
     own_f = jnp.asarray(plan.own_mask,
                         dtype=np.asarray(sim.state.coord).dtype)
     ctx2 = dataclasses.replace(
@@ -197,20 +296,36 @@ def build_halo_ctx(sim, plan: HaloPlan):
         pp_bc_mask=_window_nodal(ctx.pp_bc_mask, plan, zero_invalid=True),
         vbc=dataclasses.replace(
             _window_by_shape(ctx.vbc, plan, nnode), axis=AXIS),
-        sbc=_window_by_shape(ctx.sbc, plan, nnode),
+        sbc=sbc2,
         surf=surf2,
         axis=AXIS, sgrid=None,
         halo=HaloSpec(own_mask=own_f, h=plan.h, ndev=plan.ndev))
 
+    # spec trees are built from the NEW dataclasses so meta fields
+    # (padded per-shard counts n_grav/n_neu/etop) match the ctx tree
+    sbc_spec = dataclasses.replace(
+        jax.tree.map(lambda _: P(), sbc2), z0_mask=P(AXIS))
+    if int(ctx.sbc.n_grav) > 0:
+        sbc_spec = dataclasses.replace(
+            sbc_spec, facet_nodes=P(AXIS), facet_elem=P(AXIS),
+            kind=P(AXIS), grav_mask=P(AXIS))
+    if int(ctx.sbc.n_neu) > 0:
+        sbc_spec = dataclasses.replace(
+            sbc_spec, neu_facet_nodes=P(AXIS), neu_dir=P(AXIS),
+            neu_val=P(AXIS), neu_mask=P(AXIS))
     surf_spec = dataclasses.replace(
-        jax.tree.map(lambda _: P(), ctx.surf),
+        jax.tree.map(lambda _: P(), surf2),
         top_mask_f=P(AXIS), top_elem_mask=P(AXIS))
+    if plan.sperm is not None:
+        surf_spec = dataclasses.replace(
+            surf_spec, facet_nodes=P(AXIS), top_elems=P(AXIS),
+            facet_mask=P(AXIS))
     specs = dataclasses.replace(
         ctx2,
         conn=P(AXIS), gather_idx=P(), gather_mask=P(),
         elem_mask=P(AXIS), top_mask=P(AXIS), pp_bc_mask=P(AXIS),
         vbc=_spec_by_shape(dataclasses.replace(ctx.vbc, axis=AXIS), nnode),
-        sbc=_spec_by_shape(ctx.sbc, nnode),
+        sbc=sbc_spec,
         mat=jax.tree.map(lambda _: P(), ctx.mat),
         surf=surf_spec,
         halo=HaloSpec(own_mask=P(AXIS), h=plan.h, ndev=plan.ndev))
@@ -219,14 +334,22 @@ def build_halo_ctx(sim, plan: HaloPlan):
 
 def build_halo_state(sim, plan: HaloPlan):
     """Stacked State + its spec tree.  Nodal fields -> windows, element
-    fields -> shard blocks, scalars (and the surface accumulator, which
-    the halo path does not run) replicate."""
+    fields -> shard blocks, the per-top-facet surface accumulator
+    ``edvacc_surf`` -> facet shards (plan.sperm), scalars replicate."""
     s = sim.state
     nnode, nelem = plan.nnode, plan.nelem
     upd, spec = {}, {}
     for f in dataclasses.fields(s):
         a = getattr(s, f.name)
-        if f.name == "edvacc_surf" or not hasattr(a, "shape") \
+        if f.name == "edvacc_surf":
+            if plan.sperm is not None:
+                upd[f.name] = jnp.asarray(_take_facets(plan.sperm, a),
+                                          dtype=a.dtype)
+                spec[f.name] = P(AXIS)
+            else:
+                upd[f.name] = a
+                spec[f.name] = P()
+        elif not hasattr(a, "shape") \
                 or a.ndim == 0 or a.shape[0] not in (nnode, nelem):
             upd[f.name] = a
             spec[f.name] = P()
@@ -251,6 +374,13 @@ def unpack_state(stacked: State, specs: State, plan: HaloPlan,
         t = getattr(template, f.name)
         if sp == P():
             upd[f.name] = a
+        elif f.name == "edvacc_surf":
+            flat = np.asarray(a).reshape(-1)
+            sinv = plan.sperm.reshape(-1)
+            skeep = sinv >= 0
+            out = np.zeros(t.shape[0], dtype=flat.dtype)
+            out[sinv[skeep]] = flat[skeep]
+            upd[f.name] = jnp.asarray(out)
         elif hasattr(t, "shape") and t.ndim >= 1 \
                 and t.shape[0] == plan.nnode:
             owned = np.asarray(a)[:, plan.h:plan.h + plan.block]

@@ -291,6 +291,16 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
         l2_res = F.residual_l2(
             force, ctx.halo.own_mask if ctx.halo is not None else None,
             ctx.axis if ctx.halo is not None else None)
+        # under the halo-sharded step, facet tables are per-shard subsets:
+        # facet scatters go through a second overlap exchange so window
+        # rows stay complete and bit-identical across copies
+        if ctx.halo is not None:
+            from .ops.assembly import halo_overlap_add
+
+            def hx(buf, _ctx=ctx):
+                return halo_overlap_add(buf, _ctx.axis, _ctx.halo)
+        else:
+            hx = None
         # boundary tractions (bc.cxx:632-875)
         if ctrl.has_hydraulic_diffusion:
             rho_eff = rho_e * (1.0 - phi_e) + 1000.0 * phi_e
@@ -299,8 +309,9 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
         if ctrl.gravity != 0:
             force = bc_mod.apply_stress_bcs(
                 param, ctx.sbc, s.coord, force, rho_eff,
-                param_compensation_pressure, s.coord0)
-        force = bc_mod.apply_stress_bcs_neumann(ctx.sbc, s.coord, force)
+                param_compensation_pressure, s.coord0, halo_exchange=hx)
+        force = bc_mod.apply_stress_bcs_neumann(ctx.sbc, s.coord, force,
+                                                halo_exchange=hx)
         force = F.apply_damping(force, s.vel, s.mass, s.ymass,
                                 ctrl.damping_option, ctrl.damping_factor)
 
@@ -380,9 +391,10 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
                 if ctrl.gravity != 0:
                     forcep = bc_mod.apply_stress_bcs(
                         param, ctx.sbc, coordp, forcep, rho_eff,
-                        param_compensation_pressure, sc.coord0)
-                forcep = bc_mod.apply_stress_bcs_neumann(ctx.sbc, coordp,
-                                                         forcep)
+                        param_compensation_pressure, sc.coord0,
+                        halo_exchange=hx)
+                forcep = bc_mod.apply_stress_bcs_neumann(
+                    ctx.sbc, coordp, forcep, halo_exchange=hx)
                 forcep = F.apply_damping(forcep, velp, mass_p, ymass_p,
                                          ctrl.damping_option,
                                          ctrl.damping_factor)
@@ -444,7 +456,8 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
             coord2_e = coord_e + vel2_e * s.dt
             if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
                 coord, dhacc, edvacc_surf, _dh = SP.apply_surface_processes(
-                    param, ctx.surf, coord, s.dt, dhacc, edvacc_surf)
+                    param, ctx.surf, coord, s.dt, dhacc, edvacc_surf,
+                    halo_exchange=hx)
                 coord2_e = gather(coord)  # surface moved some nodes
             volume_old = s.volume
             volume = compute_volume_slots(coord2_e)

@@ -107,3 +107,87 @@ def test_halo_maxwell_and_hydraulic(devices8):
     a = np.asarray(sim_ref.state.ppressure)
     b = np.asarray(sim_h.state.ppressure)
     assert np.abs(a - b).max() <= 1e-12 * max(np.abs(a).max(), 1e-300)
+
+
+def test_halo_facet_tractions(devices8):
+    """Winkler + water-loading + Neumann facet tractions through the
+    per-shard facet tables + second overlap exchange (bc.cxx:632-875)."""
+    from jax.sharding import Mesh
+    from dynearthsol_tpu.parallel.halo_step import run_halo
+
+    param = _mk_param(
+        bc={"has_winkler_foundation": True, "winkler_delta_rho": 100.0,
+            "has_water_loading": True,
+            "stress_bc_x1": 1, "stress_val_x1": -1e6})
+    sim_ref = des.Simulation(param)
+    sim_ref.run_steps(20, chunk=10)
+
+    sim_h = des.Simulation(param)
+    mesh = Mesh(np.asarray(devices8), ("e",))
+    run_halo(sim_h, mesh, 20, chunk=10)
+    # facet partial sums use a different (equally valid) FP grouping on
+    # the halo path (zero buffer + overlap exchange vs direct scatter):
+    # ~1e-16 seeds amplified by dynamic relaxation -> measured 4e-11 at
+    # 20 steps.  Cross-copy bit-identity still holds by construction.
+    _compare(sim_ref, sim_h, tol=1e-9)
+
+
+def test_halo_surface_processes(devices8):
+    """Surface diffusion (option 1) through per-shard top-facet tables:
+    edge sums overlap-exchanged, dhacc/edvacc_surf accumulate sharded
+    (bc.cxx:879-1074, 1667-1831)."""
+    from jax.sharding import Mesh
+    from dynearthsol_tpu.parallel.halo_step import run_halo
+
+    param = _mk_param(
+        control={"surface_process_option": 1,
+                 "surface_diffusivity": 1e-6},
+        bc={"has_winkler_foundation": True})
+    sim_ref = des.Simulation(param)
+    sim_ref.run_steps(20, chunk=10)
+
+    sim_h = des.Simulation(param)
+    mesh = Mesh(np.asarray(devices8), ("e",))
+    run_halo(sim_h, mesh, 20, chunk=10)
+    _compare(sim_ref, sim_h, tol=1e-9)  # facet-sum FP grouping, see above
+    for name in ("dhacc", "edvacc_surf"):
+        a = np.asarray(getattr(sim_ref.state, name), dtype=np.float64)
+        b = np.asarray(getattr(sim_h.state, name), dtype=np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-9, name
+
+
+def test_halo_unstructured_postremesh(devices8):
+    """The halo plan must hold on an UNSTRUCTURED post-remesh mesh: the
+    regeneration renumbers nodes (remeshing.cxx:2970-2974 analog), which
+    bounds the conn span, so build_plan succeeds and the sharded step
+    still matches single-device bit-tight."""
+    from jax.sharding import Mesh
+    from dynearthsol_tpu.parallel.halo_step import build_plan, run_halo
+    from dynearthsol_tpu.remesh_impl import remesh_simulation
+
+    param = _mk_param(
+        mesh={"meshing_elem_shape": 0, "remeshing_option": 1},
+        control={"surface_process_option": 1,
+                 "surface_diffusivity": 1e-6},
+        bc={"has_winkler_foundation": True})
+
+    def prep():
+        sim = des.Simulation(param)
+        sim.run_steps(10, chunk=10)
+        remesh_simulation(sim, 1)
+        return sim
+
+    sim_ref = prep()
+    sim_h = prep()
+    # identical post-remesh meshes (deterministic regeneration)
+    assert np.array_equal(np.asarray(sim_ref.ctx.conn),
+                          np.asarray(sim_h.ctx.conn))
+
+    plan = build_plan(sim_h.ctx, 8)  # must not raise: span bounded
+    assert plan.width < sim_h.topo.nnode / 2
+
+    sim_ref.run_steps(10, chunk=10)
+    mesh = Mesh(np.asarray(devices8), ("e",))
+    run_halo(sim_h, mesh, 10, chunk=10)
+    _compare(sim_ref, sim_h, tol=1e-9)  # facet-sum FP grouping, see above
