@@ -29,11 +29,14 @@ slower per element than the 2D fused path).
   the rotated tensor, so rotate-then-scale == the reference's
   scale-then-rotate for the surface correction).
 
-Gating (pallas3d_step_applicable): float32, single material (property
-mixtures become compile-time scalars — the const-pack path of the 2D
-kernel is not yet ported), damping 0-3, no Winkler/water/Neumann
-tractions, no inclined vbcs, and nxc % 128 == nzc % 8 == 0 so element
-planes are exactly lane/sublane aligned (ghost masking is then y-only).
+Gating (pallas3d_step_applicable): float32, damping 0-3, no Winkler/
+water/Neumann tractions, no inclined vbcs, and nxc % 128 == nzc % 8 == 0
+so element planes are exactly lane/sublane aligned (ghost masking is
+then y-only).  Multi-material models ride the const-property-plane pack
+(the 2D kernel's design): per-chunk mixed-property planes + nmat weight
+planes DMA'd per tile, with in-kernel material loops for viscosity and
+plastic weakening; single-material models keep compile-time scalars and
+skip that DMA entirely.
 The NMD mixed-stress smoothing is supported (it adds the 4th transfer
 hop, hence H=4).  Everything else falls back to the XLA grid3d step,
 which remains the oracle in tests/test_pallas3d.py.
@@ -78,6 +81,17 @@ NN = len(N_SLOTS)
 CN_SLOTS = ("top_mask", "vbc_mask_x", "vbc_mask_y", "vbc_mask_z")
 NCN = len(CN_SLOTS)
 
+# const element pack (per chunk): per-material property mixtures that are
+# constant through a scan chunk (emw only changes at chunk boundaries) —
+# same design as the 2D kernel's const pack (pallas2d.CE_SLOTS)
+# + nmat material-weight planes appended at runtime
+CE3_SLOTS = ("radiogenic_source", "bulkm", "shearm", "kappa",
+             "rhoA", "rhoB", "buoyA", "buoyB", "cpA", "cpB", "hmA")
+
+
+def _ce3slot(name: str) -> int:
+    return CE3_SLOTS.index(name)
+
 H = 4            # y halo (exact chained-stencil depth incl. the NMD hop)
 PAD = 4          # ghost cell rows each side of the packed y axis
 
@@ -108,8 +122,22 @@ def _pad128(n: int) -> int:
     return ((n + 127) // 128) * 128
 
 
-def _pick_ty(nyc: int, nzc: int, nxc: int):
-    """Largest tile height keeping the two big VMEM slabs under budget."""
+def _uniform_mat(param: Param) -> bool:
+    """Single material + uniform ICs: property mixtures are compile-time
+    scalars and the const element pack is skipped entirely (the mixing
+    mean of one material is the material value regardless of marker
+    weights, matprops.cxx:115-144)."""
+    return (len(param.mat.rho0) == 1
+            and param.ic.temperature_option in (0, 1, 90))
+
+
+def _nce(param: Param) -> int:
+    return 0 if _uniform_mat(param) else \
+        len(CE3_SLOTS) + len(param.mat.rho0)
+
+
+def _pick_ty(nyc: int, nzc: int, nxc: int, nce: int = 0):
+    """Largest tile height keeping the big VMEM slabs under budget."""
     import os
 
     force = os.environ.get("DES_PALLAS3D_TY")
@@ -118,8 +146,9 @@ def _pick_ty(nyc: int, nzc: int, nxc: int):
     for ty in (64, 32, 16, 8):
         if nyc % ty:
             continue
-        # the two big VMEM slabs: input pack + full-extent output staging
-        slab = (NE_IN + NE) * (ty + 2 * H) * 5 * nzc * nxc * 4
+        # the big VMEM slabs: input pack + full-extent output staging
+        # + (multi-material) the const property pack
+        slab = (NE_IN + NE + nce) * (ty + 2 * H) * 5 * nzc * nxc * 4
         if slab <= 80 * 1024 * 1024:
             return ty
     return None
@@ -145,14 +174,11 @@ def pallas3d_step_applicable(param: Param, ctx) -> bool:
         return False
     if ctx.vbc.incl is not None:
         return False
-    if not (len(param.mat.rho0) == 1
-            and param.ic.temperature_option in (0, 1, 90)):
-        return False  # const-pack path not ported; single material only
     nx, ny, nz = ctx.sgrid
     nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
     if nxc % 128 != 0 or nzc % 8 != 0:
         return False
-    if _pick_ty(nyc, nzc, nxc) is None:
+    if _pick_ty(nyc, nzc, nxc, _nce(param)) is None:
         return False
     return True
 
@@ -259,6 +285,49 @@ def _const_npack(param, ctx, s, nx, ny, nz):
                             (0, LXN - nx)))
 
 
+def _const_epack(param, ctx, s, nx, ny, nz):
+    """Per-chunk constant element property planes (multi-material path;
+    mirror of pallas2d._const_packs): mixed moduli, conductivities and
+    buoyancy/heat/hydraulic coefficients from the marker weights, plus
+    the nmat raw weight planes for the in-kernel viscosity/plasticity
+    material loops.  (NCE, 5, nyp_c, nzc, nxc), ghost y rows zero."""
+    nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
+    tab = ctx.mat
+    dtype = s.emw.dtype
+    nmat = s.emw.shape[1]
+    # (nelem, nmat) -> (5, nyc, nzc, nxc, nmat), cf. state_to_pgrid.e2p
+    emw = s.emw.reshape(nxc, nyc, nzc, 5, nmat).transpose(3, 1, 2, 0, 4)
+    npe = 4.0
+    g = param.control.gravity
+
+    wsum = emw.sum(axis=-1)
+    bulkm = M.bulkm(tab, emw)
+    shearm = M.shearm(tab, emw)
+    kappa = M.therm_cond(tab, emw)
+    phi = M.phi_porosity(tab, emw)
+    cp_e = M.cp(tab, emw)
+    # rho(T) = rhoA - rhoB*(T-273C): matprops.cxx:565-587 linearization
+    rhoA = (emw * tab.rho0).sum(axis=-1) / wsum
+    rhoB = (emw * tab.rho0 * tab.alpha).sum(axis=-1) / wsum
+    buoyA = ((1.0 - phi) * rhoA + 1000.0 * phi) * g / npe
+    buoyB = (1.0 - phi) * rhoB * g / npe
+    cpA = cp_e * rhoA
+    cpB = cp_e * rhoB
+    ab = M.alpha_biot(tab, emw)
+    bf = M.beta_fluid(tab, emw)
+    # 3D bulk_comp = 1/K (geometry.cxx:1098), unlike 2D's 1/(K + G/3)
+    hmA = ((ab + phi - ab * phi) / bulkm + phi * bf) / npe
+
+    rad = s.radiogenic_source.reshape(nxc, nyc, nzc, 5).transpose(3, 1,
+                                                                  2, 0)
+    planes = [rad, bulkm, shearm, kappa, rhoA, rhoB, buoyA, buoyB,
+              cpA, cpB, hmA]
+    for m in range(nmat):
+        planes.append(emw[..., m])
+    cepack = jnp.stack(planes).astype(dtype)
+    return jnp.pad(cepack, ((0, 0), (0, 0), (PAD, PAD), (0, 0), (0, 0)))
+
+
 def _np_tab(tab):
     class NS:
         pass
@@ -278,7 +347,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
     nx, ny, nz = ctx.sgrid
     nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
     LZN, LXN = _pad8(nz), _pad128(nx)
-    TY = _pick_ty(nyc, nzc, nxc)
+    TY = _pick_ty(nyc, nzc, nxc, _nce(param))
     T = nyc // TY
     NWy = TY + 2 * H          # local cell rows
     NYN = NWy + 1             # local node rows
@@ -299,25 +368,37 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
     swave_ref = float(np.sqrt(mat.bulk_modulus[mat.mattype_ref]
                               / mat.rho0[mat.mattype_ref]))
     even_t, odd_t = tet_tables()
+    nmat = int(np.asarray(tabn.rho0).shape[0])
+    NCE = len(CE3_SLOTS) + nmat
+    uniform_mat = _uniform_mat(param)
 
-    # single material: property mixtures are compile-time scalars
-    # (matprops.cxx:115-144 — the mixing mean of one material is the
-    # material value regardless of marker weights)
-    phi_s = float(tabn.porosity[0])
-    rho0_s = float(tabn.rho0[0])
-    alpha_s = float(tabn.alpha[0])
-    g_s = float(ctrl.gravity)
-    K_s = float(tabn.bulk_modulus[0])
-    G_s = float(tabn.shear_modulus[0])
-    cp_s = float(tabn.heat_capacity[0])
-    ab_s = float(tabn.biot_coeff[0])
-    bf_s = 1.0 / float(tabn.fluid_bulk_modulus[0])
-    kappa_s = float(tabn.therm_cond[0])
-    rhoB_s = rho0_s * alpha_s
-    buoyA_s = ((1 - phi_s) * rho0_s + 1000.0 * phi_s) * g_s / npe
-    buoyB_s = (1 - phi_s) * rhoB_s * g_s / npe
-    # hmass coefficient: 3D bulk_comp = 1/K (geometry.cxx:1098)
-    hmA_s = ((ab_s + phi_s - ab_s * phi_s) / K_s + phi_s * bf_s) / npe
+    # single material + uniform ICs: property mixtures are compile-time
+    # scalars (matprops.cxx:115-144 — the mixing mean of one material is
+    # the material value regardless of marker weights); otherwise they
+    # are per-chunk const planes from _const_epack
+    CE_CONST = {}
+    if uniform_mat:
+        phi_s = float(tabn.porosity[0])
+        rho0_s = float(tabn.rho0[0])
+        alpha_s = float(tabn.alpha[0])
+        g_s = float(ctrl.gravity)
+        K_s = float(tabn.bulk_modulus[0])
+        G_s = float(tabn.shear_modulus[0])
+        cp_s = float(tabn.heat_capacity[0])
+        ab_s = float(tabn.biot_coeff[0])
+        bf_s = 1.0 / float(tabn.fluid_bulk_modulus[0])
+        CE_CONST = {
+            "radiogenic_source": 0.0,
+            "bulkm": K_s, "shearm": G_s,
+            "kappa": float(tabn.therm_cond[0]),
+            "rhoA": rho0_s, "rhoB": rho0_s * alpha_s,
+            "buoyA": ((1 - phi_s) * rho0_s + 1000.0 * phi_s) * g_s / npe,
+            "buoyB": (1 - phi_s) * rho0_s * alpha_s * g_s / npe,
+            "cpA": cp_s * rho0_s, "cpB": cp_s * rho0_s * alpha_s,
+            # hmass coefficient: 3D bulk_comp = 1/K (geometry.cxx:1098)
+            "hmA": ((ab_s + phi_s - ab_s * phi_s) / K_s
+                    + phi_s * bf_s) / npe,
+        }
 
     # ---------------- kernel-local physics helpers ----------------
 
@@ -326,37 +407,61 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         Mosaic constants, which the TPU lowering rejects)."""
         return jnp.asarray(v, dtype)
 
-    def visc_core_local(Tm, s0, edot):
-        """matprops.visc_core, single material, python-float constants."""
-        pw = 1.0 / float(tabn.visc_exponent[0]) - 1.0
-        pw1 = -1.0 / float(tabn.visc_exponent[0])
-        log_coef = float(np.log(0.75 * tabn.visc_coefficient[0]))
-        expo = ((float(tabn.visc_activation_energy[0])
-                 + float(tabn.visc_activation_volume[0]) * s0)
-                / (float(tabn.visc_exponent[0]) * GAS_CONSTANT * Tm))
-        log_v0 = (float(np.log(0.25)) + pw * jnp.log(edot)
-                  + pw1 * log_coef + expo + float(np.log(1e6)))
-        return jnp.clip(jnp.exp(log_v0), jnp.asarray(visc_min, dtype),
+    def visc_core_local(w, Tm, s0, edot):
+        """matprops.visc_core with the mat axis as a python loop."""
+        log_edot = jnp.log(edot)
+        acc = jnp.zeros_like(Tm)
+        wsum = jnp.zeros_like(Tm)
+        for m in range(nmat):
+            pw = 1.0 / float(tabn.visc_exponent[m]) - 1.0
+            pw1 = -1.0 / float(tabn.visc_exponent[m])
+            log_coef = float(np.log(0.75 * tabn.visc_coefficient[m]))
+            expo = ((float(tabn.visc_activation_energy[m])
+                     + float(tabn.visc_activation_volume[m]) * s0)
+                    / (float(tabn.visc_exponent[m]) * GAS_CONSTANT * Tm))
+            log_v0 = (float(np.log(0.25)) + pw * log_edot
+                      + pw1 * log_coef + expo + float(np.log(1e6)))
+            acc = acc + w[m] * jnp.exp(-log_v0)
+            wsum = wsum + w[m]
+        v = wsum / acc
+        return jnp.clip(v, jnp.asarray(visc_min, dtype),
                         jnp.asarray(visc_max, dtype))
 
-    def plastic_props_local(pls):
-        """matprops.plastic_props/plastic_weakening, single material."""
-        pls0 = float(tabn.pls0[0])
-        pls1 = float(tabn.pls1[0])
-        span = max(pls1 - pls0, 1e-300)
-        p = jnp.clip((pls - pls0) / span, 0.0, 1.0)
-        c = float(tabn.cohesion0[0]) + p * (
-            float(tabn.cohesion1[0]) - float(tabn.cohesion0[0]))
-        f = float(tabn.friction_angle0[0]) + p * (
-            float(tabn.friction_angle1[0]) - float(tabn.friction_angle0[0]))
-        d = float(tabn.dilation_angle0[0]) + p * (
-            float(tabn.dilation_angle1[0]) - float(tabn.dilation_angle0[0]))
-        in_w = (pls >= pls0) & (pls < pls1)
-        h = jnp.where(in_w,
-                      jnp.asarray((float(tabn.cohesion1[0])
-                                   - float(tabn.cohesion0[0])) / span,
-                                  dtype),
-                      jnp.asarray(0.0, dtype))
+    def plastic_props_local(w, pls):
+        """matprops.plastic_props/plastic_weakening, mat loop."""
+        c = f = d = h = wsum = None
+        for m in range(nmat):
+            pls0 = float(tabn.pls0[m])
+            pls1 = float(tabn.pls1[m])
+            span = max(pls1 - pls0, 1e-300)
+            p = jnp.clip((pls - pls0) / span, 0.0, 1.0)
+            c_m = float(tabn.cohesion0[m]) + p * (
+                float(tabn.cohesion1[m]) - float(tabn.cohesion0[m]))
+            f_m = float(tabn.friction_angle0[m]) + p * (
+                float(tabn.friction_angle1[m])
+                - float(tabn.friction_angle0[m]))
+            d_m = float(tabn.dilation_angle0[m]) + p * (
+                float(tabn.dilation_angle1[m])
+                - float(tabn.dilation_angle0[m]))
+            in_w = (pls >= pls0) & (pls < pls1)
+            # both branches must be typed f32: a scalar/scalar where of
+            # weak python floats becomes an f64 vector select in Mosaic
+            h_m = jnp.where(
+                in_w,
+                jnp.asarray((float(tabn.cohesion1[m])
+                             - float(tabn.cohesion0[m])) / span, dtype),
+                jnp.asarray(0.0, dtype))
+            if c is None:
+                c, f, d, h = w[m] * c_m, w[m] * f_m, w[m] * d_m, \
+                    w[m] * h_m
+                wsum = w[m] + 0.0 * c_m
+            else:
+                c = c + w[m] * c_m
+                f = f + w[m] * f_m
+                d = d + w[m] * d_m
+                h = h + w[m] * h_m
+                wsum = wsum + w[m]
+        c, f, d, h = c / wsum, f / wsum, d / wsum, h / wsum
         DEG2RAD = np.pi / 180.0
         sphi = jnp.sin(f * DEG2RAD)
         spsi = jnp.sin(d * DEG2RAD)
@@ -513,9 +618,9 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
 
     # ---------------- the fused kernel ----------------
 
-    def kernel(dt_ref, epack_hbm, npack_hbm, cnp_hbm, tgt_hbm,
+    def kernel(dt_ref, epack_hbm, npack_hbm, cep_hbm, cnp_hbm, tgt_hbm,
                eout_hbm, nout_hbm, red_ref,
-               e_vm, n_vm, cn_vm, tgt_vm, eo_vm, no_vm, sems):
+               e_vm, n_vm, ce_vm, cn_vm, tgt_vm, eo_vm, no_vm, sems):
         big = jnp.asarray(jnp.finfo(dtype).max, dtype=dtype)
         red_ref[0, 0] = big
         red_ref[0, 1] = big
@@ -523,18 +628,18 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         red_ref[0, 3] = jnp.asarray(0.0, dtype)
 
         def tile_body(t, carry):
-            _tile(t, dt_ref, epack_hbm, npack_hbm, cnp_hbm, tgt_hbm,
-                  eout_hbm, nout_hbm, red_ref,
-                  e_vm, n_vm, cn_vm, tgt_vm, eo_vm, no_vm, sems)
+            _tile(t, dt_ref, epack_hbm, npack_hbm, cep_hbm, cnp_hbm,
+                  tgt_hbm, eout_hbm, nout_hbm, red_ref,
+                  e_vm, n_vm, ce_vm, cn_vm, tgt_vm, eo_vm, no_vm, sems)
             return carry
 
         jax.lax.fori_loop(jnp.asarray(0, jnp.int32),
                           jnp.asarray(T, jnp.int32), tile_body,
                           jnp.asarray(0, jnp.int32))
 
-    def _tile(tt, dt_ref, epack_hbm, npack_hbm, cnp_hbm, tgt_hbm,
-              eout_hbm, nout_hbm, red_ref,
-              e_vm, n_vm, cn_vm, tgt_vm, eo_vm, no_vm, sems):
+    def _tile(tt, dt_ref, epack_hbm, npack_hbm, cep_hbm, cnp_hbm,
+              tgt_hbm, eout_hbm, nout_hbm, red_ref,
+              e_vm, n_vm, ce_vm, cn_vm, tgt_vm, eo_vm, no_vm, sems):
         # all index math in explicit int32 (x64 weak-int promotion breaks
         # the Mosaic verification); c0 = a + PAD - H = a since PAD == H
         a = tt * jnp.asarray(TY, jnp.int32)
@@ -545,6 +650,10 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         dma_n = pltpu.make_async_copy(
             npack_hbm.at[pl.ds(0, NN_IN), pl.ds(a, NYN)], n_vm,
             sems.at[jnp.asarray(1, jnp.int32)])
+        if not uniform_mat:
+            dma_ce = pltpu.make_async_copy(
+                cep_hbm.at[:, :, pl.ds(a, NWy)], ce_vm,
+                sems.at[jnp.asarray(6, jnp.int32)])
         dma_cn = pltpu.make_async_copy(
             cnp_hbm.at[:, pl.ds(a, NYN)], cn_vm,
             sems.at[jnp.asarray(2, jnp.int32)])
@@ -553,10 +662,14 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             sems.at[jnp.asarray(3, jnp.int32)])
         dma_e.start()
         dma_n.start()
+        if not uniform_mat:
+            dma_ce.start()
         dma_cn.start()
         dma_t.start()
         dma_e.wait()
         dma_n.wait()
+        if not uniform_mat:
+            dma_ce.wait()
         dma_cn.wait()
         dma_t.wait()
 
@@ -587,6 +700,20 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
 
         def N(nm):
             return n_vm[_nslot(nm)]
+
+        if uniform_mat:
+            def CE(nm, t):
+                return CE_CONST[nm]
+
+            def W(t):
+                return [1.0]
+        else:
+            def CE(nm, t):
+                return ce_vm[_ce3slot(nm), t]
+
+            def W(t):
+                return [ce_vm[len(CE3_SLOTS) + m, t]
+                        for m in range(nmat)]
 
         zero_n = jnp.zeros((NYN, LZN, LXN), dtype=dtype)
         cx_v = nviews(N("coord_x"))
@@ -620,12 +747,21 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 gx = sum(dndx[i] * ts[i] for i in range(4))
                 gy_ = sum(dndy[i] * ts[i] for i in range(4))
                 gz = sum(dndz[i] * ts[i] for i in range(4))
-                kv = _c(kappa_s) * vol
-                # radiogenic source = 0 (single-material gate)
+                kv = CE("kappa", t) * vol
+                if uniform_mat:
+                    # radiogenic source = 0 (temperature options 0/1/90)
+                    source = _c(0.0)
+                else:
+                    # radiogenic source (fields.cxx:197-283)
+                    TinC1 = (ts[0] + ts[1] + ts[2] + ts[3]) / npe \
+                        - CELSIUS0
+                    rho_e1 = CE("rhoA", t) - CE("rhoB", t) * TinC1
+                    source = CE("radiogenic_source", t) * vol \
+                        * rho_e1 / npe
                 contribs = tuple(
                     jnp.where(vmask,
                               kv * (dndx[i] * gx + dndy[i] * gy_
-                                    + dndz[i] * gz), _c(0.0))
+                                    + dndz[i] * gz) - source, _c(0.0))
                     for i in range(4))
                 tdot_acc = scatter_tet(tdot_acc, contribs, t, par)
 
@@ -689,8 +825,8 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             dndx, dndy, dndz = shape_fn(xs, ys, zs, vol_safe)
             temp_e = (ts[0] + ts[1] + ts[2] + ts[3]) / npe
             TinC = temp_e - CELSIUS0
-            bulkm = _c(K_s)
-            shearm = _c(G_s)
+            bulkm = _c(K_s) if uniform_mat else CE("bulkm", t)
+            shearm = _c(G_s) if uniform_mat else CE("shearm", t)
 
             # strain rate (fields.cxx:408-483)
             lxx = sum(vxs[i] * dndx[i] for i in range(4))
@@ -723,7 +859,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 s0 = (stress_old[0] + stress_old[1] + stress_old[2]) / 3.0
                 ed = jnp.maximum(jnp.sqrt(inv2_6(sr)), MIN_STRAIN_RATE)
                 Tm_safe = jnp.where(vmask, temp_e, _c(300.0))
-                return visc_core_local(Tm_safe, s0, ed)
+                return visc_core_local(W(t), Tm_safe, s0, ed)
 
             from . import rheology as R
 
@@ -742,7 +878,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             elif rheol == RH_EP:
                 pls_safe = jnp.where(vmask, plstrain, _c(0.0))
                 amc, anphi, anpsi, hardn, ten_max = plastic_props_local(
-                    pls_safe)
+                    W(t), pls_safe)
                 stress_c, depls, _ = R.elasto_plastic3_c(
                     bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
                     de, stress_old)
@@ -756,7 +892,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
                                   stress_old)
                 pls_safe = jnp.where(vmask, plstrain, _c(0.0))
                 amc, anphi, anpsi, hardn, ten_max = plastic_props_local(
-                    pls_safe)
+                    W(t), pls_safe)
                 sp, depls, _ = R.elasto_plastic3_c(
                     bulkm, shearm, amc, anphi, anpsi, hardn, ten_max,
                     de, stress_old)
@@ -771,7 +907,9 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             # force assembly (fields.cxx:612-703); with NMD the scatter
             # waits for the nodal dpressure smoothing (pass 2b)
             if ctrl.gravity != 0:
-                buoy = _c(buoyA_s) - _c(buoyB_s) * TinC
+                buoy = (_c(CE_CONST["buoyA"]) - _c(CE_CONST["buoyB"])
+                        * TinC) if uniform_mat else \
+                    (CE("buoyA", t) - CE("buoyB", t) * TinC)
             else:
                 buoy = jnp.zeros_like(vol)
             if nmd:
@@ -812,7 +950,11 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 dndx, dndy, dndz = shape_fn(xs, ys, zs, vol_safe)
                 temp_e = (ts[0] + ts[1] + ts[2] + ts[3]) / npe
                 if ctrl.gravity != 0:
-                    buoy = _c(buoyA_s) - _c(buoyB_s) * (temp_e - CELSIUS0)
+                    TinC2 = temp_e - CELSIUS0
+                    buoy = (_c(CE_CONST["buoyA"])
+                            - _c(CE_CONST["buoyB"]) * TinC2) \
+                        if uniform_mat else \
+                        (CE("buoyA", t) - CE("buoyB", t) * TinC2)
                 else:
                     buoy = jnp.zeros_like(vol)
                 dps = gather_tet(dp_views, t, par)
@@ -903,9 +1045,14 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             ts = gather_tet(ts_v, t, par)
             temp_e = (ts[0] + ts[1] + ts[2] + ts[3]) / npe
             TinC = temp_e - CELSIUS0
-            rho_e = _c(rho0_s) - _c(rhoB_s) * TinC
-            shearm = _c(G_s)
-            bulkm = _c(K_s)
+            if uniform_mat:
+                rho_e = _c(rho0_s) - _c(CE_CONST["rhoB"]) * TinC
+                shearm = _c(G_s)
+                bulkm = _c(K_s)
+            else:
+                rho_e = CE("rhoA", t) - CE("rhoB", t) * TinC
+                shearm = CE("shearm", t)
+                bulkm = CE("bulkm", t)
             vol = E("volume", t)
             vol_safe = jnp.where(vmask, vol, _c(1.0))
             volume_new = volume_of(xs2, ys2, zs2)
@@ -936,11 +1083,14 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 rho_q = bulkm / _c(pseudo_speed * pseudo_speed)
             rho_m = rho_q if ctrl.is_quasi_static else rho_e
             m_c = jnp.where(vmask, rho_m * volume_new / npe, _c(0.0))
-            tm_c = jnp.where(
-                vmask,
-                (_c(cp_s * rho0_s) - _c(cp_s * rhoB_s) * TinC)
-                * volume_new / npe, _c(0.0))
-            hm_c = jnp.where(vmask, _c(hmA_s) * volume_new, _c(0.0))
+            if uniform_mat:
+                cp_rho = _c(CE_CONST["cpA"]) - _c(CE_CONST["cpB"]) * TinC
+                hmA_e = _c(CE_CONST["hmA"])
+            else:
+                cp_rho = CE("cpA", t) - CE("cpB", t) * TinC
+                hmA_e = CE("hmA", t)
+            tm_c = jnp.where(vmask, cp_rho * volume_new / npe, _c(0.0))
+            hm_c = jnp.where(vmask, hmA_e * volume_new, _c(0.0))
             vn_c = jnp.where(vmask, volume_new, _c(0.0))
             voln_acc = scatter_tet_equal(voln_acc, vn_c, t, par)
             m_acc = scatter_tet_equal(m_acc, m_c, t, par)
@@ -1041,6 +1191,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         pl.BlockSpec(memory_space=pltpu.SMEM),     # dt, gvs, refresh
         pl.BlockSpec(memory_space=pltpu.ANY),      # epack
         pl.BlockSpec(memory_space=pltpu.ANY),      # npack
+        pl.BlockSpec(memory_space=pltpu.ANY),      # const epack
         pl.BlockSpec(memory_space=pltpu.ANY),      # const npack
         pl.BlockSpec(memory_space=pltpu.ANY),      # vbc targets
     ]
@@ -1062,11 +1213,13 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         scratch_shapes=[
             pltpu.VMEM((NE_IN, 5, NWy, nzc, nxc), dtype),
             pltpu.VMEM((NN_IN, NYN, LZN, LXN), dtype),
+            pltpu.VMEM((1, 1, 1, 8, 128) if uniform_mat
+                       else (NCE, 5, NWy, nzc, nxc), dtype),
             pltpu.VMEM((NCN, NYN, LZN, LXN), dtype),
             pltpu.VMEM((3, NYN, LZN, LXN), dtype),
             pltpu.VMEM((NE, 5, NWy, nzc, nxc), dtype),
             pltpu.VMEM((NN, TYN, LZN, LXN), dtype),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((7,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
@@ -1075,9 +1228,10 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
                                                     '0'))),
     )
 
-    def step(sctx, s, cnpack):
-        """One fused step on packed planes.  `cnpack` = _const_npack
-        (constant through a scan chunk)."""
+    def step(sctx, s, consts):
+        """One fused step on packed planes.  `consts` = (cepack, cnpack)
+        from _const_epack/_const_npack (constant through a scan chunk)."""
+        cepack, cnpack = consts
         epack, npack = s.volume, s.coord
         dt = s.dt
         steps = s.steps + 1
@@ -1108,7 +1262,9 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         dt_in = jnp.stack([dt.astype(dtype), gvs,
                            refresh.astype(dtype),
                            jnp.zeros((), dtype)]).reshape(1, 4)
-        eout, nout, red = pallas_fn(dt_in, epack, npack, cnpack,
+        if uniform_mat:
+            cepack = jnp.zeros((1, 1, 1, 8, 128), dtype)
+        eout, nout, red = pallas_fn(dt_in, epack, npack, cepack, cnpack,
                                     tgt_planes)
 
         # finish the scalar reductions (geometry.cxx:756-923); CFL metrics
@@ -1122,7 +1278,15 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         if ctrl.fixed_dt != 0.0:
             dt_new = jnp.asarray(ctrl.fixed_dt, dtype=dtype)
         else:
-            dt_maxwell = jnp.asarray(0.5 * visc_min / (1e-40 + G_s), dtype)
+            if uniform_mat:
+                dt_maxwell = jnp.asarray(0.5 * visc_min / (1e-40 + G_s),
+                                         dtype)
+            else:
+                # constant through the chunk (shearm is emw-only); a
+                # tiny reduction over the passthrough emw field
+                dt_maxwell = (0.5 * visc_min
+                              / (1e-40 + M.shearm(sctx.mat, s.emw))
+                              ).min().astype(dtype)
             dt_diffusion = 0.5 * minh * minh / therm_diff_max \
                 if ctrl.has_thermal_diffusion else big
             if ctrl.use_global_velocity_scaling:
@@ -1159,10 +1323,14 @@ def make_chunk_runner(param: Param, ctx, compensation_pressure: float,
     @jax.jit
     def run_chunk(sctx, state):
         cnpack = _const_npack(param, sctx, state, nx, ny, nz)
+        if _uniform_mat(param):
+            cepack = jnp.zeros((1, 1, 1, 8, 128), jnp.float32)
+        else:
+            cepack = _const_epack(param, sctx, state, nx, ny, nz)
         g = state_to_pgrid(state, nx, ny, nz)
 
         def body(s, _):
-            return step(sctx, s, cnpack), None
+            return step(sctx, s, (cepack, cnpack)), None
 
         g, _ = jax.lax.scan(body, g, length=n)
         return pgrid_to_state(g, nx, ny, nz)

@@ -130,3 +130,81 @@ def test_pallas3d_single_step_evp():
     # agreement is the check (stress above is load-bearing)
     assert np.median(np.abs(va - vb)) < 0.02
     assert np.isfinite(vb).all()
+
+
+def _multimat_over():
+    """Two-layer, two-material overrides (crust/mantle contrast):
+    exercises the const-property-plane pack + in-kernel material loops
+    (matprops.cxx:115-144 mixtures in the hot loop)."""
+    return dict(
+        mat={"num_materials": 2,
+             "rho0": [2700.0, 3300.0],
+             "bulk_modulus": [40e9, 120e9],
+             "shear_modulus": [24e9, 70e9],
+             "heat_capacity": [1000.0, 1200.0],
+             "therm_cond": [2.5, 3.3],
+             "alpha": [3e-5, 2e-5],
+             "visc_coefficient": [1e2, 1e3],
+             "visc_activation_energy": [3.0e5, 4.0e5],
+             "cohesion0": [4e7, 6e7],
+             "friction_angle0": [30.0, 25.0],
+             "visc_max": 1e24, "visc_min": 1e19},
+        ic={"num_mattype_layers": 2, "layer_mattypes": [0, 1],
+            "mattype_layer_depths": [0.4]},
+        markers={"markers_per_element": 4, "random_seed": 11})
+
+
+def test_pallas3d_gate_multimat():
+    sim = make_sim(**_multimat_over())
+    assert len(sim.param.mat.rho0) == 2
+    assert np.asarray(sim.state.emw).shape[1] == 2
+    # marker mixing produced genuinely mixed elements near the interface
+    emw = np.asarray(sim.state.emw)
+    w = emw / emw.sum(axis=1, keepdims=True)
+    assert ((w[:, 0] > 0.01) & (w[:, 1] > 0.01)).any()
+    assert pallas3d.pallas3d_step_applicable(sim.param, sim.ctx)
+
+
+def test_pallas3d_matches_grid_step_maxwell_multimat():
+    """10-step multi-material maxwell gate: const-property planes
+    (bulkm/shearm/kappa/rho/buoyancy/cp/hm mixtures) + the in-kernel
+    viscosity material loop against the grid3d oracle."""
+    over = _multimat_over()
+    over["mat"]["rheology_type"] = "maxwell"
+    sim = make_sim(**over)
+    ref, out = run_both(sim, 10)
+    assert_close(ref, out, FIELDS, {"force": 5e-3}, 1e-3)
+    assert np.isfinite(np.asarray(out.viscosity)).all()
+    for f in ("dt", "time", "max_global_vel_mag", "l2_residual"):
+        a, b = float(getattr(ref, f)), float(getattr(out, f))
+        assert abs(a - b) <= 1e-3 * max(abs(a), 1e-300), f
+
+
+def test_pallas3d_single_step_evp_multimat():
+    """Single-step multi-material EVP gate: the plastic-weakening
+    material loop (weighted cohesion/friction/dilation mixing).
+
+    Tolerance structure (measured): the const pack linearizes
+    rho(T) = rhoA - rhoB*TinC per element, which is ALGEBRAICALLY equal
+    to the oracle's sum(w*rho0*(1-alpha*TinC))/n but f32-association
+    different at ~2-4e-7 in mass/tmass/hmass; that roundoff then
+    amplifies ~1000x through gravity-residual cancellation into
+    vel/force/stress (measured max 1.5e-4/1.8e-4/3.1e-4).  The
+    branch-outcome fields — viscosity, temperature, plstrain,
+    delta_plstrain — agree BIT-EXACTLY, which is the real correctness
+    signal; the mixtures themselves gate at 1e-6."""
+    sim = make_sim(**_multimat_over())
+    ref, out = run_both(sim, 1)
+    # mixtures: tight (validates the const-property planes themselves)
+    assert_close(ref, out,
+                 ("mass", "tmass", "hmass", "volume", "volume_n",
+                  "coord", "strain", "strain_rate", "edvoldt"), {}, 1e-6)
+    # cancellation-amplified fields: measured headroom x3
+    assert_close(ref, out, ("vel", "force", "stress"), {}, 1e-3)
+    # branch outcomes: bit-exact
+    for f in ("viscosity", "temperature", "plstrain", "delta_plstrain"):
+        a = np.asarray(getattr(ref, f))
+        b = np.asarray(getattr(out, f))
+        assert (a == b).all(), f
+    vb = np.log(np.asarray(out.viscosity, dtype=np.float64))
+    assert np.isfinite(vb).all()
