@@ -325,6 +325,15 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
 
             vbc0 = _dc.replace(ctx.vbc, values=(0.0,) * 6,
                                values_lateral=(0.0,) * 4)
+            # hydraulic diffusion is suspended inside the PT loop
+            # (dynearthsol.cxx:781-784,838): the dppressure stress
+            # increment is a PER-OUTER-STEP term; re-adding it each
+            # inner iteration compounds it PT_max_iter times and
+            # diverges (the consolidation benchmarks hit this)
+            param_pt = _dc.replace(
+                param, control=_dc.replace(
+                    param.control, has_hydraulic_diffusion=False)) \
+                if ctrl.has_hydraulic_diffusion else param
             s_mid = State(**{
                 **s.__dict__, "vel": vel, "stress": stress,
                 "stressyy": stressyy, "strain": strain,
@@ -380,8 +389,8 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
                                "tmass": tmass_p, "hmass": hmass_p,
                                "ymass": ymass_p, "edvoldt": edvp})
                 (stp, syyp, stnp, srp2, plsp, dplsp, viscp, dprp, dfcp,
-                 svp) = _update_stress(param, ctx, s1p, bulkm, shearm, srp,
-                                       temp_e=temp_e_pt, vel_e=vp_e)
+                 svp) = _update_stress(param_pt, ctx, s1p, bulkm, shearm,
+                                       srp, temp_e=temp_e_pt, vel_e=vp_e)
                 contribp = F.internal_force_contrib(stp, volp, dndp, buoy)
                 forcep = F.assemble_force(contribp, asm)
                 resp = F.residual_l2(
