@@ -115,8 +115,35 @@ def regular_grid_2d(xlength: float, zlength: float, resolution: float,
     return MeshData(2, coord, _orient_2d(coord, conn))
 
 
+def _refine_box_2d(coord: np.ndarray, xlength: float, zlength: float,
+                   min_angle: float, area_floor: float = 0.0) -> np.ndarray:
+    """Ruppert min-angle refinement of a 2D box point set — the quality
+    guarantee Triangle's `q` switch gives the reference at initial
+    meshing (mesh.cxx:2577-2621 with mesh.min_angle, default 32).
+    Returns the (possibly extended) coordinate array."""
+    if min_angle <= 0:
+        return coord
+    from ..constants import BOUNDX0, BOUNDX1, BOUNDZ0, BOUNDZ1
+    from .refine2d import box_inside_fn, refine_min_angle
+
+    tol = 1e-9 * max(xlength, zlength)
+    bcflag = np.zeros(coord.shape[0], dtype=np.uint32)
+    bcflag[np.abs(coord[:, 0]) < tol] |= BOUNDX0
+    bcflag[np.abs(coord[:, 0] - xlength) < tol] |= BOUNDX1
+    bcflag[np.abs(coord[:, 1] + zlength) < tol] |= BOUNDZ0
+    bcflag[np.abs(coord[:, 1]) < tol] |= BOUNDZ1
+    surf = lambda x: np.zeros_like(np.asarray(x, dtype=float))
+    bot = lambda x: np.full_like(np.asarray(x, dtype=float), -zlength)
+    coord, _, _, _ = refine_min_angle(
+        coord, bcflag, box_inside_fn(xlength, surf, bot),
+        min_angle=min_angle, area_floor=area_floor)
+    return coord
+
+
 def unstructured_box_2d(xlength: float, zlength: float, resolution: float,
-                        jitter: float = 0.35, seed: int = 12345) -> MeshData:
+                        jitter: float = 0.35, seed: int = 12345,
+                        min_angle: float = 32.0,
+                        smallest_size: float = 0.01) -> MeshData:
     """Quasi-uniform unstructured triangulation of a box (replaces the
     Triangle path of mesh.cxx:1437-1616 ``new_mesh_uniform_resolution``).
 
@@ -147,6 +174,9 @@ def unstructured_box_2d(xlength: float, zlength: float, resolution: float,
             jz = jitter * dz * (rng.random() - 0.5)
             pts.append((x + jx, z + jz))
     coord = np.asarray(pts, dtype=np.float64)
+    coord = _refine_box_2d(
+        coord, xlength, zlength, min_angle,
+        area_floor=smallest_size * (np.sqrt(3.0) / 4.0) * resolution**2)
 
     from scipy.spatial import Delaunay
 
@@ -294,6 +324,9 @@ def refined_zone_box_2d(param) -> MeshData:
           & (inner[:, 1] > -Lz + margin) & (inner[:, 1] < -margin))
     coord = np.concatenate([np.asarray(pts, dtype=np.float64),
                             inner[ok]], axis=0)
+    coord = _refine_box_2d(
+        coord, Lx, Lz, m.min_angle,
+        area_floor=m.smallest_size * (np.sqrt(3.0) / 4.0) * res**2)
 
     from scipy.spatial import Delaunay
 
@@ -409,7 +442,9 @@ def create_new_mesh(param) -> MeshData:
             return regular_grid_2d(m.xlength, m.zlength, m.resolution,
                                    equilateral=True)
         return _renumbered(
-            unstructured_box_2d(m.xlength, m.zlength, m.resolution))
+            unstructured_box_2d(m.xlength, m.zlength, m.resolution,
+                                min_angle=m.min_angle,
+                                smallest_size=m.smallest_size))
     if m.meshing_elem_shape in (1, 2):
         return regular_grid_3d(m.xlength, m.ylength, m.zlength, m.resolution)
     return _renumbered(

@@ -218,6 +218,32 @@ def mesh_from_poly_2d(param) -> MeshData:
     P = P[dmin > 0.55 * hP]
 
     coord = np.concatenate([final_pts, P], axis=0)
+
+    # Ruppert min-angle refinement: the quality bound the reference gets
+    # from Triangle's `q` switch on .poly meshes (new_mesh_from_polyfile
+    # -> points_to_new_mesh, mesh.cxx:1848-2230 + 2577-2621).  Constraint
+    # segments are the sampled PSLG edges; splits update them in place.
+    if m.min_angle > 0:
+        from .refine2d import refine_min_angle
+
+        seg_arr = np.asarray([(a, b) for a, b, _ in final_edges],
+                             dtype=np.int64)
+        flags_in = np.asarray([f for _, _, f in final_edges])
+        hull = Delaunay(pts[np.unique(segs)], qhull_options="Qbb Qc Qz")
+
+        def inside(p):
+            p = np.asarray(p, dtype=np.float64).reshape(-1, 2)
+            return hull.find_simplex(p) >= 0
+
+        area_floor = (m.smallest_size * (np.sqrt(3.0) / 4.0)
+                      * res * res)
+        bc0 = np.zeros(coord.shape[0], dtype=np.uint32)
+        coord, _, (seg_new, seg_origin), _ = refine_min_angle(
+            coord, bc0, inside, m.min_angle, area_floor=area_floor,
+            segments=seg_arr)
+        final_edges = [(int(a), int(b), int(flags_in[o]))
+                       for (a, b), o in zip(seg_new, seg_origin)]
+
     tri = Delaunay(coord, qhull_options="Qbb Qc Qz")
     conn = _drop_degenerate_2d(coord, tri.simplices.astype(np.int32))
     conn = _orient_2d(coord, conn)

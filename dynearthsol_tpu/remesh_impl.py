@@ -182,7 +182,8 @@ def sediment_refine_points(param, surf, markers, nelem, old_coord,
 
 
 def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None,
-                         extra_interior=None, reuse_pts=None):
+                         extra_interior=None, reuse_pts=None,
+                         min_angle=None):
     """New 2D mesh under the current topography.  Returns
     (coord, conn, bcflag).
 
@@ -194,7 +195,10 @@ def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None,
     ``reuse_pts``: (coord, bcflag) point set to re-triangulate instead
     of synthesizing new points — the reference-parity remeshing mode
     (reuse_points_2d; new_mesh re-triangulates the old nodes with
-    max_elem_size=-1, remeshing.cxx:1289)."""
+    max_elem_size=-1, remeshing.cxx:1289).
+    ``min_angle``: Ruppert quality bound in degrees for the unstructured
+    path (None = param.mesh.min_angle; the remesh retry loop passes a
+    relaxed value, mirroring remeshing.cxx:1268-1273)."""
     m = param.mesh
     res = m.resolution
     top = old_coord[(old_topo.bcflag & BOUNDZ1) != 0]
@@ -248,7 +252,8 @@ def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None,
             coord = np.concatenate([coord, np.asarray(extra_interior)])
             bcflag = np.concatenate(
                 [bcflag, np.zeros(len(extra_interior), dtype=np.uint32)])
-        return _finish_unstructured_2d(param, coord, bcflag, surf, bot)
+        return _finish_unstructured_2d(param, coord, bcflag, surf, bot,
+                                       min_angle=min_angle)
 
     if h is None:
         bot_x = xs
@@ -337,10 +342,12 @@ def generate_new_mesh_2d(param, old_coord, old_topo, seed: int, h=None,
     bcflag[np.abs(coord[:, 0]) < tol] |= BOUNDX0
     bcflag[np.abs(coord[:, 0] - m.xlength) < tol] |= BOUNDX1
 
-    return _finish_unstructured_2d(param, coord, bcflag, surf, bot)
+    return _finish_unstructured_2d(param, coord, bcflag, surf, bot,
+                                   min_angle=min_angle)
 
 
-def _finish_unstructured_2d(param, coord, bcflag, surf, bot):
+def _finish_unstructured_2d(param, coord, bcflag, surf, bot,
+                            min_angle=None):
     """Triangulate a 2D boundary-flagged point set: constrained-segment
     recovery, Delaunay, outside/sliver culling, interior-point deletion
     retry.  Shared by the synthesized-point and reused-point
@@ -388,6 +395,19 @@ def _finish_unstructured_2d(param, coord, bcflag, surf, bot):
         return coord, bcflag
 
     coord, bcflag = _recover_segments(coord, bcflag)
+
+    # Ruppert refinement: the constructive min-angle guarantee Triangle's
+    # `q` switch provides (mesh.cxx:110-118, default mesh.min_angle=32).
+    # Also fixes boundary slivers the interior-point deletion below
+    # cannot touch (all-boundary-node slivers persist across retries
+    # since the reused point set is deterministic).
+    ma = param.mesh.min_angle if min_angle is None else min_angle
+    if ma > 0:
+        from .mesh.refine2d import box_inside_fn, refine_min_angle
+
+        coord, bcflag, _, _ = refine_min_angle(
+            coord, bcflag, box_inside_fn(m.xlength, surf, bot),
+            min_angle=ma, area_floor=smallest_vol)
 
     def _triangulate(coord, bcflag):
         tri = Delaunay(coord, qhull_options="Qbb Qc Qz")
@@ -853,14 +873,20 @@ def remesh_simulation(sim, bad_quality: int):
         reuse = reuse_points_2d(param, old_coord, topo, bad_quality,
                                 old_volume)
 
-    def _regen(seed, h_scale):
+    def _regen(seed, h_scale, min_angle):
         hf = None if h_field is None else \
             (lambda p, _h=h_field: _h(p) * h_scale)
         if ndims == 2:
+            # the metric-driven path is the MMG-analog: MMG controls
+            # quality through hmin/hmax/hgrad, NOT Triangle's q switch
+            # (remeshing.cxx:2436-2694 passes no min_angle) — a Ruppert
+            # pass would fight the size grading
             c, k, b = generate_new_mesh_2d(param, old_coord, topo, seed,
                                            h=hf,
                                            extra_interior=extra_interior,
-                                           reuse_pts=reuse)
+                                           reuse_pts=reuse,
+                                           min_angle=(0.0 if hf is not None
+                                                      else min_angle))
             if param.mesh.meshing_elem_shape == 0:
                 # renumbering_mesh after unstructured regeneration
                 # (remeshing.cxx:2970-2974)
@@ -873,9 +899,10 @@ def remesh_simulation(sim, bad_quality: int):
         return generate_new_mesh_3d(param, old_coord, topo, seed)
 
     h_scale = 1.0
+    min_angle = param.mesh.min_angle
     for nloops in range(6):
         new_coord, new_conn, new_bcflag = _regen(base_seed + nloops,
-                                                 h_scale)
+                                                 h_scale, min_angle)
         v = new_coord[new_conn]
         if ndims == 2:
             ab = v[:, 1] - v[:, 0]
@@ -902,7 +929,11 @@ def remesh_simulation(sim, bad_quality: int):
                   "Proceeding with risks.", end="")
             break
         if regen_bad == 3:
+            # lessen the quality constraint so fewer new points get
+            # inserted, hence less chance of tiny elements
+            # (remeshing.cxx:1268-1273: min_angle*0.9, max_ratio*1.1)
             h_scale *= 1.1
+            min_angle *= 0.9
         print(f"\n    regenerated mesh bad (code {regen_bad}, "
               f"q={worst:.3f}); retrying", end="")
     topo2 = finish_topology(ndims, new_conn, new_bcflag)

@@ -279,3 +279,42 @@ def test_metric_driven_remesh_3d():
     assert np.median(vol[in_band]) < 0.6 * np.median(vol[out_band])
     # all six box boundaries present
     assert all(len(b) > 0 for b in sim.topo.bnodes[:6])
+
+
+def test_regeneration_min_angle_guarantee():
+    """The unstructured regeneration carries Triangle's constructive
+    quality bound (the `q` switch, mesh.cxx:110-118; Ruppert refinement
+    in mesh/refine2d.py): every element of the new mesh has min angle
+    >= mesh.min_angle degrees, even when the reused point set contains
+    slivers the interior-point deletion cannot fix (all-boundary-node
+    caps)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dynearthsol_tpu.mesh.refine2d import tri_min_angle
+
+    param = rift_param(mesh={"meshing_elem_shape": 0,
+                             "remeshing_option": 1})
+    sim = des.Simulation(param)
+    # deform: sinusoidal topography + shear so reused points are irregular
+    coord = np.asarray(sim.state.coord).copy()
+    x, z = coord[:, 0], coord[:, 1]
+    coord[:, 1] = z + 200.0 * np.sin(2 * np.pi * x / 30e3) * (1 + z / 10e3)
+    sim.state = dataclasses.replace(sim.state, coord=jnp.asarray(coord))
+    remesh_simulation(sim, 1)
+    ma = tri_min_angle(np.asarray(sim.state.coord), sim.topo.connectivity)
+    # one retry relaxation step (min_angle*0.9, remeshing.cxx:1268) allowed
+    assert float(ma.min()) >= 32.0 * 0.9 - 1e-6
+    assert (np.asarray(sim.state.volume) > 0).all()
+
+
+def test_initial_unstructured_min_angle():
+    """Initial unstructured box meshes carry the same bound
+    (new_mesh_uniform_resolution -> Triangle q, mesh.cxx:1437-1616)."""
+    from dynearthsol_tpu.mesh.refine2d import tri_min_angle
+
+    param = rift_param(mesh={"meshing_elem_shape": 0})
+    sim = des.Simulation(param)
+    ma = tri_min_angle(np.asarray(sim.state.coord), sim.topo.connectivity)
+    assert float(ma.min()) >= 32.0 - 1e-6
