@@ -53,9 +53,11 @@ E_TENSORS = ("stress", "strain", "strain_rate", "stress_avg", "strain_avg0")
 
 @functools.lru_cache(maxsize=None)
 def _parity(nx: int, nz: int):
+    # numpy, not jnp: a cached jnp array created inside a jit trace
+    # leaks a tracer into later traces (UnexpectedTracerError)
     i = np.arange(nx - 1)[:, None]
     j = np.arange(nz - 1)[None, :]
-    return jnp.asarray((i + j) % 2 == 0)  # (nxc, nzc)
+    return (i + j) % 2 == 0  # (nxc, nzc)
 
 
 def state_to_grid(s, nx: int, nz: int):

@@ -148,6 +148,77 @@ def _pick_tc(nxc: int):
     return None
 
 
+# VMEM budget for the resident block (v5e/v5p have 128 MiB VMEM/core;
+# leave headroom for Mosaic temporaries)
+_RESIDENT_VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def resident_applicable(param: Param, ctx) -> bool:
+    """Static gate for the VMEM-resident multi-step chunk kernel: the
+    tiled gate, plus (a) chunk-constant vbc targets — no time-periodic
+    profiles, no depth-divided profiles, no coordinate-proportional
+    type 100, no bottom shear zone, no finite z1 loading period — and
+    (b) the whole mesh (one TC = nxc block) fits the VMEM budget."""
+    import os
+
+    if os.environ.get("DES_NO_RESIDENT"):
+        return False
+    if not pallas_step_applicable(param, ctx):
+        return False
+    if param.control.use_global_velocity_scaling:
+        return False  # per-step vmax feedback into the mass matrix
+    spec = ctx.vbc
+    tx0, tx1, _, _, tz0, tz1 = spec.types
+    if tx0 not in (0, 1, 2, 3, 4, 6) or tx1 not in (0, 1, 2, 3, 4, 6):
+        return False
+    if tz0 not in (0, 1, 2, 3, 4) or tz1 not in (0, 1, 2, 3, 4):
+        return False
+    for arr in (spec.ratio_x0, spec.ratio_x1, spec.period_ratio_x0,
+                spec.period_ratio_x1):
+        # a profile is chunk-constant iff its interpolated ratio is the
+        # same everywhere (the defaults are all-ones vectors)
+        if np.unique(np.asarray(arr)).size > 1:
+            return False
+    if spec.bottom_shear_zone_thickness > 0:
+        return False
+    if tz1 != 0 and np.isfinite(spec.vbc_val_z1_loading_period):
+        return False
+
+    nx, nz = ctx.sgrid
+    nxc, nzc = nx - 1, nz - 1
+    if nxc % 8 != 0:
+        return False  # DMA sublane alignment with TC = nxc
+    NW = nxc + 16          # TC + 2H
+    NZP = _nzp(nz)
+    nmat = param.mat.nmat
+    uniform = (nmat == 1
+               and param.ic.temperature_option in (0, 1, 90))
+    nce = 0 if uniform else (len(CE_SLOTS) + nmat) * 2 * NW * nzc
+    cells = (NE * 2 * NW * nzc + nce)
+    nodes = (NN + NCN + 2) * NW * NZP
+    if 4 * (cells + nodes) > _RESIDENT_VMEM_BUDGET:
+        return False
+    return True
+
+
+def make_resident_chunk_runner(param: Param, ctx,
+                               compensation_pressure: float, n: int):
+    """jit(run_chunk)(ctx, state): pack -> ONE resident kernel call of n
+    fused steps -> unpack."""
+    nx, nz = ctx.sgrid
+    chunk_step = make_pallas_step(param, ctx, compensation_pressure,
+                                  tc_override=nx - 1, resident_n=n)
+
+    @jax.jit
+    def run_chunk(sctx, state):
+        consts = _const_packs(param, sctx, state, nx, nz)
+        g = state_to_pgrid(state, nx, nz, param)
+        g = chunk_step(sctx, g, consts)
+        return pgrid_to_state(g, nx, nz, param)
+
+    return run_chunk
+
+
 # ---- packing / unpacking (chunk boundaries) ----
 
 def _pad_geom(param):
@@ -325,15 +396,23 @@ def _np_tab(tab):
     return out
 
 
-def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
-    """Build step(ctx, pstate) -> pstate on packed padded planes."""
+def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0,
+                     tc_override: int | None = None,
+                     resident_n: int | None = None):
+    """Build step(ctx, pstate) -> pstate on packed padded planes.
+
+    ``tc_override``: force the tile width (the VMEM-resident variant
+    passes TC = nxc so the whole mesh is one block).
+    ``resident_n``: when set, return a CHUNK kernel instead — the whole
+    mesh stays resident in VMEM while ``resident_n`` steps run inside
+    one kernel (see make_resident_chunk_runner)."""
     ctrl = param.control
     mat = param.mat
     nx, nz = ctx.sgrid
     nxc, nzc = nx - 1, nz - 1
     NZP = _nzp(nz)             # nodal lanes padded to 128
     H, PADL, PADR = _pad_geom(param)
-    TC = _pick_tc(nxc)
+    TC = tc_override if tc_override is not None else _pick_tc(nxc)
     T = nxc // TC
     NW = TC + 2 * H            # local block width (DMA-aligned)
     CW = NW - 1                # usable local cell columns
@@ -556,45 +635,16 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
                           jnp.asarray(T, jnp.int32), tile_body,
                           jnp.asarray(0, jnp.int32))
 
-    def _tile(t, dt_ref, epack_hbm, npack_hbm, cep_hbm, cnp_hbm, tgt_hbm,
-              eout_hbm, nout_hbm, red_ref,
-              e_vm, n_vm, ce_vm, cn_vm, tgt_vm, eo_vm, no_vm, sems):
-        # all index math in explicit int32 (x64 weak-int promotion breaks
-        # both the Pallas trace and Mosaic verification); DMA starts are
-        # multiples of TC (>= 8), satisfying Mosaic's sublane alignment
+    def _core(t, dt, gvs, refresh_pred, decay_pred, red_ref,
+              e_vm, n_vm, ce_vm, cn_vm, tgt_vm):
+        """One full time step on the local VMEM block: reads the packed
+        planes, returns (e_out, n_out) dicts of full-local-width planes
+        (element: (2, CW, nzc) per slot; nodal: (NW, NZP) per slot) and
+        updates the scalar-reduction SMEM ``red_ref`` (CFL partials
+        under ``refresh_pred``, the L2 residual accumulated always).
+        Shared by the per-step tiled kernel and the VMEM-resident
+        multi-step kernel."""
         a = t * jnp.asarray(TC, jnp.int32)   # owned start (unpadded)
-        c0 = a + jnp.asarray(PADL - H, jnp.int32)  # padded block start
-
-        dma_e = pltpu.make_async_copy(
-            epack_hbm.at[:, :, pl.ds(c0, NW), :], e_vm,
-            sems.at[jnp.asarray(0, jnp.int32)])
-        dma_n = pltpu.make_async_copy(
-            npack_hbm.at[:, pl.ds(c0, NW), :], n_vm,
-            sems.at[jnp.asarray(1, jnp.int32)])
-        if not uniform_mat:
-            dma_ce = pltpu.make_async_copy(
-                cep_hbm.at[:, :, pl.ds(c0, NW), :], ce_vm,
-                sems.at[jnp.asarray(2, jnp.int32)])
-        dma_cn = pltpu.make_async_copy(
-            cnp_hbm.at[:, pl.ds(c0, NW), :], cn_vm,
-            sems.at[jnp.asarray(3, jnp.int32)])
-        dma_t = pltpu.make_async_copy(
-            tgt_hbm.at[:, pl.ds(c0, NW), :], tgt_vm,
-            sems.at[jnp.asarray(4, jnp.int32)])
-        dma_e.start()
-        dma_n.start()
-        if not uniform_mat:
-            dma_ce.start()
-        dma_cn.start()
-        dma_t.start()
-        dma_e.wait()
-        dma_n.wait()
-        if not uniform_mat:
-            dma_ce.wait()
-        dma_cn.wait()
-        dma_t.wait()
-
-        dt = dt_ref[0, 0]
         par = make_parity()
 
         # element planes: the DMA block is NW wide, compute uses CW = NW-1
@@ -831,7 +881,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         # metrics + reductions are ~10% of the kernel's VPU work
         own_c = slice(H, H + TC)
 
-        @pl.when(dt_ref[0, 2] > 0)
+        @pl.when(refresh_pred)
         def _():
             vx_m = (vxs2[0] + vxs2[1] + vxs2[2]) / npe
             vz_m = (vzs2[0] + vzs2[1] + vzs2[2]) / npe
@@ -849,8 +899,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
 
         # (pseudo-)mass matrices (geometry.cxx:1020-1154)
         if ctrl.use_global_velocity_scaling:
-            # previous step's vmax * inertial_scaling, via the SMEM scalar
-            gvs = dt_ref[0, 1]
+            # previous step's vmax * inertial_scaling (SMEM scalar input)
             apparent = jnp.minimum(gvs, jnp.sqrt(shearm / rho_e))
             rho_q = bulkm / (apparent * apparent)
         else:
@@ -924,11 +973,68 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
                     param.mat.mattype_oceanic_crust, jnp.int32)
             lam_dt = jnp.asarray(SP.LN2 / SP.PLSTRAIN_HALF_LIFE,
                                  dtype) * dt
-            dec_on = (dt_ref[0, 3] > 0) & zmask & decay_applies
+            dec_on = decay_pred & zmask & decay_applies
             plstrain = plstrain - jnp.where(dec_on, plstrain * lam_dt,
                                             _c(0.0))
 
+        e_out = {"volume": volume_new, "volume_old": volume_old_out,
+                 "stressyy": stressyy, "plstrain": plstrain,
+                 "delta_plstrain": delta_plstrain, "viscosity": viscosity,
+                 "dpressure": dpressure, "edvoldt": edvoldt,
+                 "stress": stress3, "strain": strain3,
+                 "strain_rate": edot}
+        n_out = {"coord_x": coord_x, "coord_z": coord_z,
+                 "vel_x": vel_x, "vel_z": vel_z,
+                 "temperature": temperature_new, "mass": mass_new,
+                 "tmass": tmass_new, "hmass": hmass_new,
+                 "volume_n": volume_n, "force_x": fdx, "force_z": fdz}
+        return e_out, n_out
+
+    def _tile(t, dt_ref, epack_hbm, npack_hbm, cep_hbm, cnp_hbm, tgt_hbm,
+              eout_hbm, nout_hbm, red_ref,
+              e_vm, n_vm, ce_vm, cn_vm, tgt_vm, eo_vm, no_vm, sems):
+        # all index math in explicit int32 (x64 weak-int promotion breaks
+        # both the Pallas trace and Mosaic verification); DMA starts are
+        # multiples of TC (>= 8), satisfying Mosaic's sublane alignment
+        a = t * jnp.asarray(TC, jnp.int32)   # owned start (unpadded)
+        c0 = a + jnp.asarray(PADL - H, jnp.int32)  # padded block start
+
+        dma_e = pltpu.make_async_copy(
+            epack_hbm.at[:, :, pl.ds(c0, NW), :], e_vm,
+            sems.at[jnp.asarray(0, jnp.int32)])
+        dma_n = pltpu.make_async_copy(
+            npack_hbm.at[:, pl.ds(c0, NW), :], n_vm,
+            sems.at[jnp.asarray(1, jnp.int32)])
+        if not uniform_mat:
+            dma_ce = pltpu.make_async_copy(
+                cep_hbm.at[:, :, pl.ds(c0, NW), :], ce_vm,
+                sems.at[jnp.asarray(2, jnp.int32)])
+        dma_cn = pltpu.make_async_copy(
+            cnp_hbm.at[:, pl.ds(c0, NW), :], cn_vm,
+            sems.at[jnp.asarray(3, jnp.int32)])
+        dma_t = pltpu.make_async_copy(
+            tgt_hbm.at[:, pl.ds(c0, NW), :], tgt_vm,
+            sems.at[jnp.asarray(4, jnp.int32)])
+        dma_e.start()
+        dma_n.start()
+        if not uniform_mat:
+            dma_ce.start()
+        dma_cn.start()
+        dma_t.start()
+        dma_e.wait()
+        dma_n.wait()
+        if not uniform_mat:
+            dma_ce.wait()
+        dma_cn.wait()
+        dma_t.wait()
+
+        e_out, n_out = _core(t, dt_ref[0, 0], dt_ref[0, 1],
+                             dt_ref[0, 2] > 0, dt_ref[0, 3] > 0, red_ref,
+                             e_vm, n_vm, ce_vm, cn_vm, tgt_vm)
+
         # ---- pack outputs and DMA the owned slices out ----
+        own_c = slice(H, H + TC)
+
         def put_e(nm, v):
             eo_vm[_eslot(nm)] = v[:, own_c]
 
@@ -938,30 +1044,14 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             eo_vm[k + 1] = tt[1][:, own_c]
             eo_vm[k + 2] = tt[2][:, own_c]
 
-        put_e("volume", volume_new)
-        put_e("volume_old", volume_old_out)
-        put_e("stressyy", stressyy)
-        put_e("plstrain", plstrain)
-        put_e("delta_plstrain", delta_plstrain)
-        put_e("viscosity", viscosity)
-        put_e("dpressure", dpressure)
-        put_e("edvoldt", edvoldt)
-        put_t("stress", stress3)
-        put_t("strain", strain3)
-        put_t("strain_rate", edot)
+        for nm in E_SLOTS:
+            put_e(nm, e_out[nm])
+        for nm in T_SLOTS:
+            put_t(nm, e_out[nm])
 
         own_n1 = slice(H, H + TCN)  # overlaps next tile (benign)
-        no_vm[_nslot("coord_x")] = coord_x[own_n1]
-        no_vm[_nslot("coord_z")] = coord_z[own_n1]
-        no_vm[_nslot("vel_x")] = vel_x[own_n1]
-        no_vm[_nslot("vel_z")] = vel_z[own_n1]
-        no_vm[_nslot("temperature")] = temperature_new[own_n1]
-        no_vm[_nslot("mass")] = mass_new[own_n1]
-        no_vm[_nslot("tmass")] = tmass_new[own_n1]
-        no_vm[_nslot("hmass")] = hmass_new[own_n1]
-        no_vm[_nslot("volume_n")] = volume_n[own_n1]
-        no_vm[_nslot("force_x")] = fdx[own_n1]
-        no_vm[_nslot("force_z")] = fdz[own_n1]
+        for nm in N_SLOTS:
+            no_vm[_nslot(nm)] = n_out[nm][own_n1]
 
         dma_eo = pltpu.make_async_copy(
             eo_vm,
@@ -976,6 +1066,231 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         dma_no.start()
         dma_eo.wait()
         dma_no.wait()
+
+    # ---------------- VMEM-resident multi-step chunk kernel ----------
+    # The whole mesh is ONE block (TC = nxc): state planes stay resident
+    # in VMEM while `resident_n` steps run inside the kernel, so HBM is
+    # touched twice per CHUNK instead of twice per STEP.  dt refreshes
+    # in-kernel on the 10-step cadence (dynearthsol.cxx:861-871) from
+    # full-mesh reductions; the per-step dt history is emitted so the
+    # XLA glue reconstructs `time` exactly in f64.
+    if resident_n is not None:
+        assert T == 1, "resident kernel requires tc_override = nxc"
+        n_steps = int(resident_n)
+        big_f = float(np.finfo(np.float32).max)
+        inertial = float(ctrl.inertial_scaling)
+
+        def kernel_res(scal_ref, flags_ref, epack_hbm, npack_hbm, cep_hbm,
+                       cnp_hbm, tgt_hbm, eout_hbm, nout_hbm,
+                       dthist_ref, sout_ref,
+                       e_vm, n_vm, ce_vm, cn_vm, tgt_vm,
+                       red_ref, carry_ref, sems):
+            c0 = jnp.asarray(PADL - H, jnp.int32)  # == 0
+            dma_e = pltpu.make_async_copy(
+                epack_hbm.at[:, :, pl.ds(c0, NW), :], e_vm,
+                sems.at[jnp.asarray(0, jnp.int32)])
+            dma_n = pltpu.make_async_copy(
+                npack_hbm.at[:, pl.ds(c0, NW), :], n_vm,
+                sems.at[jnp.asarray(1, jnp.int32)])
+            if not uniform_mat:
+                dma_ce = pltpu.make_async_copy(
+                    cep_hbm.at[:, :, pl.ds(c0, NW), :], ce_vm,
+                    sems.at[jnp.asarray(2, jnp.int32)])
+            dma_cn = pltpu.make_async_copy(
+                cnp_hbm.at[:, pl.ds(c0, NW), :], cn_vm,
+                sems.at[jnp.asarray(3, jnp.int32)])
+            dma_t = pltpu.make_async_copy(
+                tgt_hbm.at[:, pl.ds(c0, NW), :], tgt_vm,
+                sems.at[jnp.asarray(4, jnp.int32)])
+            dma_e.start()
+            dma_n.start()
+            if not uniform_mat:
+                dma_ce.start()
+            dma_cn.start()
+            dma_t.start()
+            dma_e.wait()
+            dma_n.wait()
+            if not uniform_mat:
+                dma_ce.wait()
+            dma_cn.wait()
+            dma_t.wait()
+
+            # carries: [dt, vmax, gdtmin]; scal extras: dt_maxwell
+            carry_ref[0, 0] = scal_ref[0, 0]
+            carry_ref[0, 1] = scal_ref[0, 1]
+            carry_ref[0, 2] = scal_ref[0, 2]
+            dt_maxwell = scal_ref[0, 3]
+            t0 = jnp.asarray(0, jnp.int32)
+
+            def body(k, carry):
+                dt = carry_ref[0, 0]
+                gvs = carry_ref[0, 1] * jnp.asarray(inertial, dtype)
+                refresh = flags_ref[k, 0] > 0
+                decay = flags_ref[k, 1] > 0
+                red_ref[0, 0] = jnp.asarray(big_f, dtype)
+                red_ref[0, 1] = jnp.asarray(big_f, dtype)
+                red_ref[0, 2] = jnp.asarray(0.0, dtype)
+                red_ref[0, 3] = jnp.asarray(0.0, dtype)
+
+                e_out, n_out = _core(t0, dt, gvs, refresh, decay, red_ref,
+                                     e_vm, n_vm, ce_vm, cn_vm, tgt_vm)
+
+                # write the owned region back into the resident block
+                # (ghost columns keep their initial pad values; their
+                # contributions never reach real rows, exactly as in the
+                # tiled path)
+                for nm in E_SLOTS:
+                    e_vm[_eslot(nm), :, H:H + TC, :] = \
+                        e_out[nm][:, H:H + TC]
+                for nm in T_SLOTS:
+                    k0 = _tslot(nm)
+                    for j in range(3):
+                        e_vm[k0 + j, :, H:H + TC, :] = \
+                            e_out[nm][j][:, H:H + TC]
+                for nm in N_SLOTS:
+                    n_vm[_nslot(nm), H:H + TCN, :] = \
+                        n_out[nm][H:H + TCN]
+
+                dthist_ref[k, 0] = dt
+                sout_ref[0, 3] = red_ref[0, 3]  # last step's L2 partial
+
+                @pl.when(refresh)
+                def _():
+                    minh = red_ref[0, 0]
+                    vmax = jnp.maximum(red_ref[0, 2],
+                                       jnp.asarray(max_vbc_val, dtype))
+                    carry_ref[0, 1] = vmax
+                    carry_ref[0, 2] = red_ref[0, 1] / 5.0
+                    if ctrl.fixed_dt != 0.0:
+                        carry_ref[0, 0] = jnp.asarray(ctrl.fixed_dt, dtype)
+                    else:
+                        dt_diff = 0.5 * minh * minh \
+                            / jnp.asarray(therm_diff_max, dtype) \
+                            if ctrl.has_thermal_diffusion \
+                            else jnp.asarray(big_f, dtype)
+                        dt_adv = 0.5 * minh \
+                            / jnp.asarray(max_vbc_val, dtype)
+                        if ctrl.is_quasi_static:
+                            dt_el = 0.5 * minh \
+                                / jnp.asarray(pseudo_speed, dtype)
+                        else:
+                            dt_el = 0.5 * minh \
+                                / jnp.asarray(swave_ref, dtype)
+                        carry_ref[0, 0] = jnp.minimum(
+                            jnp.minimum(dt_el, dt_maxwell),
+                            jnp.minimum(dt_adv, dt_diff)) \
+                            * jnp.asarray(ctrl.dt_fraction, dtype)
+                return carry
+
+            jax.lax.fori_loop(jnp.asarray(0, jnp.int32),
+                              jnp.asarray(n_steps, jnp.int32), body,
+                              jnp.asarray(0, jnp.int32))
+
+            sout_ref[0, 0] = carry_ref[0, 0]
+            sout_ref[0, 1] = carry_ref[0, 1]
+            sout_ref[0, 2] = carry_ref[0, 2]
+
+            dma_eo = pltpu.make_async_copy(
+                e_vm.at[:, :, pl.ds(jnp.asarray(H, jnp.int32), TC), :],
+                eout_hbm.at[:, :, pl.ds(jnp.asarray(PADL, jnp.int32), TC),
+                            :],
+                sems.at[jnp.asarray(5, jnp.int32)])
+            dma_no = pltpu.make_async_copy(
+                n_vm.at[:, pl.ds(jnp.asarray(H, jnp.int32), TCN), :],
+                nout_hbm.at[:, pl.ds(jnp.asarray(PADL, jnp.int32), TCN),
+                            :],
+                sems.at[jnp.asarray(6, jnp.int32)])
+            dma_eo.start()
+            dma_no.start()
+            dma_eo.wait()
+            dma_no.wait()
+
+        res_fn = pl.pallas_call(
+            kernel_res,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (1,4)
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (n,2)
+                pl.BlockSpec(memory_space=pltpu.ANY),   # epack
+                pl.BlockSpec(memory_space=pltpu.ANY),   # npack
+                pl.BlockSpec(memory_space=pltpu.ANY),   # const epack
+                pl.BlockSpec(memory_space=pltpu.ANY),   # const npack
+                pl.BlockSpec(memory_space=pltpu.ANY),   # vbc targets
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),   # epack out
+                pl.BlockSpec(memory_space=pltpu.ANY),   # npack out
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # dt history
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # final scalars
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NE, 2, nxp_c, nzc), dtype),
+                jax.ShapeDtypeStruct((NN, nxp_n, NZP), dtype),
+                jax.ShapeDtypeStruct((n_steps, 1), dtype),
+                jax.ShapeDtypeStruct((1, 4), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((NE, 2, NW, nzc), dtype),
+                pltpu.VMEM((NN, NW, NZP), dtype),
+                pltpu.VMEM((1, 1, 8, 128) if uniform_mat
+                           else (NCE, 2, NW, nzc), dtype),
+                pltpu.VMEM((NCN, NW, NZP), dtype),
+                pltpu.VMEM((2, NW, NZP), dtype),
+                pltpu.SMEM((1, 4), dtype),   # reduction partials
+                pltpu.SMEM((1, 4), dtype),   # dt/vmax/gdtmin carries
+                pltpu.SemaphoreType.DMA((7,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=INTERPRET,
+            debug=bool(int(__import__('os').environ
+                           .get('PALLAS2D_DEBUG', '0'))),
+        )
+
+        def step_chunk(sctx, s, consts):
+            """Run the whole chunk in one resident kernel call."""
+            cepack, cnpack = consts
+            epack, npack = s.volume, s.coord
+            ks = s.steps + 1 + jnp.arange(n_steps)
+            refresh_v = (ks % 10 == 0)
+            decay_v = (ks % param.mesh.quality_check_step_interval) == 0
+            flags = jnp.stack([refresh_v, decay_v], axis=1).astype(dtype)
+
+            # chunk-constant vbc targets (resident_applicable guarantees
+            # coord/time independence)
+            cx = npack[_nslot("coord_x"), PADL:PADL + nx, :nz]
+            cz = npack[_nslot("coord_z"), PADL:PADL + nx, :nz]
+            coord_flat = jnp.stack([cx.reshape(-1), cz.reshape(-1)],
+                                   axis=1)
+            tgt = bc_mod.apply_vbcs(sctx.vbc, jnp.zeros_like(coord_flat),
+                                    coord_flat, s.time)
+            tgt_planes = jnp.pad(
+                jnp.stack([tgt[:, 0].reshape(nx, nz),
+                           tgt[:, 1].reshape(nx, nz)]),
+                ((0, 0), (PADL, PADR), (0, NZP - nz)))
+
+            dt_maxwell = (0.5 * visc_min
+                          / (1e-40 + M.shearm(sctx.mat, s.emw))).min()
+            scal = jnp.stack([
+                s.dt.astype(dtype),
+                s.max_global_vel_mag.astype(dtype),
+                s.global_dt_min.astype(dtype),
+                dt_maxwell.astype(dtype)]).reshape(1, 4)
+            cep = jnp.zeros((1, 1, 8, 128), dtype) if uniform_mat \
+                else cepack
+            eout, nout, dthist, sout = res_fn(scal, flags, epack, npack,
+                                              cep, cnpack, tgt_planes)
+            time = s.time + dthist[:, 0].astype(s.time.dtype).sum()
+            l2_res = jnp.sqrt(sout[0, 3] / (nx * nz * 2))
+            return dataclasses.replace(
+                s, volume=eout, coord=nout,
+                time=time, dt=sout[0, 0].astype(s.dt.dtype),
+                steps=s.steps + n_steps,
+                max_global_vel_mag=sout[0, 1].astype(
+                    s.max_global_vel_mag.dtype),
+                global_dt_min=sout[0, 2].astype(s.global_dt_min.dtype),
+                l2_residual=l2_res.astype(s.l2_residual.dtype))
+
+        return step_chunk
 
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),     # dt, vmax*scaling

@@ -1177,6 +1177,15 @@ class Simulation:
                 pallas3d
 
             step = self._step_fn
+            if (pallas2d.resident_applicable(self.param, self.ctx)
+                    and not os.environ.get("DES_NO_PALLAS")):
+                # VMEM-resident multi-step kernel: the whole mesh stays
+                # on-chip for the whole scan chunk; HBM is touched twice
+                # per chunk instead of twice per step (ops/pallas2d.py)
+                self.step_path = "pallas2d_res"
+                self._chunk_fns[n] = pallas2d.make_resident_chunk_runner(
+                    self.param, self.ctx, self.compensation_pressure, n)
+                return self._chunk_fns[n]
             if (pallas2d.pallas_step_applicable(self.param, self.ctx)
                     and not os.environ.get("DES_NO_PALLAS")):
                 # fused single-kernel Pallas step (ops/pallas2d.py): the

@@ -97,3 +97,72 @@ def test_pallas_matches_grid_step():
     for f in ("dt", "time", "max_global_vel_mag"):
         a, b = float(getattr(ref, f)), float(getattr(out, f))
         assert abs(a - b) <= 1e-5 * max(abs(a), 1e-300), f
+
+
+def test_resident_gate():
+    sim = make_sim()
+    assert pallas2d.resident_applicable(sim.param, sim.ctx)
+    # time-periodic vbc profile -> targets not chunk-constant
+    simp = make_sim(bc={"vbc_period_x0_time_in_yr": [0.0, 1e3],
+                        "vbc_period_x0_ratio": [1.0, 0.5]})
+    assert not pallas2d.resident_applicable(simp.param, simp.ctx)
+    # RSF-style global velocity scaling feeds vmax back per step
+    simg = make_sim(control={"use_global_velocity_scaling": True})
+    assert not pallas2d.resident_applicable(simg.param, simg.ctx)
+
+
+def test_resident_matches_tiled_and_grid():
+    """The VMEM-resident multi-step kernel must reproduce the per-step
+    tiled kernel (same core, same arithmetic) and the grid oracle across
+    a dt-refresh boundary (N=25 crosses refreshes at steps 10 and 20)."""
+    sim = make_sim()
+    N = 25
+    nx, nz = sim.ctx.sgrid
+
+    gstep = grid2d.make_grid_step(sim.param, sim.ctx, 0.0)
+    g = grid2d.state_to_grid(sim.state, nx, nz)
+    for _ in range(N):
+        g = gstep(sim.ctx, g)
+    ref = grid2d.grid_to_state(g, nx, nz)
+
+    old = pallas2d.INTERPRET
+    pallas2d.INTERPRET = True
+    try:
+        run_t = pallas2d.make_chunk_runner(sim.param, sim.ctx, 0.0, N)
+        tiled = run_t(sim.ctx, sim.state)
+        run_r = pallas2d.make_resident_chunk_runner(sim.param, sim.ctx,
+                                                    0.0, N)
+        res = run_r(sim.ctx, sim.state)
+    finally:
+        pallas2d.INTERPRET = old
+
+    # resident vs tiled: identical core arithmetic per step.  The EVP
+    # min-select (rheology.cxx:869-879) is a discontinuous branch: at
+    # near-tie cells (svII ~ spII) one-ULP compile-context differences
+    # flip it — the tied stresses agree, but the branch-selected
+    # stressyy/plstrain/viscosity fields show the flip at ~1e-5.
+    select_tol = {"stressyy": 5e-5, "plstrain": 5e-5,
+                  "delta_plstrain": 5e-4, "viscosity": 5e-4}
+    for f in ("coord", "vel", "temperature", "stress", "strain",
+              "plstrain", "stressyy", "volume", "volume_n", "mass",
+              "tmass", "force", "strain_rate", "edvoldt",
+              "delta_plstrain", "hmass", "viscosity"):
+        a = np.asarray(getattr(tiled, f), dtype=np.float64)
+        b = np.asarray(getattr(res, f), dtype=np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < select_tol.get(f, 1e-6), f
+    for f in ("dt", "time", "max_global_vel_mag", "global_dt_min",
+              "steps"):
+        a, b = float(getattr(tiled, f)), float(getattr(res, f))
+        assert abs(a - b) <= 1e-6 * max(abs(a), 1e-300), f
+
+    # resident vs grid oracle: f32 association drift grows with N (the
+    # tiled kernel shows the IDENTICAL drift at N=25: vel/stress 3e-4,
+    # force 1e-3 — measured side by side)
+    tols = {"force": 2e-3, "vel": 1e-3, "stress": 1e-3, "plstrain": 5e-4}
+    for f in ("coord", "vel", "temperature", "stress", "strain",
+              "plstrain", "volume", "mass"):
+        a = np.asarray(getattr(ref, f), dtype=np.float64)
+        b = np.asarray(getattr(res, f), dtype=np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < tols.get(f, 2e-4), f
