@@ -71,9 +71,12 @@ NE = len(E_SLOTS) + 3 * len(T_SLOTS)
 # the CPU oracle path for validating against grid2d
 INTERPRET = False
 
-# nodal pack: (NN, nxp_n, nz)
+# nodal pack: (NN, nxp_n, nz).  "dhacc" is the surface-process height
+# accumulator (top lane only); "edv" carries edvacc_surf per top FACET,
+# stored at the facet's left node column on the top lane.
 N_SLOTS = ("coord_x", "coord_z", "vel_x", "vel_z", "temperature",
-           "mass", "tmass", "hmass", "volume_n", "force_x", "force_z")
+           "mass", "tmass", "hmass", "volume_n", "force_x", "force_z",
+           "dhacc", "edv")
 NN = len(N_SLOTS)
 
 # const element pack (per chunk): validity + per-chunk property planes
@@ -105,13 +108,71 @@ def _ceslot(name: str) -> int:
     return CE_SLOTS.index(name)
 
 
+def _grav_facets_structured(param, ctx):
+    """Decode the gravity-traction facet tables (ctx.sbc) on a 2D
+    structured grid into compile-time constants for the in-kernel
+    Winkler/water blocks.  Returns None when there are no gravity
+    facets; raises ValueError when the tables are not the canonical
+    full bottom/top rows (the gate rejects those configs first)."""
+    n_grav = int(ctx.sbc.n_grav)
+    if n_grav == 0:
+        return None
+    nx, nz = ctx.sgrid
+    nxc, nzc = nx - 1, nz - 1
+    fn = np.asarray(ctx.sbc.facet_nodes)      # (n, 2)
+    fe = np.asarray(ctx.sbc.facet_elem)       # (n,)
+    kind = np.asarray(ctx.sbc.kind)           # (n,)
+    if not set(np.unique(kind)).issubset({0, 1}):
+        raise ValueError("sidewall lithostatic facets not supported "
+                         "in-kernel")
+    spec = {"winkler": False, "water": False,
+            "tri_bottom": 0, "sgn_bottom": 1.0,
+            "tri_top": 0, "sgn_top": 1.0}
+    for kval, name, lane in ((0, "bottom", 0), (1, "top", nz - 1)):
+        rows = np.where(kind == kval)[0]
+        if rows.size == 0:
+            continue
+        f = fn[rows]
+        cols = f // nz
+        lanes = f % nz
+        if not (lanes == lane).all():
+            raise ValueError(f"{name} facets off the boundary lane")
+        lo = cols.min(axis=1)
+        if rows.size != nxc or sorted(lo.tolist()) != list(range(nxc)):
+            raise ValueError(f"{name} facet row incomplete")
+        left_first = cols[:, 0] < cols[:, 1]
+        if not (left_first.all() or (~left_first).all()):
+            raise ValueError(f"{name} facet ordering mixed")
+        tri = fe[rows] % 2
+        erow = (fe[rows] // 2) % nzc
+        if np.unique(tri).size != 1 \
+                or not (erow == (0 if kval == 0 else nzc - 1)).all():
+            raise ValueError(f"{name} facet elements not canonical")
+        if kval == 0:
+            spec["winkler"] = True
+            spec["tri_bottom"] = int(tri[0])
+            spec["sgn_bottom"] = 1.0 if left_first.all() else -1.0
+        else:
+            spec["water"] = True
+            spec["tri_top"] = int(tri[0])
+            spec["sgn_top"] = 1.0 if left_first.all() else -1.0
+    return spec
+
+
 def pallas_step_applicable(param: Param, ctx) -> bool:
     """Static gate for the fused Pallas path; see module docstring."""
-    from . import grid2d
-
-    if not grid2d.grid_step_applicable(param, ctx):
-        return False
     ctrl = param.control
+    rheol = param.mat.rheol_type
+    if not (ctx.sgrid is not None and ctx.axis is None and ctx.ndims == 2
+            and not ctrl.has_hydraulic_diffusion
+            and not ctrl.has_PT
+            and rheol in (RH_ELASTIC, RH_VISCOUS, RH_MAXWELL, RH_EP,
+                          RH_EVP)
+            and (rheol not in (RH_EP, RH_EVP)
+                 or param.mat.is_plane_strain)):
+        return False
+    if ctrl.surface_process_option not in (0, 1):
+        return False
     if param.sim.float_dtype != "float32":
         return False
     if param.sim.is_outputting_averaged_fields:
@@ -120,9 +181,13 @@ def pallas_step_applicable(param: Param, ctx) -> bool:
         return False
     if ctrl.damping_option not in (0, 1, 2, 3, 4):
         return False
-    if ctx.sbc.n_grav > 0 or ctx.sbc.n_neu > 0 \
-            or param.bc.has_elastic_foundation:
+    if ctx.sbc.n_neu > 0 or param.bc.has_elastic_foundation:
         return False
+    if ctx.sbc.n_grav > 0:
+        try:
+            _grav_facets_structured(param, ctx)
+        except ValueError:
+            return False
     if ctx.vbc.incl is not None:
         # inclined-boundary projections depend on the current velocity,
         # which the mask/target vbc extraction cannot represent
@@ -206,15 +271,16 @@ def make_resident_chunk_runner(param: Param, ctx,
     """jit(run_chunk)(ctx, state): pack -> ONE resident kernel call of n
     fused steps -> unpack."""
     nx, nz = ctx.sgrid
+    cols = surf_facet_cols(ctx)
     chunk_step = make_pallas_step(param, ctx, compensation_pressure,
                                   tc_override=nx - 1, resident_n=n)
 
     @jax.jit
     def run_chunk(sctx, state):
         consts = _const_packs(param, sctx, state, nx, nz)
-        g = state_to_pgrid(state, nx, nz, param)
+        g = state_to_pgrid(state, nx, nz, param, surf_cols=cols)
         g = chunk_step(sctx, g, consts)
-        return pgrid_to_state(g, nx, nz, param)
+        return pgrid_to_state(g, nx, nz, param, surf_cols=cols)
 
     return run_chunk
 
@@ -238,8 +304,12 @@ def _nzp(nz: int) -> int:
     return ((nz + 127) // 128) * 128
 
 
-def state_to_pgrid(s, nx: int, nz: int, param):
-    """AoS State -> packed ghost-padded planes (epack, npack in State)."""
+def state_to_pgrid(s, nx: int, nz: int, param, surf_cols=None):
+    """AoS State -> packed ghost-padded planes (epack, npack in State).
+
+    ``surf_cols``: (etop,) numpy column index of each top facet's left
+    node (from surf_facet_cols) — maps edvacc_surf onto the "edv" nodal
+    plane; None when there are no top facets."""
     _, PADL, PADR = _pad_geom(param)
     nxc, nzc = nx - 1, nz - 1
     nzp = _nzp(nz)
@@ -264,11 +334,18 @@ def state_to_pgrid(s, nx: int, nz: int, param):
     def n2p(a):
         return a.reshape(nx, nz)
 
+    # edvacc_surf (per top facet) rides a nodal plane at the facet's
+    # left node column, top lane (surf_cols maps facet -> column)
+    edv = jnp.zeros((nx, nz), dtype=dtype)
+    if surf_cols is not None and surf_cols.size:
+        edv = edv.at[surf_cols, nz - 1].set(
+            s.edvacc_surf.astype(dtype))
     nplanes = [n2p(s.coord[:, 0]), n2p(s.coord[:, 1]),
                n2p(s.vel[:, 0]), n2p(s.vel[:, 1]),
                n2p(s.temperature), n2p(s.mass), n2p(s.tmass),
                n2p(s.hmass), n2p(s.volume_n),
-               n2p(s.force[:, 0]), n2p(s.force[:, 1])]
+               n2p(s.force[:, 0]), n2p(s.force[:, 1]),
+               n2p(s.dhacc.astype(dtype)), edv]
     npack = jnp.stack(nplanes)  # (NN, nx, nz)
     npack = jnp.pad(npack, ((0, 0), (PADL, PADR), (0, nzp - nz)))
     # ghost mass = 1 (never divided at real nodes; belt and braces)
@@ -282,7 +359,7 @@ def state_to_pgrid(s, nx: int, nz: int, param):
     # is passthrough.  pgrid_to_state restores the real layout.
 
 
-def pgrid_to_state(g, nx: int, nz: int, param):
+def pgrid_to_state(g, nx: int, nz: int, param, surf_cols=None):
     """Packed planes -> AoS State."""
     _, PADL, _ = _pad_geom(param)
     nxc, nzc = nx - 1, nz - 1
@@ -309,7 +386,23 @@ def pgrid_to_state(g, nx: int, nz: int, param):
     upd["hmass"] = p2n(7)
     upd["volume_n"] = p2n(8)
     upd["force"] = jnp.stack([p2n(9), p2n(10)], axis=1)
+    upd["dhacc"] = p2n(_nslot("dhacc")).astype(g.dhacc.dtype)
+    if surf_cols is not None and surf_cols.size:
+        upd["edvacc_surf"] = npack[_nslot("edv")][surf_cols, nz - 1] \
+            .astype(g.edvacc_surf.dtype)
     return dataclasses.replace(g, **upd)
+
+
+def surf_facet_cols(ctx):
+    """(etop,) numpy column of each top facet's LEFT node, or None.
+    Top facets on the structured grid run between node columns
+    (i, i+1); the left column is the smaller node id // nz."""
+    etop = int(ctx.surf.etop)
+    if etop == 0:
+        return None
+    fn = np.asarray(ctx.surf.facet_nodes)  # (etop, 2)
+    nz = ctx.sgrid[1]
+    return (fn.min(axis=1) // nz).astype(np.int64)
 
 
 def _const_packs(param, ctx, s, nx, nz):
@@ -436,6 +529,9 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0,
                               / mat.rho0[mat.mattype_ref]))
     # dt_maxwell is constant through a chunk: shearm is emw-only
     nmd = bool(ctrl.is_using_mixed_stress)
+    surf_on = (ctrl.surface_process_option == 1
+               and int(ctx.surf.etop) > 0)
+    grav_spec = _grav_facets_structured(param, ctx)
 
     # Single-material models have spatially uniform properties: embed them
     # as compile-time scalars and skip the const-pack DMA entirely (the
@@ -814,6 +910,62 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0,
         force_x = -asm_local(*fx, par)
         force_z = -asm_local(*fz, par)
 
+        # gravity facet tractions (apply_stress_bcs, bc.cxx:632-790):
+        # Winkler foundation on the bottom node lane, water loading on
+        # the top lane.  Facet planes live between node columns (i,i+1)
+        # — shape (NW-1, NZP) — masked to the boundary lane and real
+        # cell columns, then pad-added to both end nodes.
+        if grav_spec is not None:
+            colf = jax.lax.broadcasted_iota(
+                jnp.int32, (NW - 1, NZP), 0) \
+                + (a - jnp.asarray(H, jnp.int32))
+            col_real = (colf >= 0) & (colf < jnp.asarray(nxc, jnp.int32))
+            lane_n = jax.lax.broadcasted_iota(jnp.int32, (NW - 1, NZP), 1)
+            cxp, czp = N("coord_x"), N("coord_z")
+            vdx = cxp[1:] - cxp[:-1]
+            vdz = czp[1:] - czp[:-1]
+            zc_f = 0.5 * (czp[1:] + czp[:-1])
+            gconst = jnp.asarray(ctrl.gravity, dtype)
+
+            def facet_add(p, sgn, mask):
+                # outward normal of the stored (left->right) edge order:
+                # (dz, -dx); sgn flips for right->left tables.  The full
+                # product sits INSIDE the where: ghost coord columns are
+                # uninitialized HBM on the tiled path and a masked
+                # 0 * NaN would still poison the pad-add below.
+                cx_f = jnp.where(mask, -0.5 * p * sgn * vdz, _c(0.0))
+                cz_f = jnp.where(mask, 0.5 * p * sgn * vdx, _c(0.0))
+                fxp = jnp.pad(cx_f, ((0, 1), (0, 0))) \
+                    + jnp.pad(cx_f, ((1, 0), (0, 0)))
+                fzp = jnp.pad(cz_f, ((0, 1), (0, 0))) \
+                    + jnp.pad(cz_f, ((1, 0), (0, 0)))
+                return fxp, fzp
+
+            if grav_spec["winkler"]:
+                rho_b = jnp.pad(rho_e[grav_spec["tri_bottom"]],
+                                ((0, 0), (0, NZP - nzc)))
+                p_wink = (jnp.asarray(compensation_pressure, dtype)
+                          - (rho_b
+                             + jnp.asarray(param.bc.winkler_delta_rho,
+                                           dtype))
+                          * gconst
+                          * (zc_f + jnp.asarray(param.mesh.zlength,
+                                                dtype)))
+                mb = col_real & (lane_n == 0)
+                fxp, fzp = facet_add(p_wink, grav_spec["sgn_bottom"], mb)
+                force_x = force_x + fxp
+                force_z = force_z + fzp
+            if grav_spec["water"]:
+                base = jnp.asarray(ctrl.surf_base_level, dtype)
+                p_wat = jnp.where(
+                    zc_f < base,
+                    jnp.asarray(1030.0, dtype) * gconst * (base - zc_f),
+                    _c(0.0))
+                mt = col_real & (lane_n == jnp.asarray(nz - 1, jnp.int32))
+                fxp, fzp = facet_add(p_wat, grav_spec["sgn_top"], mt)
+                force_x = force_x + fxp
+                force_z = force_z + fzp
+
         # residual L2 partial over owned nodes (last tile adds edge col)
         own_n = slice(H, H + TC)
         r2 = (force_x[own_n] ** 2 + force_z[own_n] ** 2).sum()
@@ -869,6 +1021,48 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0,
         # coordinate update + post-move geometry (dynearthsol.cxx:431-473)
         coord_x = N("coord_x") + vel_x * dt
         coord_z = N("coord_z") + vel_z * dt
+
+        # surface processes option 1 (surface_dh_2d, bc.cxx:990-1073):
+        # FD hillslope diffusion of the top lane, applied between the
+        # coordinate update and the post-move geometry exactly like
+        # update_mesh (dynearthsol.cxx:431-473)
+        dhacc_new = N("dhacc")
+        edv_new = N("edv")
+        if surf_on:
+            colf = jax.lax.broadcasted_iota(
+                jnp.int32, (NW - 1, NZP), 0) \
+                + (a - jnp.asarray(H, jnp.int32))
+            col_real = (colf >= 0) & (colf < jnp.asarray(nxc, jnp.int32))
+            lane_n = jax.lax.broadcasted_iota(jnp.int32, (NW - 1, NZP), 1)
+            fmask = col_real & (lane_n == jnp.asarray(nz - 1, jnp.int32))
+            adx = jnp.abs(coord_x[1:] - coord_x[:-1])
+            safe_e = jnp.where(adx > 0, adx, _c(1.0))
+            slope = (coord_z[1:] - coord_z[:-1]) / safe_e
+            sl = jnp.where(fmask, slope, _c(0.0))
+            dxm = jnp.where(fmask, adx, _c(0.0))
+            tslope = jnp.pad(-sl, ((0, 1), (0, 0))) \
+                + jnp.pad(sl, ((1, 0), (0, 0)))
+            tdx = jnp.pad(dxm, ((0, 1), (0, 0))) \
+                + jnp.pad(dxm, ((1, 0), (0, 0)))
+            conv = jnp.asarray(ctrl.surface_diffusivity, dtype) * dt \
+                * tslope / jnp.where(tdx > 0, tdx, _c(1.0))
+            base = jnp.asarray(ctrl.surf_base_level, dtype)
+            rt = jnp.asarray(ctrl.surf_diff_ratio_terrig, dtype)
+            rm = jnp.asarray(ctrl.surf_diff_ratio_marine, dtype)
+            dh = jnp.where((coord_z > base) & (conv > 0), -rt * conv,
+                           jnp.where((coord_z <= base) & (conv < 0),
+                                     -rm * conv, -conv))
+            # top-node mask via select (ghost coords can be NaN garbage
+            # on the tiled path; mask * NaN would poison real nodes)
+            dh = jnp.where(cn_vm[0] > 0, dh, _c(0.0))
+            coord_z = coord_z + dh
+            dhacc_new = dhacc_new + dh
+            # per-facet deposited volume (bc.cxx:1745-1760), stored at
+            # the facet's left node column on the top lane
+            dv = jnp.where(fmask, (dh[1:] + dh[:-1]) * adx * _c(0.5),
+                           _c(0.0))
+            edv_new = edv_new + jnp.pad(dv, ((0, 1), (0, 0)))
+
         xs2 = gather_local(coord_x, par)
         zs2 = gather_local(coord_z, par)
         vxs2 = gather_local(vel_x, par)
@@ -987,7 +1181,8 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0,
                  "vel_x": vel_x, "vel_z": vel_z,
                  "temperature": temperature_new, "mass": mass_new,
                  "tmass": tmass_new, "hmass": hmass_new,
-                 "volume_n": volume_n, "force_x": fdx, "force_z": fdz}
+                 "volume_n": volume_n, "force_x": fdx, "force_z": fdz,
+                 "dhacc": dhacc_new, "edv": edv_new}
         return e_out, n_out
 
     def _tile(t, dt_ref, epack_hbm, npack_hbm, cep_hbm, cnp_hbm, tgt_hbm,
@@ -1416,17 +1611,18 @@ def make_chunk_runner(param: Param, ctx, compensation_pressure: float,
                       n: int):
     """jit(run_chunk)(ctx, state): pack -> scan n fused steps -> unpack."""
     nx, nz = ctx.sgrid
+    cols = surf_facet_cols(ctx)
     step = make_pallas_step(param, ctx, compensation_pressure)
 
     @jax.jit
     def run_chunk(sctx, state):
         consts = _const_packs(param, sctx, state, nx, nz)
-        g = state_to_pgrid(state, nx, nz, param)
+        g = state_to_pgrid(state, nx, nz, param, surf_cols=cols)
 
         def body(s, _):
             return step(sctx, s, consts), None
 
         g, _ = jax.lax.scan(body, g, length=n)
-        return pgrid_to_state(g, nx, nz, param)
+        return pgrid_to_state(g, nx, nz, param, surf_cols=cols)
 
     return run_chunk
