@@ -157,13 +157,25 @@ def production_param(dtype="float32"):
 
 
 def flagship3d_param(nx_cells=256, ny_cells=48, nz_cells=16,
-                     dtype="float32"):
+                     dtype="float32", nmat=1):
     """3D EVP box: 256x48x16 cells x 5 tets = 983k elements — the
-    BASELINE.md north-star scale, on the fused Pallas 3D path."""
+    BASELINE.md north-star scale, on the fused Pallas 3D path.
+    ``nmat=2`` adds a crust/mantle marker layering (matprops.cxx
+    mixtures in the hot loop via the const-property-plane pack)."""
     import dynearthsol_tpu as des
 
     resolution = 1e3
+    extra = {}
+    if nmat == 2:
+        extra = {
+            "markers": {"markers_per_element": 4, "init_marker_option": 1},
+            "ic": {"mattype_layer_depths": [0.4], "layer_mattypes": [0, 1]},
+        }
+    mat2 = {"rho0": [2800.0, 3300.0], "bulk_modulus": [50e9, 80e9],
+            "shear_modulus": [30e9, 48e9]} if nmat == 2 else {
+        "rho0": [2800.0], "bulk_modulus": [50e9], "shear_modulus": [30e9]}
     return des.param_from_dict({
+        **extra,
         "sim": {"max_steps": 10**9, "ndims": 3, "float_dtype": dtype,
                 "is_outputting_averaged_fields": False},
         "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
@@ -185,9 +197,8 @@ def flagship3d_param(nx_cells=256, ny_cells=48, nz_cells=16,
                "surface_temperature": 273.0,
                "mantle_temperature": 1600.0},
         "mat": {"rheology_type": "elasto-visco-plastic",
-                "is_plane_strain": False,
-                "rho0": [2800.0], "bulk_modulus": [50e9],
-                "shear_modulus": [30e9],
+                "is_plane_strain": False, "nmat": nmat,
+                **mat2,
                 "visc_max": 1e24, "visc_min": 1e19},
     })
 
@@ -232,6 +243,13 @@ def run_case(case: str, dtype: str) -> dict:
                                      chunk=20 if slow64 else 100,
                                      bench_steps=40 if slow64 else 300)
         metric, dim = "evp3d_element_steps_per_sec", "3d"
+    elif case == "flagship3d_multimat":
+        # crust/mantle markers: the matprops mixture path
+        # (matprops.cxx:115-144) inside the fused 3D kernel
+        rate, nelem, path = _measure(flagship3d_param(dtype=dtype, nmat=2),
+                                     chunk=20 if slow64 else 100,
+                                     bench_steps=40 if slow64 else 300)
+        metric, dim = "evp3d_multimat_element_steps_per_sec", "3d"
     elif case == "unstructured":
         param = flagship_param(dtype=dtype)
         param.mesh.meshing_elem_shape = 0  # unstructured -> flat SoA path
@@ -270,6 +288,7 @@ def run_case(case: str, dtype: str) -> dict:
 
 
 SUITE = [("flagship", "float32"), ("flagship3d", "float32"),
+         ("flagship3d_multimat", "float32"),
          ("production", "float32"), ("unstructured", "float32"),
          ("postremesh", "float32"), ("flagship", "float64")]
 
@@ -316,7 +335,8 @@ def main(argv=None):
                          "precision path (TPU emulates f64 — expect "
                          "~30-60x slower; SURVEY §7.2 precision story)")
     ap.add_argument("--case", default=None,
-                    choices=["flagship", "flagship3d", "production",
+                    choices=["flagship", "flagship3d",
+                             "flagship3d_multimat", "production",
                              "unstructured", "postremesh"],
                     help="run one case in-process; default runs the full "
                          "suite, one subprocess per case")

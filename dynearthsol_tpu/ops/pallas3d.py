@@ -81,12 +81,14 @@ NN = len(N_SLOTS)
 CN_SLOTS = ("top_mask", "vbc_mask_x", "vbc_mask_y", "vbc_mask_z")
 NCN = len(CN_SLOTS)
 
-# const element pack (per chunk): per-material property mixtures that are
-# constant through a scan chunk (emw only changes at chunk boundaries) —
-# same design as the 2D kernel's const pack (pallas2d.CE_SLOTS)
-# + nmat material-weight planes appended at runtime
-CE3_SLOTS = ("radiogenic_source", "bulkm", "shearm", "kappa",
-             "rhoA", "rhoB", "buoyA", "buoyB", "cpA", "cpB", "hmA")
+# const element pack (per chunk): radiogenic source + the nmat raw
+# material-weight planes.  Unlike the 2D kernel (which also carries the
+# pre-mixed property planes), the 3D pack stores ONLY the weights and
+# the kernel mixes properties in-place from the compile-time material
+# tables — the 983k-tet tile budget cannot afford ~11 extra
+# (5, TY+2H, nzc, nxc) property slabs in VMEM (measured: the
+# const-plane variant oversubscribed scoped vmem by 6.4 MB at TY=8).
+CE3_SLOTS = ("radiogenic_source",)
 
 
 def _ce3slot(name: str) -> int:
@@ -286,42 +288,21 @@ def _const_npack(param, ctx, s, nx, ny, nz):
 
 
 def _const_epack(param, ctx, s, nx, ny, nz):
-    """Per-chunk constant element property planes (multi-material path;
-    mirror of pallas2d._const_packs): mixed moduli, conductivities and
-    buoyancy/heat/hydraulic coefficients from the marker weights, plus
-    the nmat raw weight planes for the in-kernel viscosity/plasticity
-    material loops.  (NCE, 5, nyp_c, nzc, nxc), ghost y rows zero."""
+    """Per-chunk constant element planes (multi-material path):
+    radiogenic source + the nmat raw marker-weight planes.  Property
+    MIXTURES are computed in-kernel from the weights (see CE3_SLOTS
+    note — the pre-mixed-plane design oversubscribes VMEM at the
+    983k-tet tile size).  (NCE, 5, nyp_c, nzc, nxc), ghost y rows
+    zero."""
     nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
-    tab = ctx.mat
     dtype = s.emw.dtype
     nmat = s.emw.shape[1]
     # (nelem, nmat) -> (5, nyc, nzc, nxc, nmat), cf. state_to_pgrid.e2p
     emw = s.emw.reshape(nxc, nyc, nzc, 5, nmat).transpose(3, 1, 2, 0, 4)
-    npe = 4.0
-    g = param.control.gravity
-
-    wsum = emw.sum(axis=-1)
-    bulkm = M.bulkm(tab, emw)
-    shearm = M.shearm(tab, emw)
-    kappa = M.therm_cond(tab, emw)
-    phi = M.phi_porosity(tab, emw)
-    cp_e = M.cp(tab, emw)
-    # rho(T) = rhoA - rhoB*(T-273C): matprops.cxx:565-587 linearization
-    rhoA = (emw * tab.rho0).sum(axis=-1) / wsum
-    rhoB = (emw * tab.rho0 * tab.alpha).sum(axis=-1) / wsum
-    buoyA = ((1.0 - phi) * rhoA + 1000.0 * phi) * g / npe
-    buoyB = (1.0 - phi) * rhoB * g / npe
-    cpA = cp_e * rhoA
-    cpB = cp_e * rhoB
-    ab = M.alpha_biot(tab, emw)
-    bf = M.beta_fluid(tab, emw)
-    # 3D bulk_comp = 1/K (geometry.cxx:1098), unlike 2D's 1/(K + G/3)
-    hmA = ((ab + phi - ab * phi) / bulkm + phi * bf) / npe
 
     rad = s.radiogenic_source.reshape(nxc, nyc, nzc, 5).transpose(3, 1,
                                                                   2, 0)
-    planes = [rad, bulkm, shearm, kappa, rhoA, rhoB, buoyA, buoyB,
-              cpA, cpB, hmA]
+    planes = [rad]
     for m in range(nmat):
         planes.append(emw[..., m])
     cepack = jnp.stack(planes).astype(dtype)
@@ -708,12 +689,73 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             def W(t):
                 return [1.0]
         else:
-            def CE(nm, t):
-                return ce_vm[_ce3slot(nm), t]
-
             def W(t):
                 return [ce_vm[len(CE3_SLOTS) + m, t]
                         for m in range(nmat)]
+
+            # property mixtures recomputed in-kernel from the weight
+            # planes (matprops.cxx:115-144 means; same formulas as the
+            # 2D glue's _const_packs), memoized per (name, tet) so each
+            # mixture is emitted once per tile
+            _mix_cache = {}
+
+            def CE(nm, t):
+                if nm == "radiogenic_source":
+                    return ce_vm[_ce3slot(nm), t]
+                key = (nm, t)
+                if key in _mix_cache:
+                    return _mix_cache[key]
+                w = W(t)
+                ws = w[0]
+                for wm in w[1:]:
+                    ws = ws + wm
+                ws = jnp.where(ws > 0, ws, _c(1.0))
+
+                def amean(vals):
+                    acc = w[0] * _c(float(vals[0]))
+                    for m in range(1, nmat):
+                        acc = acc + w[m] * _c(float(vals[m]))
+                    return acc / ws
+
+                def hmean(vals):
+                    acc = w[0] / _c(float(vals[0]))
+                    for m in range(1, nmat):
+                        acc = acc + w[m] / _c(float(vals[m]))
+                    return ws / acc
+
+                gg = float(ctrl.gravity)
+                if nm == "bulkm":
+                    r = hmean(tabn.bulk_modulus)
+                elif nm == "shearm":
+                    r = hmean(tabn.shear_modulus)
+                elif nm == "kappa":
+                    r = amean(tabn.therm_cond)
+                elif nm == "rhoA":
+                    r = amean(tabn.rho0)
+                elif nm == "rhoB":
+                    r = amean(tabn.rho0 * tabn.alpha)
+                elif nm == "buoyA":
+                    phi = amean(tabn.porosity)
+                    r = ((1.0 - phi) * CE("rhoA", t)
+                         + 1000.0 * phi) * _c(gg / npe)
+                elif nm == "buoyB":
+                    phi = amean(tabn.porosity)
+                    r = (1.0 - phi) * CE("rhoB", t) * _c(gg / npe)
+                elif nm == "cpA":
+                    r = amean(tabn.heat_capacity) * CE("rhoA", t)
+                elif nm == "cpB":
+                    r = amean(tabn.heat_capacity) * CE("rhoB", t)
+                elif nm == "hmA":
+                    phi = amean(tabn.porosity)
+                    ab = amean(tabn.biot_coeff)
+                    bf = hmean(1.0 / tabn.fluid_bulk_modulus)
+                    # 3D bulk_comp = 1/K (geometry.cxx:1098)
+                    r = ((ab + phi - ab * phi) / CE("bulkm", t)
+                         + phi * bf) / _c(npe)
+                else:  # pragma: no cover
+                    raise KeyError(nm)
+                _mix_cache[key] = r
+                return r
 
         zero_n = jnp.zeros((NYN, LZN, LXN), dtype=dtype)
         cx_v = nviews(N("coord_x"))
