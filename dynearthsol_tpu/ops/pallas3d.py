@@ -695,16 +695,15 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
 
             # property mixtures recomputed in-kernel from the weight
             # planes (matprops.cxx:115-144 means; same formulas as the
-            # 2D glue's _const_packs), memoized per (name, tet) so each
-            # mixture is emitted once per tile
-            _mix_cache = {}
-
+            # 2D glue's _const_packs).  Deliberately NOT memoized: a
+            # (name, tet) cache extends every mixture's live range
+            # across the whole tile body, and the resulting scoped-vmem
+            # stack blows the 120 MB budget at the 983k-tet tile size
+            # (measured: kernel-vmem-stack OOM); recomputing costs a
+            # handful of VPU ops per use
             def CE(nm, t):
                 if nm == "radiogenic_source":
                     return ce_vm[_ce3slot(nm), t]
-                key = (nm, t)
-                if key in _mix_cache:
-                    return _mix_cache[key]
                 w = W(t)
                 ws = w[0]
                 for wm in w[1:]:
@@ -754,7 +753,6 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
                          + phi * bf) / _c(npe)
                 else:  # pragma: no cover
                     raise KeyError(nm)
-                _mix_cache[key] = r
                 return r
 
         zero_n = jnp.zeros((NYN, LZN, LXN), dtype=dtype)
