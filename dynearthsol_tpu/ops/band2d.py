@@ -62,33 +62,50 @@ ROWK = SN * KF    # 128 lanes per supernode row (DMA lane tiling)
 class BandTables:
     """Static banding tables (jit-argument pytree).
 
-    nelem/nnode/npe/nblk/w8max are Python ints (static); arrays ride
-    the pytree so gathers see them as runtime parameters."""
+    nelem/nnode/npe/nblk/w8 are Python ints (static); arrays ride
+    the pytree so gathers see them as runtime parameters.
+
+    Megablock grouping (the Pallas kernels' DMA unit): MB consecutive
+    element blocks share one window DMA of mw8 supernode rows based at
+    W0_8[m]; each sub-block's 128-row sub-window starts rel0_8[m*MB+sb]
+    rows into it.  nblk is padded to nmega*MB (padded blocks carry
+    b_e=SN so they gather garbage that is sliced off and scatter
+    exactly zero)."""
     nelem: int
     nnode: int
     npe: int
     nblk: int
     w8: int               # window height in supernode rows
     nnode8: int           # padded supernode row count
+    nmega: int            # megablock count (nblk == nmega * MB)
+    mw8: int              # megablock window height in supernode rows
     w0_8: jnp.ndarray     # (nblk,) window base row of each block
     a_e: jnp.ndarray      # (nblk, npe, EB) window row of each corner
     b_e: jnp.ndarray      # (nblk, npe, EB) subnode of each corner;
                           #   padded elements carry SN (matches nothing)
+    W0_8: jnp.ndarray     # (nmega,) megablock window base row
+    rel0_8: jnp.ndarray   # (nblk,) sub-window offset inside megawindow
 
     def tree_flatten(self):
-        return ((self.w0_8, self.a_e, self.b_e),
+        return ((self.w0_8, self.a_e, self.b_e, self.W0_8, self.rel0_8),
                 (self.nelem, self.nnode, self.npe, self.nblk, self.w8,
-                 self.nnode8))
+                 self.nnode8, self.nmega, self.mw8))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        w0_8, a_e, b_e = children
-        nelem, nnode, npe, nblk, w8, nnode8 = aux
-        return cls(nelem, nnode, npe, nblk, w8, nnode8, w0_8, a_e, b_e)
+        w0_8, a_e, b_e, W0_8, rel0_8 = children
+        nelem, nnode, npe, nblk, w8, nnode8, nmega, mw8 = aux
+        return cls(nelem, nnode, npe, nblk, w8, nnode8, nmega, mw8,
+                   w0_8, a_e, b_e, W0_8, rel0_8)
 
 
 jax.tree_util.register_pytree_node(
     BandTables, BandTables.tree_flatten, BandTables.tree_unflatten)
+
+
+MB = 4            # element blocks per megablock (one DMA set each);
+                  # TPU-swept at the 277k-tri flagship: MB=4 minimizes
+                  # gather+scatter (1.46+1.52 ms vs 1.93+1.78 at MB=8)
 
 
 def build_band_tables(conn: np.ndarray, nnode: int,
@@ -100,6 +117,8 @@ def build_band_tables(conn: np.ndarray, nnode: int,
     conn = np.asarray(conn)
     nelem, npe = conn.shape
     nblk = (nelem + EB - 1) // EB
+    nmega = (nblk + MB - 1) // MB
+    nblk = nmega * MB                        # whole-block padding too
     pad = nblk * EB - nelem
     # pad with the LAST element's conn (zeros would blow the last
     # block's window span); padded contributions are masked anyway
@@ -120,21 +139,32 @@ def build_band_tables(conn: np.ndarray, nnode: int,
     rel = blk - w0[:, None, None]                         # node - base
     a = (rel // SN).astype(np.int32)                      # window row
     b = (rel % SN).astype(np.int32)                       # subnode
-    if pad:
+    npad_e = nblk * EB - nelem
+    if npad_e:
         # padded elements: subnode SN matches no compare -> they gather
         # garbage that is sliced off and scatter exactly zero
-        b[-1, EB - pad:, :] = SN
+        b.reshape(nblk * EB, npe)[nelem:, :] = SN
 
-    nnode8 = int(np.max(w0_8)) + w8
+    # megablock windows: MB consecutive blocks share one DMA window
+    w0m = w0_8.reshape(nmega, MB)
+    him = (w0_8 + w8).reshape(nmega, MB)
+    W0_8 = w0m.min(axis=1).astype(np.int32)               # (nmega,)
+    mw8 = int(np.max(him.max(axis=1) - W0_8))
+    mw8 = ((mw8 + 15) // 16) * 16
+    rel0_8 = (w0_8 - np.repeat(W0_8, MB)).astype(np.int32)
+
+    nnode8 = max(int(np.max(w0_8)) + w8, int(np.max(W0_8)) + mw8)
     nnode8 = max(nnode8, (nnode + SN - 1) // SN)
     nnode8 = ((nnode8 + 15) // 16) * 16
 
     return BandTables(
         nelem=nelem, nnode=nnode, npe=npe, nblk=nblk, w8=w8,
-        nnode8=nnode8,
+        nnode8=nnode8, nmega=nmega, mw8=mw8,
         w0_8=jnp.asarray(w0_8),
         a_e=jnp.asarray(a.transpose(0, 2, 1)),
-        b_e=jnp.asarray(b.transpose(0, 2, 1)))
+        b_e=jnp.asarray(b.transpose(0, 2, 1)),
+        W0_8=jnp.asarray(W0_8),
+        rel0_8=jnp.asarray(rel0_8))
 
 
 # ---- nodal pack <-> supernode rows ----
@@ -260,126 +290,140 @@ def _ab_rows(bt):
 
 def gather_corners_tpu(npack8, bt: BandTables, k: int):
     """Pallas corner gather: (nnode8, ROWK) rows -> [corner][field]
-    (nelem,) columns, via per-block window DMA + one-hot matmuls.
+    (nelem,) columns, via per-MEGABLOCK window DMA + one-hot matmuls.
 
-    Double-buffered: the block loop is unrolled in pairs with static
-    ping-pong slots so block t+1's window/table DMAs overlap block t's
-    matmuls (dynamic scratch-slot indexing is avoided on purpose)."""
-    npe, nblk, w8 = bt.npe, bt.nblk, bt.w8
-    nelemp = nblk * EB
+    The DMA unit is the megablock (MB element blocks, one window of
+    mw8 rows + one table row-range + one output range): per-block DMAs
+    measured 2.3 us/block of pure issue/semaphore latency on v5e --
+    more than the matmuls themselves.  Each sub-block slices its
+    128-row sub-window out of the VMEM megawindow (dynamic sublane
+    offset, 16-aligned) and runs a transposed-LHS dot_general, so no
+    in-kernel transposes exist.  Double-buffered: the megablock loop is
+    unrolled in pairs with static ping-pong slots so megablock m+1's
+    DMAs overlap megablock m's matmuls."""
+    npe, nmega, w8, mw8 = bt.npe, bt.nmega, bt.w8, bt.mw8
+    meb = MB * EB
+    nelemp = bt.nblk * EB
     dtype = npack8.dtype
-    npair = (nblk + 1) // 2
+    npair = (nmega + 1) // 2
 
-    def kernel(w0_ref, npack_hbm, ab_hbm, out_hbm,
+    def kernel(W0_ref, rel0_ref, npack_hbm, ab_hbm, out_hbm,
                win0, win1, ab0, ab1, out0, out1, sems):
         wins = (win0, win1)
         abs_ = (ab0, ab1)
         outs = (out0, out1)
 
-        def in_copies(tt, slot):
+        def in_copies(mm, slot):
             return (pltpu.make_async_copy(
-                        npack_hbm.at[pl.ds(w0_ref[tt], w8)], wins[slot],
+                        npack_hbm.at[pl.ds(W0_ref[mm], mw8)], wins[slot],
                         sems.at[_i32(slot)]),
                     pltpu.make_async_copy(
-                        ab_hbm.at[pl.ds(tt * _i32(ABR), ABR)], abs_[slot],
-                        sems.at[_i32(2 + slot)]))
+                        ab_hbm.at[pl.ds(mm * _i32(MB * ABR), MB * ABR)],
+                        abs_[slot], sems.at[_i32(2 + slot)]))
 
-        def out_copy(tt, slot):
+        def out_copy(mm, slot):
             return pltpu.make_async_copy(
-                outs[slot], out_hbm.at[:, pl.ds(tt * _i32(EB), EB)],
+                outs[slot], out_hbm.at[:, pl.ds(mm * _i32(meb), meb)],
                 sems.at[_i32(4 + slot)])
 
-        def start_in(tt, slot):
-            for c in in_copies(tt, slot):
+        def start_in(mm, slot):
+            for c in in_copies(mm, slot):
                 c.start()
 
-        def wait_in(tt, slot):
-            for c in in_copies(tt, slot):
+        def wait_in(mm, slot):
+            for c in in_copies(mm, slot):
                 c.wait()
 
         sub_j = _divk(_iota2(ROWK, EB, 0), KF)
 
-        def compute(slot):
-            win_t = wins[slot][...].T                       # (ROWK, w8)
-            for c in range(npe):
-                a = abs_[slot][c]                           # (EB,) s32
-                b = abs_[slot][npe + c]
-                oh = (_iota2(w8, EB, 0)
-                      == a[None, :]).astype(dtype)          # (w8, EB)
-                cand = jnp.dot(win_t, oh,
-                               preferred_element_type=dtype)
-                mask = (sub_j == b[None, :]).astype(dtype)
-                masked = cand * mask
-                # field extraction: sum the SN subnode row-groups
-                # (static sublane slices -- an MXU matmul here would be
-                # M=KF-padded 8x against the 128x128 array)
-                red = masked[0:KF, :]
-                for j in range(1, SN):
-                    red = red + masked[j * KF:(j + 1) * KF, :]
-                outs[slot][c * KF:(c + 1) * KF, :] = red
+        def compute(mm, slot):
+            for sb in range(MB):
+                rel0 = rel0_ref[mm * _i32(MB) + _i32(sb)]
+                win = wins[slot][pl.ds(rel0, w8)]       # (w8, ROWK)
+                for c in range(npe):
+                    a = abs_[slot][sb * ABR + c]        # (EB,) s32
+                    b = abs_[slot][sb * ABR + npe + c]
+                    oh = (_iota2(w8, EB, 0)
+                          == a[None, :]).astype(dtype)  # (w8, EB)
+                    # (ROWK, EB) via transposed-LHS contraction: the
+                    # MXU streams win as-is, no transpose op emitted
+                    cand = jax.lax.dot_general(
+                        win, oh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=dtype)
+                    mask = (sub_j == b[None, :]).astype(dtype)
+                    masked = cand * mask
+                    # field extraction: sum the SN subnode row-groups
+                    # (static sublane slices -- an MXU matmul here would
+                    # be M=KF-padded 8x against the 128x128 array)
+                    red = masked[0:KF, :]
+                    for j in range(1, SN):
+                        red = red + masked[j * KF:(j + 1) * KF, :]
+                    outs[slot][c * KF:(c + 1) * KF,
+                               sb * EB:(sb + 1) * EB] = red
 
         start_in(_i32(0), 0)
 
         def pair(i, carry):
             t0 = _i32(2) * _i32(i)
             t1 = t0 + _i32(1)
-            # slot 0: block t0
+            # slot 0: megablock t0
             wait_in(t0, 0)
 
-            @pl.when(t1 < _i32(nblk))
+            @pl.when(t1 < _i32(nmega))
             def _():
                 start_in(t1, 1)
 
             @pl.when(t0 > _i32(0))
             def _():
                 out_copy(t0, 0).wait()      # frees out0 for rewrite
-            compute(0)
+            compute(t0, 0)
             out_copy(t0, 0).start()
 
-            # slot 1: block t1 (may not exist on an odd tail)
-            @pl.when(t1 < _i32(nblk))
+            # slot 1: megablock t1 (may not exist on an odd tail)
+            @pl.when(t1 < _i32(nmega))
             def _():
                 wait_in(t1, 1)
 
-                @pl.when(t1 + _i32(1) < _i32(nblk))
+                @pl.when(t1 + _i32(1) < _i32(nmega))
                 def _():
                     start_in(t1 + _i32(1), 0)
 
                 @pl.when(t1 > _i32(1))
                 def _():
                     out_copy(t1, 1).wait()
-                compute(1)
+                compute(t1, 1)
                 out_copy(t1, 1).start()
             return carry
 
         jax.lax.fori_loop(_i32(0), _i32(npair), pair, _i32(0))
         # drain the last outstanding output DMAs
-        out_copy(_i32(nblk - 1), (nblk - 1) % 2).wait()
-        if nblk > 1:
-            out_copy(_i32(nblk - 2), (nblk - 2) % 2).wait()
+        out_copy(_i32(nmega - 1), (nmega - 1) % 2).wait()
+        if nmega > 1:
+            out_copy(_i32(nmega - 2), (nmega - 2) % 2).wait()
 
     ab = _ab_rows(bt)
 
     out = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # w0_8
-            pl.BlockSpec(memory_space=pltpu.ANY),       # npack8
-            pl.BlockSpec(memory_space=pltpu.ANY),       # a|b table
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # W0_8
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # rel0_8
+            pl.BlockSpec(memory_space=pl.ANY),          # npack8
+            pl.BlockSpec(memory_space=pl.ANY),          # a|b table
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((npe * KF, nelemp), dtype),
         scratch_shapes=[
-            pltpu.VMEM((w8, ROWK), dtype),
-            pltpu.VMEM((w8, ROWK), dtype),
-            pltpu.VMEM((ABR, EB), jnp.int32),
-            pltpu.VMEM((ABR, EB), jnp.int32),
-            pltpu.VMEM((npe * KF, EB), dtype),
-            pltpu.VMEM((npe * KF, EB), dtype),
+            pltpu.VMEM((mw8, ROWK), dtype),
+            pltpu.VMEM((mw8, ROWK), dtype),
+            pltpu.VMEM((MB * ABR, EB), jnp.int32),
+            pltpu.VMEM((MB * ABR, EB), jnp.int32),
+            pltpu.VMEM((npe * KF, meb), dtype),
+            pltpu.VMEM((npe * KF, meb), dtype),
             pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=INTERPRET,
-    )(bt.w0_8, npack8, ab)
+    )(bt.W0_8, bt.rel0_8, npack8, ab)
 
     return [tuple(out[c * KF + f, :bt.nelem] for f in range(k))
             for c in range(npe)]
@@ -387,16 +431,25 @@ def gather_corners_tpu(npack8, bt: BandTables, k: int):
 
 def scatter_corners_tpu(slot_cols, bt: BandTables):
     """Pallas assembly: [corner][field] (nelem,) columns -> k columns
-    (nnode,).  The gather transpose: expand to subnode rows, one-hot
-    matmul onto window rows, accumulate into a VMEM-resident global
-    supernode-row array, write out once.  Input DMAs are
-    double-buffered (pair-unrolled, static slots)."""
+    (nnode,).  The gather transpose: expand to subnode lane-groups,
+    one-hot matmul onto window rows, accumulate into a VMEM-resident
+    global supernode-row array, write out once.
+
+    Megablocked like the gather (MB blocks per DMA set); contributions
+    ride k-major (npe*KF, nelemp) -- lane-exact HBM column slices --
+    and the per-corner one-hot matmul contracts both operands on their
+    EB dim (transposed-RHS dot_general), producing window rows directly
+    with no transpose op.  Input DMAs are double-buffered
+    (pair-unrolled, static slots); the window accumulations are
+    ordered, so the summation order is deterministic (block-major,
+    corner-major within)."""
     k = len(slot_cols[0])
-    npe, nblk, w8 = bt.npe, bt.nblk, bt.w8
-    nelemp = nblk * EB
+    npe, nmega, w8, mw8 = bt.npe, bt.nmega, bt.w8, bt.mw8
+    meb = MB * EB
+    nelemp = bt.nblk * EB
     dtype = slot_cols[0][0].dtype
     pad = nelemp - bt.nelem
-    npair = (nblk + 1) // 2
+    npair = (nmega + 1) // 2
 
     cols = []
     for c in range(npe):
@@ -406,47 +459,53 @@ def scatter_corners_tpu(slot_cols, bt: BandTables):
             cols.append(jnp.pad(col, (0, pad)))
     contrib = jnp.stack(cols)                       # (npe*KF, nelemp)
 
-    def kernel(w0_ref, c_hbm, ab_hbm, out_hbm,
+    def kernel(W0_ref, rel0_ref, c_hbm, ab_hbm, out_hbm,
                cc0, cc1, ab0, ab1, acc_vm, sems):
         ccs = (cc0, cc1)
         abs_ = (ab0, ab1)
         acc_vm[...] = jnp.zeros_like(acc_vm)
 
-        def in_copies(tt, slot):
+        def in_copies(mm, slot):
             return (pltpu.make_async_copy(
-                        c_hbm.at[:, pl.ds(tt * _i32(EB), EB)], ccs[slot],
-                        sems.at[_i32(slot)]),
+                        c_hbm.at[:, pl.ds(mm * _i32(meb), meb)],
+                        ccs[slot], sems.at[_i32(slot)]),
                     pltpu.make_async_copy(
-                        ab_hbm.at[pl.ds(tt * _i32(ABR), ABR)], abs_[slot],
-                        sems.at[_i32(2 + slot)]))
+                        ab_hbm.at[pl.ds(mm * _i32(MB * ABR), MB * ABR)],
+                        abs_[slot], sems.at[_i32(2 + slot)]))
 
-        def start_in(tt, slot):
-            for c in in_copies(tt, slot):
+        def start_in(mm, slot):
+            for c in in_copies(mm, slot):
                 c.start()
 
-        def wait_in(tt, slot):
-            for c in in_copies(tt, slot):
+        def wait_in(mm, slot):
+            for c in in_copies(mm, slot):
                 c.wait()
 
         sub_j = _divk(_iota2(ROWK, EB, 0), KF)
 
-        def compute(tt, slot):
-            win_t = jnp.zeros((ROWK, w8), dtype)
-            for c in range(npe):
-                cc = ccs[slot][c * KF:(c + 1) * KF, :]  # (KF, EB)
-                a = abs_[slot][c]
-                b = abs_[slot][npe + c]
-                # subnode expansion: tile the KF rows SN times (static
-                # sublane concat; cheaper than an M=KF-padded matmul)
-                expanded = jnp.concatenate([cc] * SN, axis=0)
-                mask = (sub_j == b[None, :]).astype(dtype)
-                expanded = expanded * mask
-                oh = (_iota2(EB, w8, 1) == a[:, None]).astype(dtype)
-                win_t = win_t + jnp.dot(expanded, oh,
-                                        preferred_element_type=dtype)
-            w0 = w0_ref[tt]
-            cur = acc_vm[pl.ds(w0, w8)]
-            acc_vm[pl.ds(w0, w8)] = cur + win_t.T
+        def compute(mm, slot):
+            for sb in range(MB):
+                win_t = jnp.zeros((w8, ROWK), dtype)
+                for c in range(npe):
+                    cc = ccs[slot][c * KF:(c + 1) * KF,
+                                   sb * EB:(sb + 1) * EB]  # (KF, EB)
+                    a = abs_[slot][sb * ABR + c]
+                    b = abs_[slot][sb * ABR + npe + c]
+                    # subnode expansion: tile the KF rows SN times
+                    # (static sublane concat), mask to the target subnode
+                    expanded = jnp.concatenate([cc] * SN, axis=0)
+                    mask = (sub_j == b[None, :]).astype(dtype)
+                    expanded = expanded * mask            # (ROWK, EB)
+                    oh = (_iota2(w8, EB, 0)
+                          == a[None, :]).astype(dtype)    # (w8, EB)
+                    # (w8, ROWK): both operands contract on their EB
+                    # dim -- the MXU streams them as-is, no transpose
+                    win_t = win_t + jax.lax.dot_general(
+                        oh, expanded, (((1,), (1,)), ((), ())),
+                        preferred_element_type=dtype)
+                w0 = W0_ref[mm] + rel0_ref[mm * _i32(MB) + _i32(sb)]
+                cur = acc_vm[pl.ds(w0, w8)]
+                acc_vm[pl.ds(w0, w8)] = cur + win_t
 
         start_in(_i32(0), 0)
 
@@ -455,16 +514,16 @@ def scatter_corners_tpu(slot_cols, bt: BandTables):
             t1 = t0 + _i32(1)
             wait_in(t0, 0)
 
-            @pl.when(t1 < _i32(nblk))
+            @pl.when(t1 < _i32(nmega))
             def _():
                 start_in(t1, 1)
             compute(t0, 0)
 
-            @pl.when(t1 < _i32(nblk))
+            @pl.when(t1 < _i32(nmega))
             def _():
                 wait_in(t1, 1)
 
-                @pl.when(t1 + _i32(1) < _i32(nblk))
+                @pl.when(t1 + _i32(1) < _i32(nmega))
                 def _():
                     start_in(t1 + _i32(1), 0)
                 compute(t1, 1)
@@ -480,21 +539,22 @@ def scatter_corners_tpu(slot_cols, bt: BandTables):
     out = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # w0_8
-            pl.BlockSpec(memory_space=pltpu.ANY),       # contrib
-            pl.BlockSpec(memory_space=pltpu.ANY),       # a|b table
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # W0_8
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # rel0_8
+            pl.BlockSpec(memory_space=pl.ANY),          # contrib
+            pl.BlockSpec(memory_space=pl.ANY),          # a|b table
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((bt.nnode8, ROWK), dtype),
         scratch_shapes=[
-            pltpu.VMEM((npe * KF, EB), dtype),
-            pltpu.VMEM((npe * KF, EB), dtype),
-            pltpu.VMEM((ABR, EB), jnp.int32),
-            pltpu.VMEM((ABR, EB), jnp.int32),
+            pltpu.VMEM((npe * KF, meb), dtype),
+            pltpu.VMEM((npe * KF, meb), dtype),
+            pltpu.VMEM((MB * ABR, EB), jnp.int32),
+            pltpu.VMEM((MB * ABR, EB), jnp.int32),
             pltpu.VMEM((bt.nnode8, ROWK), dtype),
             pltpu.SemaphoreType.DMA((5,)),
         ],
         interpret=INTERPRET,
-    )(bt.w0_8, contrib, ab)
+    )(bt.W0_8, bt.rel0_8, contrib, ab)
 
     return unpack_nodal(out, bt, k)
