@@ -50,6 +50,7 @@ import numpy as np
 from .. import bc as bc_mod
 from ..config import (RH_ELASTIC, RH_EP, RH_EP_RSF, RH_EVP,
                       RH_EVP_RSF, RH_MAXWELL, RH_VISCOUS, Param)
+from . import band2d
 from . import fields as F
 from . import matprops as M
 from . import rheology as R
@@ -113,19 +114,45 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
     # (re)bound at the top of step from the traced ctx.
     _tables = {}
 
+    # the banded MXU engine replaces XLA's dynamic-gather custom-calls
+    # (~2-3 ms EACH at 277k elements) with supernode-window Pallas
+    # kernels (~1.5 ms per fused multi-field call); Pallas on
+    # accelerators, the equivalent pure-jnp formulation under CPU
+    # testing.  f32 only: the one-hot matmul reassociates sums, and the
+    # f64 bit-exact contract (vs the generic step) rides the exact
+    # column engine below.
+    band_native = jax.default_backend() != "cpu"
+
+    def _band(dtype):
+        bt = _tables.get("band")
+        return bt if (bt is not None and dtype == jnp.float32) else None
+
     def cgather(pack):
         """(nnode, k) -> npe tuples of k columns, each (nelem,)."""
+        k = pack.shape[1]
+        bt = _band(pack.dtype)
+        if bt is not None:
+            p8 = band2d.pack_nodal([pack[:, j] for j in range(k)], bt)
+            eng = (band2d.gather_corners_tpu if band_native
+                   else band2d.gather_corners)
+            return eng(p8, bt, k)
         c_idx = _tables["c_idx"]
         out = []
         for c in range(3):
             rows = pack[c_idx[c]]          # (nelem, k) one static gather
-            out.append(tuple(rows[:, j] for j in range(pack.shape[1])))
+            out.append(tuple(rows[:, j] for j in range(k)))
         return out  # [corner][field]
 
     def asm_pack(slot_cols):
-        """[corner][field] columns -> (nnode, k) sums (node_sum order)."""
-        g_cols, m_cols = _tables["g_cols"], _tables["m_cols"]
+        """[corner][field] columns -> (nnode, k) sums (node_sum order;
+        band engine: window-matmul order, f32 tolerance)."""
         k = len(slot_cols[0])
+        bt = _band(slot_cols[0][0].dtype)
+        if bt is not None:
+            eng = (band2d.scatter_corners_tpu if band_native
+                   else band2d.scatter_corners)
+            return jnp.stack(eng(slot_cols, bt), axis=1)
+        g_cols, m_cols = _tables["g_cols"], _tables["m_cols"]
         pack = jnp.stack(
             [jnp.concatenate([slot_cols[c][j] for c in range(3)])
              for j in range(k)], axis=1)    # (3*nelem, k), 2D
@@ -154,6 +181,7 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         gidx_cm = jnp.where(gmask, (gidx % 3) * nelem + gidx // 3, 0)
         _tables["g_cols"] = tuple(gidx_cm[:, d] for d in range(max_deg))
         _tables["m_cols"] = tuple(gmask[:, d] for d in range(max_deg))
+        _tables["band"] = getattr(rctx, "band", None)
 
     def shape_fn(xs, zs, vol):
         iv = 1.0 / (2.0 * vol)
@@ -492,22 +520,25 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         vel = bc_mod.apply_vbcs(ctx.vbc, vel, s.coord, time)
 
         # update_mesh (dynearthsol.cxx:431-473)
-        v2 = cgather(vel)
-        vxs2 = tuple(v2[c][0] for c in range(3))
-        vzs2 = tuple(v2[c][1] for c in range(3))
         dhacc, edvacc_surf = s.dhacc, s.edvacc_surf
         if ctrl.has_moving_mesh:
             coord = F.update_coordinate(s.coord, vel, s.dt)
             if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
-                # nodal-only surface processes (bc.cxx:1667-1831), then
-                # re-gather the surface-moved coordinates
+                # nodal-only surface processes (bc.cxx:1667-1831); the
+                # post-update vel gather and the surface-moved coord
+                # re-gather ride ONE packed call
                 coord, dhacc, edvacc_surf, _dh = \
                     SP.apply_surface_processes(param, ctx.surf, coord,
                                                s.dt, dhacc, edvacc_surf)
-                c2 = cgather(coord)
-                xs2 = tuple(c2[c][0] for c in range(3))
-                zs2 = tuple(c2[c][1] for c in range(3))
+                g2 = cgather(jnp.concatenate([vel, coord], axis=1))
+                vxs2 = tuple(g2[c][0] for c in range(3))
+                vzs2 = tuple(g2[c][1] for c in range(3))
+                xs2 = tuple(g2[c][2] for c in range(3))
+                zs2 = tuple(g2[c][3] for c in range(3))
             else:
+                v2 = cgather(vel)
+                vxs2 = tuple(v2[c][0] for c in range(3))
+                vzs2 = tuple(v2[c][1] for c in range(3))
                 xs2 = tuple(xs[i] + vxs2[i] * s.dt for i in range(3))
                 zs2 = tuple(zs[i] + vzs2[i] * s.dt for i in range(3))
             volume_old = vol
@@ -531,6 +562,9 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                     apply=(steps % qcsi) == 0)
         else:
             coord, volume_old, volume = s.coord, s.volume_old, vol
+            v2 = cgather(vel)
+            vxs2 = tuple(v2[c][0] for c in range(3))
+            vzs2 = tuple(v2[c][1] for c in range(3))
             xs2, zs2 = xs, zs
 
         # CFL dt, refreshed every 10 steps (dynearthsol.cxx:861-871)

@@ -23,6 +23,7 @@ import numpy as np
 from .. import bc as bc_mod
 from ..config import (RH_ELASTIC, RH_EP, RH_EP_RSF, RH_EVP,
                       RH_EVP_RSF, RH_MAXWELL, RH_VISCOUS, Param)
+from . import band2d
 from . import fields as F
 from . import matprops as M
 from . import rheology as R
@@ -66,15 +67,39 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
     g_cols = tuple(jnp.asarray(gidx_cm[:, d]) for d in range(max_deg))
     m_cols = tuple(jnp.asarray(gmask[:, d]) for d in range(max_deg))
 
+    # banded MXU engine (ops/band2d.py — npe-generic: ABR=8 exactly
+    # fits the 2*npe=8 table rows of tets): f32 only, exact column
+    # engine otherwise (see flat2d.py for the rationale).  The tables
+    # are (re)bound from the traced runtime ctx at the top of step so
+    # they ride as jit arguments, not embedded constants.
+    _tables = {}
+    band_native = jax.default_backend() != "cpu"
+
+    def _band(dtype):
+        bt = _tables.get("band")
+        return bt if (bt is not None and dtype == jnp.float32) else None
+
     def cgather(pack):
+        k = pack.shape[1]
+        bt = _band(pack.dtype)
+        if bt is not None:
+            p8 = band2d.pack_nodal([pack[:, j] for j in range(k)], bt)
+            eng = (band2d.gather_corners_tpu if band_native
+                   else band2d.gather_corners)
+            return eng(p8, bt, k)
         out = []
         for c in range(4):
             rows = pack[c_idx[c]]
-            out.append(tuple(rows[:, j] for j in range(pack.shape[1])))
+            out.append(tuple(rows[:, j] for j in range(k)))
         return out
 
     def asm_pack(slot_cols):
         k = len(slot_cols[0])
+        bt = _band(slot_cols[0][0].dtype)
+        if bt is not None:
+            eng = (band2d.scatter_corners_tpu if band_native
+                   else band2d.scatter_corners)
+            return jnp.stack(eng(slot_cols, bt), axis=1)
         pack = jnp.stack(
             [jnp.concatenate([slot_cols[c][j] for c in range(4)])
              for j in range(k)], axis=1)
@@ -270,6 +295,7 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 dyn_fric_coeff, state_variable)
 
     def step(ctx, s):
+        _tables["band"] = getattr(ctx, "band", None)
         tab = ctx.mat
         dt = s.dt
         steps = s.steps + 1
@@ -443,22 +469,27 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         vel = bc_mod.apply_vbcs(ctx.vbc, vel, s.coord, time)
 
         # update_mesh (dynearthsol.cxx:431-473)
-        v2 = cgather(vel)
-        vxs2 = tuple(v2[c][0] for c in range(4))
-        vys2 = tuple(v2[c][1] for c in range(4))
-        vzs2 = tuple(v2[c][2] for c in range(4))
         dhacc, edvacc_surf = s.dhacc, s.edvacc_surf
         if ctrl.has_moving_mesh:
             coord = F.update_coordinate(s.coord, vel, s.dt)
             if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
+                # the post-update vel gather and the surface-moved
+                # coord re-gather ride ONE packed call
                 coord, dhacc, edvacc_surf, _dh = \
                     SP.apply_surface_processes(param, ctx.surf, coord,
                                                s.dt, dhacc, edvacc_surf)
-                c2 = cgather(coord)
-                xs2 = tuple(c2[c][0] for c in range(4))
-                ys2 = tuple(c2[c][1] for c in range(4))
-                zs2 = tuple(c2[c][2] for c in range(4))
+                g2 = cgather(jnp.concatenate([vel, coord], axis=1))
+                vxs2 = tuple(g2[c][0] for c in range(4))
+                vys2 = tuple(g2[c][1] for c in range(4))
+                vzs2 = tuple(g2[c][2] for c in range(4))
+                xs2 = tuple(g2[c][3] for c in range(4))
+                ys2 = tuple(g2[c][4] for c in range(4))
+                zs2 = tuple(g2[c][5] for c in range(4))
             else:
+                v2 = cgather(vel)
+                vxs2 = tuple(v2[c][0] for c in range(4))
+                vys2 = tuple(v2[c][1] for c in range(4))
+                vzs2 = tuple(v2[c][2] for c in range(4))
                 xs2 = tuple(xs[i] + vxs2[i] * s.dt for i in range(4))
                 ys2 = tuple(ys[i] + vys2[i] * s.dt for i in range(4))
                 zs2 = tuple(zs[i] + vzs2[i] * s.dt for i in range(4))
@@ -477,6 +508,10 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                 volume_old = jnp.where(top, volume, vol)
         else:
             coord, volume_old, volume = s.coord, s.volume_old, vol
+            v2 = cgather(vel)
+            vxs2 = tuple(v2[c][0] for c in range(4))
+            vys2 = tuple(v2[c][1] for c in range(4))
+            vzs2 = tuple(v2[c][2] for c in range(4))
             xs2, ys2, zs2 = xs, ys, zs
 
         dt_new, vmax, gdtmin = compute_dt_cols(

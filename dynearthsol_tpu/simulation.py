@@ -46,7 +46,7 @@ from .state import State, allocate_state
     jax.tree_util.register_dataclass,
     data_fields=["conn", "gather_idx", "gather_mask", "elem_mask",
                  "top_mask", "pp_bc_mask", "vbc", "sbc", "mat", "surf",
-                 "halo"],
+                 "halo", "band"],
     meta_fields=["ndims", "nnode", "nelem", "max_vbc_val", "axis", "sgrid"])
 @dataclass(frozen=True)
 class StepCtx:
@@ -80,6 +80,11 @@ class StepCtx:
     # node-window halo spec (ops/assembly.HaloSpec) when nodal state is
     # sharded across devices (parallel/halo_step.py); None = replicated
     halo: Optional[object] = None
+    # banded gather/assembly tables (ops/band2d.BandTables) — attached
+    # lazily by _chunk_fn when the flat SoA path is selected on a
+    # band-friendly mesh; the flat step then routes its corner gathers
+    # and assemblies through the supernode-window MXU engine (f32 only)
+    band: Optional[object] = None
 
 
 def _elem_props(ctx: StepCtx, s: State):
@@ -1169,6 +1174,29 @@ class Simulation:
                           dtype=np.float64)
 
     # ---- stepping ----
+    def _attach_band_tables(self):
+        """Build + attach banded gather tables for the flat SoA step.
+
+        Enabled on accelerator backends (or DES_BAND=1 to force on CPU,
+        which the equivalence tests use); DES_NO_BAND=1 disables.  The
+        builder returns None on meshes whose numbering is not
+        band-friendly — the flat step then keeps its exact column
+        engine.  f64 state also bypasses the band engine regardless
+        (dtype gate inside flat2d), preserving the bit-exact contract."""
+        import os
+        if self.ctx.band is not None or os.environ.get("DES_NO_BAND"):
+            return
+        if not (os.environ.get("DES_BAND") == "1"
+                or jax.default_backend() != "cpu"):
+            return
+        import dataclasses as _dc
+
+        from .ops import band2d
+        bt = band2d.build_band_tables(
+            np.asarray(self.topo.connectivity), self.topo.nnode)
+        if bt is not None:
+            self.ctx = _dc.replace(self.ctx, band=bt)
+
     def _chunk_fn(self, n: int):
         if n not in self._chunk_fns:
             import os
@@ -1233,11 +1261,13 @@ class Simulation:
                 # for structured configs whose feature set (surface
                 # processes/hydraulic/RSF) falls off the grid/pallas gates
                 self.step_path = "flat2d"
+                self._attach_band_tables()
                 run_chunk = flat2d.make_chunk_runner(
                     self.param, self.ctx, self.compensation_pressure, n)
             elif (flat3d.flat3d_step_applicable(self.param, self.ctx)
                     and not os.environ.get("DES_NO_FLAT")):
                 self.step_path = "flat3d"
+                self._attach_band_tables()
                 run_chunk = flat3d.make_chunk_runner(
                     self.param, self.ctx, self.compensation_pressure, n)
             else:

@@ -126,3 +126,85 @@ def test_band_pallas_kernels_match_reference(monkeypatch):
         np.testing.assert_allclose(np.asarray(got_s[f]),
                                    np.asarray(want_s[f]),
                                    rtol=2e-6, atol=2e-5)
+
+
+# ---- npe=4 (tets): the engine is npe-generic; ABR=8 exactly fits ----
+
+def _tet_mesh(nx=9, ny=7, nz=5):
+    """Structured tet mesh: each cube cell split into 5 tets."""
+    nnode = nx * ny * nz
+    nid = np.arange(nnode).reshape(nx, ny, nz)
+    conns = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            for k in range(nz - 1):
+                c = nid[i:i + 2, j:j + 2, k:k + 2]
+                n000, n001 = c[0, 0, 0], c[0, 0, 1]
+                n010, n011 = c[0, 1, 0], c[0, 1, 1]
+                n100, n101 = c[1, 0, 0], c[1, 0, 1]
+                n110, n111 = c[1, 1, 0], c[1, 1, 1]
+                conns += [[n000, n100, n010, n001],
+                          [n100, n110, n010, n111],
+                          [n100, n101, n001, n111],
+                          [n010, n011, n001, n111],
+                          [n100, n010, n001, n111]]
+    return np.asarray(conns, np.int32), nnode
+
+
+def test_band_tet_gather_scatter_match():
+    conn, nnode = _tet_mesh()
+    bt = band2d.build_band_tables(conn, nnode)
+    assert bt is not None and bt.npe == 4
+    rng = np.random.default_rng(4)
+    k = 6
+    cols = [jnp.asarray(rng.standard_normal(nnode), jnp.float32)
+            for _ in range(k)]
+    npack8 = band2d.pack_nodal(cols, bt)
+    got = band2d.gather_corners(npack8, bt, k)
+    for c in range(4):
+        for f in range(k):
+            want = np.asarray(cols[f])[conn[:, c]]
+            np.testing.assert_allclose(np.asarray(got[c][f]), want,
+                                       rtol=0, atol=0)
+
+    nelem = conn.shape[0]
+    slot_cols = [tuple(jnp.asarray(rng.standard_normal(nelem), jnp.float32)
+                       for _ in range(3)) for _ in range(4)]
+    got_s = band2d.scatter_corners(slot_cols, bt)
+    contrib = jnp.stack(
+        [jnp.stack([slot_cols[c][f] for f in range(3)], axis=1)
+         for c in range(4)], axis=1)
+    gidx, gmask = _support(conn, nnode)
+    want_s = node_sum(contrib, gidx, gmask)
+    for f in range(3):
+        np.testing.assert_allclose(np.asarray(got_s[f]),
+                                   np.asarray(want_s[:, f]),
+                                   rtol=2e-6, atol=2e-5)
+
+
+def test_band_tet_pallas_kernels_match_reference(monkeypatch):
+    monkeypatch.setattr(band2d, "INTERPRET", True)
+    conn, nnode = _tet_mesh()
+    bt = band2d.build_band_tables(conn, nnode)
+    rng = np.random.default_rng(5)
+    k = 4
+    cols = [jnp.asarray(rng.standard_normal(nnode), jnp.float32)
+            for _ in range(k)]
+    npack8 = band2d.pack_nodal(cols, bt)
+    want = band2d.gather_corners(npack8, bt, k)
+    got = band2d.gather_corners_tpu(npack8, bt, k)
+    for c in range(4):
+        for f in range(k):
+            np.testing.assert_allclose(np.asarray(got[c][f]),
+                                       np.asarray(want[c][f]),
+                                       rtol=1e-6, atol=1e-6)
+
+    nelem = conn.shape[0]
+    slot_cols = [tuple(jnp.asarray(rng.standard_normal(nelem), jnp.float32)
+                       for _ in range(3)) for _ in range(4)]
+    want_s = band2d.scatter_corners(slot_cols, bt)
+    got_s = band2d.scatter_corners_tpu(slot_cols, bt)
+    for f in range(3):
+        np.testing.assert_allclose(np.asarray(got_s[f]),
+                                   np.asarray(want_s[f]),
+                                   rtol=2e-6, atol=2e-5)

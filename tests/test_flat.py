@@ -430,3 +430,132 @@ def test_flat3d_structured_dispatch():
     assert sim.step_path == "flat3d"
     sim.run_steps(4, chunk=2)
     assert np.isfinite(np.asarray(sim.state.stress)).all()
+
+
+# ---- banded MXU engine (ops/band2d.py) through the flat step ----
+
+def run_band_pair(param, n=10):
+    """Run the flat chunk runner twice: exact column engine (ctx.band
+    None) vs the banded engine (pure-jnp formulation on CPU — the
+    Pallas kernels are validated against it in test_band2d.py)."""
+    import dataclasses
+
+    from dynearthsol_tpu.ops import band2d
+
+    sim = des.Simulation(param)
+    assert flat2d.flat_step_applicable(sim.param, sim.ctx)
+    bt = band2d.build_band_tables(np.asarray(sim.topo.connectivity),
+                                  sim.topo.nnode)
+    assert bt is not None
+    ctx_band = dataclasses.replace(sim.ctx, band=bt)
+    run = flat2d.make_chunk_runner(param, sim.ctx,
+                                   sim.compensation_pressure, n)
+    ref = run(sim.ctx, sim.state)
+    out = run(ctx_band, sim.state)
+    return ref, out
+
+
+def mk_param_f32(rheo="elasto-visco-plastic", **over):
+    over.setdefault("sim", {})["float_dtype"] = "float32"
+    return mk_param(rheo, **over)
+
+
+def test_flat_band_matches_exact_maxwell():
+    """f32 Maxwell trajectory: band engine vs exact column engine.  The
+    band assembly reassociates per-node sums into window matmuls, so
+    the match is at f32 roundoff (measured ~2e-6 at 20 steps), not
+    bitwise.  Maxwell has no discrete constitutive switch, so pointwise
+    comparison stays meaningful over steps."""
+    ref, out = run_band_pair(mk_param_f32("maxwell"), n=20)
+    assert_match(ref, out, tol=1e-5)
+
+
+def test_flat_band_matches_exact_surface_processes():
+    """Surface processes exercise the merged vel+coord gather and the
+    mass-matrix assembly through the band engine."""
+    ref, out = run_band_pair(mk_param_f32(
+        "maxwell",
+        control={"surface_process_option": 102,
+                 "surface_diffusivity": 1e-6,
+                 "has_surface_correction": True,
+                 "terrig_sediment_area": 3.17e-7}), n=20)
+    assert_match(ref, out, tol=1e-5)
+
+
+def test_flat_band_matches_exact_hydraulic():
+    """Hydraulic diffusion packs 7 nodal fields into one band gather
+    (coord, vel, T, pp, dpp) and 3 assembly fields (force + pp_tdot)."""
+    ref, out = run_band_pair(mk_param_f32(
+        rheo="maxwell",
+        control={"has_hydraulic_diffusion": True},
+        mat={"porosity": [0.1], "hydraulic_perm": [1e-15],
+             "fluid_bulk_modulus": [2.2e9], "biot_coeff": [0.8]}), n=20)
+    assert_match(ref, out, tol=1e-5)
+
+
+def test_flat_band_evp_pointwise_then_statistics():
+    """EVP's viscous/plastic element selection amplifies 1-ulp input
+    differences to O(1) on individual elements within ~2 steps (the
+    same Lyapunov behavior the f32/f64 twin gates document in
+    tests/test_precision.py), so the EVP band gate is two-tier:
+    pointwise at 1 step, integrated statistics at 100 steps."""
+    ref, out = run_band_pair(mk_param_f32(), n=1)
+    assert_match(ref, out, tol=1e-5)
+
+    ref, out = run_band_pair(mk_param_f32(), n=100)
+    a = np.asarray(ref.stress, np.float64)
+    b = np.asarray(out.stress, np.float64)
+    sII_a = np.sqrt(0.25 * (a[:, 0] - a[:, 1]) ** 2 + a[:, 2] ** 2)
+    sII_b = np.sqrt(0.25 * (b[:, 0] - b[:, 1]) ** 2 + b[:, 2] ** 2)
+    assert abs(sII_a.mean() - sII_b.mean()) <= 5e-2 * abs(sII_a.mean())
+    # dt is CFL-recomputed from the (decorrelated) fields every 10
+    # steps, so integrated time drifts at ~1e-4 over 100 steps
+    assert abs(float(ref.time) - float(out.time)) \
+        <= 1e-3 * abs(float(ref.time))
+    ztop_a = np.asarray(ref.coord, np.float64)[:, 1].max()
+    ztop_b = np.asarray(out.coord, np.float64)[:, 1].max()
+    assert abs(ztop_a - ztop_b) <= 1e-2 * max(abs(ztop_a), 1.0)
+
+
+def test_flat_band_f64_stays_exact():
+    """f64 state must bypass the band engine entirely: attaching band
+    tables changes NOTHING at f64 (bit-exact contract preserved)."""
+    import dataclasses
+
+    from dynearthsol_tpu.ops import band2d
+
+    param = mk_param("maxwell")
+    sim = des.Simulation(param)
+    bt = band2d.build_band_tables(np.asarray(sim.topo.connectivity),
+                                  sim.topo.nnode)
+    ctx_band = dataclasses.replace(sim.ctx, band=bt)
+    run = flat2d.make_chunk_runner(param, sim.ctx,
+                                   sim.compensation_pressure, 8)
+    ref = run(sim.ctx, sim.state)
+    out = run(ctx_band, sim.state)
+    for f in FIELDS:
+        a = np.asarray(getattr(ref, f))
+        b = np.asarray(getattr(out, f))
+        assert np.array_equal(a, b), f
+
+
+def test_flat3d_band_matches_exact_maxwell():
+    """3D tets through the band engine (npe=4): f32 Maxwell pointwise
+    vs the exact column engine."""
+    import dataclasses
+
+    from dynearthsol_tpu.ops import band2d, flat3d
+
+    p = mk_param3d("maxwell")
+    p.sim.float_dtype = "float32"
+    sim = des.Simulation(p)
+    assert flat3d.flat3d_step_applicable(sim.param, sim.ctx)
+    bt = band2d.build_band_tables(np.asarray(sim.topo.connectivity),
+                                  sim.topo.nnode)
+    assert bt is not None and bt.npe == 4
+    ctx_band = dataclasses.replace(sim.ctx, band=bt)
+    run = flat3d.make_chunk_runner(p, sim.ctx,
+                                   sim.compensation_pressure, 10)
+    ref = run(sim.ctx, sim.state)
+    out = run(ctx_band, sim.state)
+    assert_match(ref, out, tol=1e-5)
