@@ -53,9 +53,14 @@ from jax.experimental.pallas import tpu as pltpu
 INTERPRET = False
 
 EB = 512          # elements per block
-KF = 16           # fields per engine call (zero-padded)
-SN = 8            # nodes per supernode row
+KF = 8            # fields per engine call (zero-padded)
+SN = 16           # nodes per supernode row
 ROWK = SN * KF    # 128 lanes per supernode row (DMA lane tiling)
+# KF=8/SN=16 (vs the original 16/8): every flat-step call packs <=7
+# fields, so halving KF halves the window row count -- and with it the
+# one-hot matmul FLOPs, the window DMA bytes, and the output rows --
+# at no loss.  TPU-measured at the 277k-tri flagship: gather
+# 1.46->0.85 ms, scatter 1.52->0.93 ms.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -206,7 +211,8 @@ def gather_corners(npack8, bt: BandTables, k: int):
         oh = (a[:, :, None]
               == jnp.arange(bt.w8, dtype=jnp.int32)[None, None, :]
               ).astype(dtype)                       # (nblk, EB, w8)
-        cand = jnp.einsum('bew,bwr->ber', oh, win)  # (nblk, EB, ROWK)
+        cand = jnp.einsum('bew,bwr->ber', oh, win,
+                          precision=jax.lax.Precision.HIGHEST)
         cand = cand.reshape(bt.nblk, EB, SN, KF)
         b = bt.b_e[:, c]                            # (nblk, EB)
         sel = jnp.take_along_axis(
@@ -243,7 +249,9 @@ def scatter_corners(slot_cols, bt: BandTables):
         oha = (a[:, :, None]
                == jnp.arange(bt.w8, dtype=jnp.int32)[None, None, :]
                ).astype(dtype)                      # (nblk, EB, w8)
-        acc_win = acc_win + jnp.einsum('bew,ber->bwr', oha, expanded)
+        acc_win = acc_win + jnp.einsum(
+            'bew,ber->bwr', oha, expanded,
+            precision=jax.lax.Precision.HIGHEST)
     rows = bt.w0_8[:, None] + jnp.arange(bt.w8, dtype=jnp.int32)[None, :]
     out = jnp.zeros((bt.nnode8, ROWK), dtype)
     out = out.at[rows.reshape(-1)].add(acc_win.reshape(-1, ROWK))
@@ -286,6 +294,219 @@ def _ab_rows(bt):
         [bt.a_e, bt.b_e,
          jnp.zeros((bt.nblk, ABR - 2 * bt.npe, EB), jnp.int32)], axis=1)
     return ab.reshape(bt.nblk * ABR, EB)
+
+
+def scatter_gather_corners(slot_cols, bt: BandTables, kg: int):
+    """Pure-jnp reference for the fused assembly + immediate corner
+    re-gather: returns (k nodal sum columns, [corner][field<kg]
+    re-gathered columns)."""
+    sums = scatter_corners(slot_cols, bt)
+    pack = pack_nodal(list(sums[:kg]), bt)
+    return sums, gather_corners(pack, bt, kg)
+
+
+def scatter_gather_corners_tpu(slot_cols, bt: BandTables, kg: int):
+    """Fused Pallas assembly + immediate corner re-gather.
+
+    The flat step's transfer hops (dvoldt, NMD pressure smoothing) are
+    scatter-then-gather of the SAME nodal sums: fusing them means the
+    gather phase reads the VMEM-resident accumulator directly — no
+    second kernel launch, no window DMAs at all for the gather (only
+    the a|b tables stream again).  Returns (k nodal sum columns, the
+    first ``kg`` fields re-gathered as [corner][field] columns).
+
+    Numerics match scatter_corners_tpu followed by gather_corners_tpu
+    exactly (same matmul shapes and order)."""
+    k = len(slot_cols[0])
+    npe, nmega, w8, mw8 = bt.npe, bt.nmega, bt.w8, bt.mw8
+    meb = MB * EB
+    nelemp = bt.nblk * EB
+    dtype = slot_cols[0][0].dtype
+    pad = nelemp - bt.nelem
+    npair = (nmega + 1) // 2
+
+    cols = []
+    for c in range(npe):
+        for f in range(KF):
+            col = slot_cols[c][f] if f < k else \
+                jnp.zeros_like(slot_cols[c][0])
+            cols.append(jnp.pad(col, (0, pad)))
+    contrib = jnp.stack(cols)                       # (npe*KF, nelemp)
+
+    def kernel(W0_ref, rel0_ref, c_hbm, ab_hbm, outn_hbm, outg_hbm,
+               cc0, cc1, ab0, ab1, acc_vm, go0, go1, sems):
+        ccs = (cc0, cc1)
+        abs_ = (ab0, ab1)
+        gouts = (go0, go1)
+        acc_vm[...] = jnp.zeros_like(acc_vm)
+
+        def in_copies(mm, slot):
+            return (pltpu.make_async_copy(
+                        c_hbm.at[:, pl.ds(mm * _i32(meb), meb)],
+                        ccs[slot], sems.at[_i32(slot)]),
+                    pltpu.make_async_copy(
+                        ab_hbm.at[pl.ds(mm * _i32(MB * ABR), MB * ABR)],
+                        abs_[slot], sems.at[_i32(2 + slot)]))
+
+        def ab_copy(mm, slot):
+            return pltpu.make_async_copy(
+                ab_hbm.at[pl.ds(mm * _i32(MB * ABR), MB * ABR)],
+                abs_[slot], sems.at[_i32(2 + slot)])
+
+        def gout_copy(mm, slot):
+            return pltpu.make_async_copy(
+                gouts[slot], outg_hbm.at[:, pl.ds(mm * _i32(meb), meb)],
+                sems.at[_i32(4 + slot)])
+
+        def start_in(mm, slot):
+            for c in in_copies(mm, slot):
+                c.start()
+
+        def wait_in(mm, slot):
+            for c in in_copies(mm, slot):
+                c.wait()
+
+        sub_j = _divk(_iota2(ROWK, EB, 0), KF)
+
+        def scatter_compute(mm, slot):
+            for sb in range(MB):
+                win_t = jnp.zeros((w8, ROWK), dtype)
+                for c in range(npe):
+                    cc = ccs[slot][c * KF:(c + 1) * KF,
+                                   sb * EB:(sb + 1) * EB]  # (KF, EB)
+                    a = abs_[slot][sb * ABR + c]
+                    b = abs_[slot][sb * ABR + npe + c]
+                    expanded = jnp.concatenate([cc] * SN, axis=0)
+                    mask = (sub_j == b[None, :]).astype(dtype)
+                    expanded = expanded * mask            # (ROWK, EB)
+                    oh = (_iota2(w8, EB, 0)
+                          == a[None, :]).astype(dtype)    # (w8, EB)
+                    win_t = win_t + jax.lax.dot_general(
+                        oh, expanded, (((1,), (1,)), ((), ())),
+                        preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+                w0 = W0_ref[mm] + rel0_ref[mm * _i32(MB) + _i32(sb)]
+                cur = acc_vm[pl.ds(w0, w8)]
+                acc_vm[pl.ds(w0, w8)] = cur + win_t
+
+        def gather_compute(mm, slot):
+            for sb in range(MB):
+                w0 = W0_ref[mm] + rel0_ref[mm * _i32(MB) + _i32(sb)]
+                win = acc_vm[pl.ds(w0, w8)]             # (w8, ROWK)
+                for c in range(npe):
+                    a = abs_[slot][sb * ABR + c]
+                    b = abs_[slot][sb * ABR + npe + c]
+                    oh = (_iota2(w8, EB, 0)
+                          == a[None, :]).astype(dtype)
+                    cand = jax.lax.dot_general(
+                        win, oh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+                    mask = (sub_j == b[None, :]).astype(dtype)
+                    masked = cand * mask
+                    red = masked[0:KF, :]
+                    for j in range(1, SN):
+                        red = red + masked[j * KF:(j + 1) * KF, :]
+                    gouts[slot][c * KF:(c + 1) * KF,
+                                sb * EB:(sb + 1) * EB] = red
+
+        # ---- phase 1: assembly over all megablocks ----
+        start_in(_i32(0), 0)
+
+        def pair(i, carry):
+            t0 = _i32(2) * _i32(i)
+            t1 = t0 + _i32(1)
+            wait_in(t0, 0)
+
+            @pl.when(t1 < _i32(nmega))
+            def _():
+                start_in(t1, 1)
+            scatter_compute(t0, 0)
+
+            @pl.when(t1 < _i32(nmega))
+            def _():
+                wait_in(t1, 1)
+
+                @pl.when(t1 + _i32(1) < _i32(nmega))
+                def _():
+                    start_in(t1 + _i32(1), 0)
+                scatter_compute(t1, 1)
+            return carry
+
+        jax.lax.fori_loop(_i32(0), _i32(npair), pair, _i32(0))
+        dma_n = pltpu.make_async_copy(acc_vm, outn_hbm, sems.at[_i32(6)])
+        dma_n.start()
+
+        # ---- phase 2: re-gather from the VMEM accumulator ----
+        ab_copy(_i32(0), 0).start()
+
+        def gpair(i, carry):
+            t0 = _i32(2) * _i32(i)
+            t1 = t0 + _i32(1)
+            ab_copy(t0, 0).wait()
+
+            @pl.when(t1 < _i32(nmega))
+            def _():
+                ab_copy(t1, 1).start()
+
+            @pl.when(t0 > _i32(0))
+            def _():
+                gout_copy(t0, 0).wait()
+            gather_compute(t0, 0)
+            gout_copy(t0, 0).start()
+
+            @pl.when(t1 < _i32(nmega))
+            def _():
+                ab_copy(t1, 1).wait()
+
+                @pl.when(t1 + _i32(1) < _i32(nmega))
+                def _():
+                    ab_copy(t1 + _i32(1), 0).start()
+
+                @pl.when(t1 > _i32(1))
+                def _():
+                    gout_copy(t1, 1).wait()
+                gather_compute(t1, 1)
+                gout_copy(t1, 1).start()
+            return carry
+
+        jax.lax.fori_loop(_i32(0), _i32(npair), gpair, _i32(0))
+        gout_copy(_i32(nmega - 1), (nmega - 1) % 2).wait()
+        if nmega > 1:
+            gout_copy(_i32(nmega - 2), (nmega - 2) % 2).wait()
+        dma_n.wait()
+
+    ab = _ab_rows(bt)
+
+    outn, outg = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # W0_8
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # rel0_8
+            pl.BlockSpec(memory_space=pl.ANY),          # contrib
+            pl.BlockSpec(memory_space=pl.ANY),          # a|b table
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[jax.ShapeDtypeStruct((bt.nnode8, ROWK), dtype),
+                   jax.ShapeDtypeStruct((npe * KF, nelemp), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((npe * KF, meb), dtype),
+            pltpu.VMEM((npe * KF, meb), dtype),
+            pltpu.VMEM((MB * ABR, EB), jnp.int32),
+            pltpu.VMEM((MB * ABR, EB), jnp.int32),
+            pltpu.VMEM((bt.nnode8, ROWK), dtype),
+            pltpu.VMEM((npe * KF, meb), dtype),
+            pltpu.VMEM((npe * KF, meb), dtype),
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+        interpret=INTERPRET,
+    )(bt.W0_8, bt.rel0_8, contrib, ab)
+
+    nodal = unpack_nodal(outn, bt, k)
+    gath = [tuple(outg[c * KF + f, :bt.nelem] for f in range(kg))
+            for c in range(npe)]
+    return nodal, gath
 
 
 def gather_corners_tpu(npack8, bt: BandTables, k: int):
@@ -349,7 +570,8 @@ def gather_corners_tpu(npack8, bt: BandTables, k: int):
                     # MXU streams win as-is, no transpose op emitted
                     cand = jax.lax.dot_general(
                         win, oh, (((0,), (0,)), ((), ())),
-                        preferred_element_type=dtype)
+                        preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
                     mask = (sub_j == b[None, :]).astype(dtype)
                     masked = cand * mask
                     # field extraction: sum the SN subnode row-groups
@@ -502,7 +724,8 @@ def scatter_corners_tpu(slot_cols, bt: BandTables):
                     # dim -- the MXU streams them as-is, no transpose
                     win_t = win_t + jax.lax.dot_general(
                         oh, expanded, (((1,), (1,)), ((), ())),
-                        preferred_element_type=dtype)
+                        preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
                 w0 = W0_ref[mm] + rel0_ref[mm * _i32(MB) + _i32(sb)]
                 cur = acc_vm[pl.ds(w0, w8)]
                 acc_vm[pl.ds(w0, w8)] = cur + win_t

@@ -132,10 +132,15 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         k = pack.shape[1]
         bt = _band(pack.dtype)
         if bt is not None:
-            p8 = band2d.pack_nodal([pack[:, j] for j in range(k)], bt)
             eng = (band2d.gather_corners_tpu if band_native
                    else band2d.gather_corners)
-            return eng(p8, bt, k)
+            parts = []
+            for j0 in range(0, k, band2d.KF):   # KF fields per call
+                kk = min(band2d.KF, k - j0)
+                p8 = band2d.pack_nodal(
+                    [pack[:, j0 + j] for j in range(kk)], bt)
+                parts.append(eng(p8, bt, kk))
+            return [sum((p[c] for p in parts), ()) for c in range(3)]
         c_idx = _tables["c_idx"]
         out = []
         for c in range(3):
@@ -162,9 +167,23 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             acc = acc + jnp.where(m_cols[d][:, None], vals, 0.0)
         return acc
 
-    def asm_equal(v):
-        """Assembly when all 3 corner slots carry the same value."""
-        return asm_pack([(v,), (v,), (v,)])[:, 0]
+    def asm_gather(slot_cols, kg):
+        """Fused assembly + immediate corner re-gather of the first
+        ``kg`` nodal sums: ((nnode, k) sums, [corner][field<kg]
+        (nelem,) columns).  The step's transfer hops (dvoldt, NMD
+        pressure smoothing) scatter and immediately re-gather the SAME
+        nodal field; on the band engine both phases run in ONE Pallas
+        kernel whose gather reads the VMEM-resident accumulator — no
+        second kernel launch, no window DMAs for the gather."""
+        k = len(slot_cols[0])
+        bt = _band(slot_cols[0][0].dtype)
+        if bt is not None:
+            eng = (band2d.scatter_gather_corners_tpu if band_native
+                   else band2d.scatter_gather_corners)
+            sums, gath = eng(slot_cols, bt, kg)
+            return jnp.stack(sums, axis=1), gath
+        pack = asm_pack(slot_cols)
+        return pack, cgather(pack[:, :kg])
 
     def _bind_tables(rctx):
         """Slice the traced gather tables (jit arguments) once per step.
@@ -361,18 +380,23 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         steps = s.steps + 1
         time = s.time + s.dt
 
-        # ONE packed corner gather (coord, vel, T [, pp, dpp]),
-        # unstacked to columns
+        # ONE packed corner gather (coord, vel, T [, pp, dpp],
+        # volume_n), unstacked to columns; volume_n rides along so the
+        # dvoldt/NMD transfer hops can divide their re-gathered nodal
+        # sums per-corner (elementwise-identical to dividing nodally)
         cols = [s.coord, s.vel, s.temperature[:, None]]
         if ctrl.has_hydraulic_diffusion:
             cols += [s.ppressure[:, None], s.dppressure[:, None]]
+        cols.append(s.volume_n[:, None])
         nodal_pack = jnp.concatenate(cols, axis=1)
+        iv_vn = nodal_pack.shape[1] - 1
         slots = cgather(nodal_pack)         # [corner][x z vx vz T ...]
         xs = tuple(slots[c][0] for c in range(3))
         zs = tuple(slots[c][1] for c in range(3))
         vxs = tuple(slots[c][2] for c in range(3))
         vzs = tuple(slots[c][3] for c in range(3))
         ts = tuple(slots[c][4] for c in range(3))
+        vns = tuple(slots[c][iv_vn] for c in range(3))
 
         vol = s.volume
         dndx, dndz = shape_fn(xs, zs, vol)
@@ -398,20 +422,22 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             kv = kappa * vol
             gtx = dndx[0] * ts[0] + dndx[1] * ts[1] + dndx[2] * ts[2]
             gtz = dndz[0] * ts[0] + dndz[1] * ts[1] + dndz[2] * ts[2]
-            both = asm_pack([
+            both, gdv = asm_gather([
                 (etmp, kv * (dndx[c] * gtx + dndz[c] * gtz) - source)
-                for c in range(3)])
-            dv_sum, tdot = both[:, 0], both[:, 1]
+                for c in range(3)], kg=1)
+            tdot = both[:, 1]
             temperature = jnp.where(
                 ctx.top_mask, param.bc.surface_temperature,
                 s.temperature - s.dt * tdot / s.tmass)
         else:
-            dv_sum = asm_equal(etmp)
+            _, gdv = asm_gather([(etmp,)] * 3, kg=1)
             temperature = s.temperature
 
-        # anti-mesh-locking dvoldt/edvoldt (geometry.cxx:202-276)
-        dvoldt = dv_sum / s.volume_n
-        dvs = [cols[0] for cols in cgather(dvoldt[:, None])]
+        # anti-mesh-locking dvoldt/edvoldt (geometry.cxx:202-276):
+        # the nodal dv sums come back at the corners from the fused
+        # kernel; dividing by corner volume_n equals gathering
+        # dv_sum/volume_n bit-for-bit
+        dvs = [gdv[c][0] / vns[c] for c in range(3)]
         edvoldt = (dvs[0] + dvs[1] + dvs[2]) / npe
 
         adj = (edvoldt - (lxx + lzz)) / 2.0
@@ -442,9 +468,10 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             vmean)
 
         if ctrl.is_using_mixed_stress:
-            # NMD pressure smoothing (geometry.cxx:279-331)
-            dp_nd = asm_equal(dpressure * vol) / s.volume_n
-            dps = [cols[0] for cols in cgather(dp_nd[:, None])]
+            # NMD pressure smoothing (geometry.cxx:279-331), fused
+            # assemble+regather with per-corner volume_n division
+            _, gdp = asm_gather([(dpressure * vol,)] * 3, kg=1)
+            dps = [gdp[c][0] / vns[c] for c in range(3)]
             ddp = ((dps[0] + dps[1] + dps[2]) / npe - dpressure) / 2.0
             stress_c = (stress_c[0] + ddp, stress_c[1] + ddp, stress_c[2])
         stress = jnp.stack(stress_c)

@@ -83,10 +83,15 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         k = pack.shape[1]
         bt = _band(pack.dtype)
         if bt is not None:
-            p8 = band2d.pack_nodal([pack[:, j] for j in range(k)], bt)
             eng = (band2d.gather_corners_tpu if band_native
                    else band2d.gather_corners)
-            return eng(p8, bt, k)
+            parts = []
+            for j0 in range(0, k, band2d.KF):   # KF fields per call
+                kk = min(band2d.KF, k - j0)
+                p8 = band2d.pack_nodal(
+                    [pack[:, j0 + j] for j in range(kk)], bt)
+                parts.append(eng(p8, bt, kk))
+            return [sum((p[c] for p in parts), ()) for c in range(4)]
         out = []
         for c in range(4):
             rows = pack[c_idx[c]]
@@ -109,8 +114,18 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             acc = acc + jnp.where(m_cols[d][:, None], vals, 0.0)
         return acc
 
-    def asm_equal(v):
-        return asm_pack([(v,)] * 4)[:, 0]
+    def asm_gather(slot_cols, kg):
+        """Fused assembly + immediate corner re-gather of the first
+        ``kg`` nodal sums (see flat2d.asm_gather)."""
+        k = len(slot_cols[0])
+        bt = _band(slot_cols[0][0].dtype)
+        if bt is not None:
+            eng = (band2d.scatter_gather_corners_tpu if band_native
+                   else band2d.scatter_gather_corners)
+            sums, gath = eng(slot_cols, bt, kg)
+            return jnp.stack(sums, axis=1), gath
+        pack = asm_pack(slot_cols)
+        return pack, cgather(pack[:, :kg])
 
     def shape_fn(xs, ys, zs, vol):
         """P1 tet gradients (fields.cxx:11-54)."""
@@ -301,10 +316,14 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         steps = s.steps + 1
         time = s.time + s.dt
 
+        # volume_n rides the packed gather so the dvoldt/NMD transfer
+        # hops can divide their re-gathered sums per-corner
         cols = [s.coord, s.vel, s.temperature[:, None]]
         if ctrl.has_hydraulic_diffusion:
             cols += [s.ppressure[:, None], s.dppressure[:, None]]
+        cols.append(s.volume_n[:, None])
         nodal_pack = jnp.concatenate(cols, axis=1)
+        iv_vn = nodal_pack.shape[1] - 1
         slots = cgather(nodal_pack)
         xs = tuple(slots[c][0] for c in range(4))
         ys = tuple(slots[c][1] for c in range(4))
@@ -313,6 +332,7 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
         vys = tuple(slots[c][4] for c in range(4))
         vzs = tuple(slots[c][5] for c in range(4))
         ts = tuple(slots[c][6] for c in range(4))
+        vns = tuple(slots[c][iv_vn] for c in range(4))
 
         vol = s.volume
         dndx, dndy, dndz = shape_fn(xs, ys, zs, vol)
@@ -342,19 +362,20 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
             gx = sum(dndx[i] * ts[i] for i in range(4))
             gy = sum(dndy[i] * ts[i] for i in range(4))
             gz = sum(dndz[i] * ts[i] for i in range(4))
-            both = asm_pack([
+            both, gdv = asm_gather([
                 (etmp, kv * (dndx[c] * gx + dndy[c] * gy + dndz[c] * gz)
-                 - source) for c in range(4)])
-            dv_sum, tdot = both[:, 0], both[:, 1]
+                 - source) for c in range(4)], kg=1)
+            tdot = both[:, 1]
             temperature = jnp.where(
                 ctx.top_mask, param.bc.surface_temperature,
                 s.temperature - s.dt * tdot / s.tmass)
         else:
-            dv_sum = asm_equal(etmp)
+            _, gdv = asm_gather([(etmp,)] * 4, kg=1)
             temperature = s.temperature
 
-        dvoldt = dv_sum / s.volume_n
-        dvs = [cols[0] for cols in cgather(dvoldt[:, None])]
+        # fused transfer hop: corner division by volume_n equals
+        # gathering dv_sum/volume_n bit-for-bit
+        dvs = [gdv[c][0] / vns[c] for c in range(4)]
         edvoldt = (dvs[0] + dvs[1] + dvs[2] + dvs[3]) / npe
 
         adj = (edvoldt - (lxx + lyy + lzz)) / 3.0
@@ -385,8 +406,8 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                                temp_e, dt, dpp, vmean)
 
         if ctrl.is_using_mixed_stress:
-            dp_nd = asm_equal(dpressure * vol) / s.volume_n
-            dps = [cols[0] for cols in cgather(dp_nd[:, None])]
+            _, gdp = asm_gather([(dpressure * vol,)] * 4, kg=1)
+            dps = [gdp[c][0] / vns[c] for c in range(4)]
             ddp = ((dps[0] + dps[1] + dps[2] + dps[3]) / npe
                    - dpressure) / 3.0
             stress_c = (stress_c[0] + ddp, stress_c[1] + ddp,

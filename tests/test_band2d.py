@@ -128,6 +128,52 @@ def test_band_pallas_kernels_match_reference(monkeypatch):
                                    rtol=2e-6, atol=2e-5)
 
 
+def test_band_fused_scatter_gather_matches_sequential():
+    """scatter_gather_corners == scatter_corners + gather_corners."""
+    conn, nnode = _mesh()
+    bt = band2d.build_band_tables(conn, nnode)
+    rng = np.random.default_rng(6)
+    k, kg = 3, 2
+    nelem = conn.shape[0]
+    slot_cols = [tuple(jnp.asarray(rng.standard_normal(nelem), jnp.float32)
+                       for _ in range(k)) for _ in range(3)]
+    sums, gath = band2d.scatter_gather_corners(slot_cols, bt, kg)
+    want_s = band2d.scatter_corners(slot_cols, bt)
+    pack = band2d.pack_nodal(list(want_s[:kg]), bt)
+    want_g = band2d.gather_corners(pack, bt, kg)
+    for f in range(k):
+        np.testing.assert_array_equal(np.asarray(sums[f]),
+                                      np.asarray(want_s[f]))
+    for c in range(3):
+        for f in range(kg):
+            np.testing.assert_array_equal(np.asarray(gath[c][f]),
+                                          np.asarray(want_g[c][f]))
+
+
+def test_band_fused_pallas_matches_reference(monkeypatch):
+    """Fused Pallas assembly+regather (interpret mode) vs the jnp
+    reference.  Small mesh: interpret-mode DMA emulation is slow."""
+    monkeypatch.setattr(band2d, "INTERPRET", True)
+    conn, nnode = _mesh(37, 11)
+    bt = band2d.build_band_tables(conn, nnode)
+    rng = np.random.default_rng(7)
+    k, kg = 3, 2
+    nelem = conn.shape[0]
+    slot_cols = [tuple(jnp.asarray(rng.standard_normal(nelem), jnp.float32)
+                       for _ in range(k)) for _ in range(3)]
+    want_n, want_g = band2d.scatter_gather_corners(slot_cols, bt, kg)
+    got_n, got_g = band2d.scatter_gather_corners_tpu(slot_cols, bt, kg)
+    for f in range(k):
+        np.testing.assert_allclose(np.asarray(got_n[f]),
+                                   np.asarray(want_n[f]),
+                                   rtol=2e-6, atol=2e-5)
+    for c in range(3):
+        for f in range(kg):
+            np.testing.assert_allclose(np.asarray(got_g[c][f]),
+                                       np.asarray(want_g[c][f]),
+                                       rtol=2e-6, atol=2e-5)
+
+
 # ---- npe=4 (tets): the engine is npe-generic; ABR=8 exactly fits ----
 
 def _tet_mesh(nx=9, ny=7, nz=5):
