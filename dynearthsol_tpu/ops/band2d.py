@@ -289,6 +289,47 @@ def _i32(v):
 ABR = 8   # a|b table rows per block, padded to the sublane DMA tiling
 
 
+def _split3(x):
+    """Exact 3-way bf16 split: hi + mid + lo == x for every finite f32
+    (24-bit mantissa covered by three 8-bit bf16 pieces; each residual
+    subtraction is exact by Sterbenz)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _sel_dot(data, oh_bool, dims, data_left=True, acc=None):
+    """One-hot contraction with the DATA operand split 3-way to bf16.
+
+    The one-hot side is exactly representable in bf16 and every
+    bf16 x bf16 product is exact in the f32 accumulator, so the
+    3-term sum reconstructs the f32 selection EXACTLY — in 3 MXU
+    passes instead of the 6 that Precision.HIGHEST costs on f32
+    operands.  ``dims`` orders (lhs, rhs) where lhs is the data when
+    ``data_left`` else the one-hot; pass ``acc`` to add the result
+    onto an existing f32 array.  Non-f32 dtypes keep the
+    HIGHEST-precision f32 path (the engine is f32-gated anyway)."""
+    dtype = data.dtype
+
+    def dot(a, b, **kw):
+        return jax.lax.dot_general(a if data_left else b,
+                                   b if data_left else a, dims, **kw)
+
+    if dtype != jnp.float32:
+        out = dot(data, oh_bool.astype(dtype),
+                  preferred_element_type=dtype,
+                  precision=jax.lax.Precision.HIGHEST)
+        return out if acc is None else acc + out
+    oh = oh_bool.astype(jnp.bfloat16)
+    out = acc
+    for part in _split3(data):
+        t = dot(part, oh, preferred_element_type=jnp.float32)
+        out = t if out is None else out + t
+    return out
+
+
 def _ab_rows(bt):
     ab = jnp.concatenate(
         [bt.a_e, bt.b_e,
@@ -379,12 +420,10 @@ def scatter_gather_corners_tpu(slot_cols, bt: BandTables, kg: int):
                     expanded = jnp.concatenate([cc] * SN, axis=0)
                     mask = (sub_j == b[None, :]).astype(dtype)
                     expanded = expanded * mask            # (ROWK, EB)
-                    oh = (_iota2(w8, EB, 0)
-                          == a[None, :]).astype(dtype)    # (w8, EB)
-                    win_t = win_t + jax.lax.dot_general(
-                        oh, expanded, (((1,), (1,)), ((), ())),
-                        preferred_element_type=dtype,
-                        precision=jax.lax.Precision.HIGHEST)
+                    oh = _iota2(w8, EB, 0) == a[None, :]  # (w8, EB)
+                    win_t = _sel_dot(expanded, oh,
+                                     (((1,), (1,)), ((), ())),
+                                     data_left=False, acc=win_t)
                 w0 = W0_ref[mm] + rel0_ref[mm * _i32(MB) + _i32(sb)]
                 cur = acc_vm[pl.ds(w0, w8)]
                 acc_vm[pl.ds(w0, w8)] = cur + win_t
@@ -396,12 +435,9 @@ def scatter_gather_corners_tpu(slot_cols, bt: BandTables, kg: int):
                 for c in range(npe):
                     a = abs_[slot][sb * ABR + c]
                     b = abs_[slot][sb * ABR + npe + c]
-                    oh = (_iota2(w8, EB, 0)
-                          == a[None, :]).astype(dtype)
-                    cand = jax.lax.dot_general(
-                        win, oh, (((0,), (0,)), ((), ())),
-                        preferred_element_type=dtype,
-                        precision=jax.lax.Precision.HIGHEST)
+                    oh = _iota2(w8, EB, 0) == a[None, :]
+                    cand = _sel_dot(win, oh,
+                                    (((0,), (0,)), ((), ())))
                     mask = (sub_j == b[None, :]).astype(dtype)
                     masked = cand * mask
                     red = masked[0:KF, :]
@@ -564,14 +600,11 @@ def gather_corners_tpu(npack8, bt: BandTables, k: int):
                 for c in range(npe):
                     a = abs_[slot][sb * ABR + c]        # (EB,) s32
                     b = abs_[slot][sb * ABR + npe + c]
-                    oh = (_iota2(w8, EB, 0)
-                          == a[None, :]).astype(dtype)  # (w8, EB)
+                    oh = _iota2(w8, EB, 0) == a[None, :]  # (w8, EB)
                     # (ROWK, EB) via transposed-LHS contraction: the
                     # MXU streams win as-is, no transpose op emitted
-                    cand = jax.lax.dot_general(
-                        win, oh, (((0,), (0,)), ((), ())),
-                        preferred_element_type=dtype,
-                        precision=jax.lax.Precision.HIGHEST)
+                    cand = _sel_dot(win, oh,
+                                    (((0,), (0,)), ((), ())))
                     mask = (sub_j == b[None, :]).astype(dtype)
                     masked = cand * mask
                     # field extraction: sum the SN subnode row-groups
@@ -718,14 +751,12 @@ def scatter_corners_tpu(slot_cols, bt: BandTables):
                     expanded = jnp.concatenate([cc] * SN, axis=0)
                     mask = (sub_j == b[None, :]).astype(dtype)
                     expanded = expanded * mask            # (ROWK, EB)
-                    oh = (_iota2(w8, EB, 0)
-                          == a[None, :]).astype(dtype)    # (w8, EB)
+                    oh = _iota2(w8, EB, 0) == a[None, :]  # (w8, EB)
                     # (w8, ROWK): both operands contract on their EB
                     # dim -- the MXU streams them as-is, no transpose
-                    win_t = win_t + jax.lax.dot_general(
-                        oh, expanded, (((1,), (1,)), ((), ())),
-                        preferred_element_type=dtype,
-                        precision=jax.lax.Precision.HIGHEST)
+                    win_t = _sel_dot(expanded, oh,
+                                     (((1,), (1,)), ((), ())),
+                                     data_left=False, acc=win_t)
                 w0 = W0_ref[mm] + rel0_ref[mm * _i32(MB) + _i32(sb)]
                 cur = acc_vm[pl.ds(w0, w8)]
                 acc_vm[pl.ds(w0, w8)] = cur + win_t
