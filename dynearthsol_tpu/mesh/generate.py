@@ -390,12 +390,15 @@ def renumber_mesh(coord: np.ndarray, conn: np.ndarray,
     it tightens CPU cache lines in the reference.
 
     Returns (coord, conn, regattr, bcflag) with the permutations applied
-    (None inputs pass through)."""
+    (None inputs pass through).  ``renumber_mesh.last_node_inv`` holds the
+    old->new node-id map of the most recent call (for renumbering any
+    side arrays, e.g. boundary segments)."""
     lengths = coord.max(axis=0) - coord.min(axis=0)
     ax = int(np.argmax(lengths))
     perm = np.argsort(coord[:, ax], kind="stable")
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.size)
+    renumber_mesh.last_node_inv = inv
     coord2 = coord[perm]
     conn2 = inv[conn.astype(np.int64)].astype(conn.dtype)
     cent = coord2[conn2].mean(axis=1)[:, ax]
@@ -409,7 +412,11 @@ def renumber_mesh(coord: np.ndarray, conn: np.ndarray,
 def _renumbered(md: MeshData) -> MeshData:
     coord, conn, regattr, _ = renumber_mesh(md.coord, md.connectivity,
                                             md.regattr)
-    return MeshData(md.ndims, coord, conn, regattr=regattr)
+    inv = renumber_mesh.last_node_inv
+    segment = (inv[md.segment.astype(np.int64)].astype(np.int32)
+               if md.segment is not None else None)
+    return MeshData(md.ndims, coord, conn, regattr=regattr,
+                    segment=segment, segflag=md.segflag)
 
 
 def create_new_mesh(param) -> MeshData:
@@ -417,10 +424,10 @@ def create_new_mesh(param) -> MeshData:
     m = param.mesh
     ndims = param.sim.ndims
     if m.meshing_option in (90, 91):
-        if ndims != 2:
-            raise NotImplementedError(
-                "3D .poly (TetGen format) meshing not supported; use "
-                "meshing_option 1/2")
+        if ndims == 3:
+            from .poly3 import mesh_from_poly_3d
+
+            return _renumbered(mesh_from_poly_3d(param))
         from .poly import mesh_from_poly_2d
 
         return _renumbered(mesh_from_poly_2d(param))

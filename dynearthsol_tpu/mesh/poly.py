@@ -10,8 +10,8 @@ ids (regattr) propagate by flood fill across non-constrained edges from
 the region seed points — segments act as barriers exactly like
 Triangle's regional attributes.
 
-Only 2D .poly is supported (3D poly/TetGen format is a different,
-richer format; the 3D examples use meshing_option 2 instead).
+This module is the 2D path; the TetGen-format 3D .poly path (planar
+facets, regions, per-facet boundary markers) lives in mesh/poly3.py.
 """
 
 from __future__ import annotations
@@ -155,7 +155,9 @@ def mesh_from_poly_2d(param) -> MeshData:
     pts, segs, flags, regions = read_poly_2d(m.poly_filename)
     res = m.resolution
     std_size = 1.5 * res * res  # mesh.cxx:1868
-    unit = 1.0 if m.meshing_option == 90 else res * res
+    # option 91 sizes are in units of the STANDARD element size, not
+    # resolution^2 (mesh.cxx:2110-2115 scales by std_elem_size)
+    unit = 1.0 if m.meshing_option == 90 else std_size
     sizes = np.where(regions[:, 3] > 0, regions[:, 3] * unit,
                      std_size * m.largest_size)
     h_region = np.sqrt(2.0 * sizes)
