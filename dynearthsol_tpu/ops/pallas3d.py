@@ -352,6 +352,13 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
     nmat = int(np.asarray(tabn.rho0).shape[0])
     NCE = len(CE3_SLOTS) + nmat
     uniform_mat = _uniform_mat(param)
+    # timing-ablation knob (DEV ONLY — produces wrong physics): comma
+    # list of phase tags to stub out, for locating kernel time on real
+    # hardware.  e.g. DES_P3D_ABLATE=cfl,jaumann
+    import os as _os
+
+    _ablate = set(filter(None, _os.environ.get(
+        "DES_P3D_ABLATE", "").split(",")))
 
     # single material + uniform ICs: property mixtures are compile-time
     # scalars (matprops.cxx:115-144 — the mixing mean of one material is
@@ -767,7 +774,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         # ---- phase 1: dvoldt numerator + temperature diffusion ----
         dv_acc = zero_n
         tdot_acc = zero_n
-        for t in range(5):
+        for t in range(5 if "ph1" not in _ablate else 0):
             xs = gather_tet(cx_v, t, par)
             ys = gather_tet(cy_v, t, par)
             zs = gather_tet(cz_v, t, par)
@@ -903,7 +910,9 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
 
             from . import rheology as R
 
-            if rheol == RH_ELASTIC:
+            if "rheol" in _ablate:
+                stress_c = tuple(stress_old[i] + de[i] for i in range(6))
+            elif rheol == RH_ELASTIC:
                 stress_c = R.elastic3_c(bulkm, shearm, de, stress_old)
             elif rheol == RH_VISCOUS:
                 viscosity = creep_visc()
@@ -1101,18 +1110,19 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             # CFL partials (geometry.cxx:756-923): every step, like the
             # grid3d oracle — vmax/gdtmin refresh each step, only dt is
             # gated on the 10-step cadence (dynearthsol.cxx:861-871)
-            vx_m = (vxs2[0] + vxs2[1] + vxs2[2] + vxs2[3]) / npe
-            vy_m = (vys2[0] + vys2[1] + vys2[2] + vys2[3]) / npe
-            vz_m = (vzs2[0] + vzs2[1] + vzs2[2] + vzs2[3]) / npe
-            vmag = jnp.sqrt(vx_m * vx_m + vy_m * vy_m + vz_m * vz_m)
-            minh = min_height(xs2, ys2, zs2, vol2_safe)
-            swave = jnp.sqrt(shearm / rho_e)
-            red_ref[0, 0] = jnp.minimum(red_ref[0, 0],
-                                        minh[own_c].min())
-            red_ref[0, 1] = jnp.minimum(red_ref[0, 1],
-                                        (minh / swave)[own_c].min())
-            red_ref[0, 2] = jnp.maximum(red_ref[0, 2],
-                                        vmag[own_c].max())
+            if "cfl" not in _ablate:
+                vx_m = (vxs2[0] + vxs2[1] + vxs2[2] + vxs2[3]) / npe
+                vy_m = (vys2[0] + vys2[1] + vys2[2] + vys2[3]) / npe
+                vz_m = (vzs2[0] + vzs2[1] + vzs2[2] + vzs2[3]) / npe
+                vmag = jnp.sqrt(vx_m * vx_m + vy_m * vy_m + vz_m * vz_m)
+                minh = min_height(xs2, ys2, zs2, vol2_safe)
+                swave = jnp.sqrt(shearm / rho_e)
+                red_ref[0, 0] = jnp.minimum(red_ref[0, 0],
+                                            minh[own_c].min())
+                red_ref[0, 1] = jnp.minimum(red_ref[0, 1],
+                                            (minh / swave)[own_c].min())
+                red_ref[0, 2] = jnp.maximum(red_ref[0, 2],
+                                            vmag[own_c].max())
 
             # (pseudo-)mass matrices (geometry.cxx:1020-1154)
             if ctrl.use_global_velocity_scaling:
@@ -1132,17 +1142,18 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             tm_c = jnp.where(vmask, cp_rho * volume_new / npe, _c(0.0))
             hm_c = jnp.where(vmask, hmA_e * volume_new, _c(0.0))
             vn_c = jnp.where(vmask, volume_new, _c(0.0))
-            voln_acc = scatter_tet_equal(voln_acc, vn_c, t, par)
-            m_acc = scatter_tet_equal(m_acc, m_c, t, par)
-            tm_acc = scatter_tet_equal(tm_acc, tm_c, t, par)
-            hm_acc = scatter_tet_equal(hm_acc, hm_c, t, par)
+            if "masses" not in _ablate:
+                voln_acc = scatter_tet_equal(voln_acc, vn_c, t, par)
+                m_acc = scatter_tet_equal(m_acc, m_c, t, par)
+                tm_acc = scatter_tet_equal(tm_acc, tm_c, t, par)
+                hm_acc = scatter_tet_equal(hm_acc, hm_c, t, par)
 
             # Jaumann rotation with post-move geometry (fields.cxx:832-907)
             # + correct_surface_element (bc.cxx:1613-1665): the rotation is
             # linear in its tensor, so rotate-then-scale == the reference's
             # scale-then-rotate.  No surface plstrain decay in 3D
             # (bc.cxx:1805-1810 is 2D-only).
-            if rheol & RH_ELASTIC:
+            if rheol & RH_ELASTIC and "jaumann" not in _ablate:
                 dndx2, dndy2, dndz2 = shape_fn(xs2, ys2, zs2, vol2_safe)
                 w3 = 0.5 * (sum(vxs2[i] * dndy2[i] for i in range(4))
                             - sum(vys2[i] * dndx2[i] for i in range(4)))

@@ -10,7 +10,8 @@ import dynearthsol_tpu as des
 
 DIRS = ("/root/reference/examples", "/root/reference/benchmarks",
         "/root/reference/benchmarks-cores",
-        "/root/reference/tests/functional")
+        "/root/reference/tests/functional",
+        "/root/reference/examples/3d_mesh_gen")
 
 
 def _cfgs():
