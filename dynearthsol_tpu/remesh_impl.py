@@ -155,13 +155,16 @@ def sediment_refine_points(param, surf, markers, nelem, old_coord,
     elements (refine_surface_elem, remeshing.cxx:1028-1092): the
     midpoints between each surface node of the facet and the element's
     sub-surface node, so freshly deposited layers keep resolution
-    through a remesh.  2D only (the reference's 3D branch is 'todo')."""
+    through a remesh.  The reference only wires this in 2D (its 3D
+    branch is 'todo', remeshing.cxx:1250); the same construction is
+    dimension-generic, so 3D gets it too via the metric-path seeds."""
     ndims = old_coord.shape[1]
-    if int(surf.etop) == 0 or markers is None or ndims != 2:
+    if int(surf.etop) == 0 or markers is None:
         return np.zeros((0, ndims))
-    from .remeshing import SIZEFACTOR_2D
+    from .remeshing import SIZEFACTOR_2D, SIZEFACTOR_3D
 
-    surface_vol = (param.mesh.sediment_size * SIZEFACTOR_2D
+    sizefactor = SIZEFACTOR_2D if ndims == 2 else SIZEFACTOR_3D
+    surface_vol = (param.mesh.sediment_size * sizefactor
                    * param.mesh.resolution ** ndims)
     top_elems = np.asarray(surf.top_elems)
     facet_nodes = np.asarray(surf.facet_nodes)
@@ -458,11 +461,14 @@ def _finish_unstructured_2d(param, coord, bcflag, surf, bot,
     return coord, _orient_2d(coord, conn), bcflag
 
 
-def generate_optimized_mesh_3d(param, old_coord, old_topo, seed: int, h):
+def generate_optimized_mesh_3d(param, old_coord, old_topo, seed: int, h,
+                               extra_interior=None):
     """Metric-driven unstructured 3D regeneration (the MMG3D-analog
     optimize_mesh, remeshing.cxx:2181-2434): graded edge walks + thinned
     face lattices + thinned interior lattice with keep-probability
-    (h_min/h)^3, Delaunay-tetrahedralized."""
+    (h_min/h)^3, Delaunay-tetrahedralized.  ``extra_interior``: sediment
+    surface-refinement seeds (3D refine_surface_elem analog — the
+    reference's own 3D branch is 'todo', remeshing.cxx:1250)."""
     m = param.mesh
     res = m.resolution
     top = old_coord[(old_topo.bcflag & BOUNDZ1) != 0]
@@ -531,6 +537,13 @@ def generate_optimized_mesh_3d(param, old_coord, old_topo, seed: int, h):
           & (P[:, 2] > botf(P[:, :2]) + margin)
           & (P[:, 2] < surf(P[:, :2]) - margin))
     pts.append(P[ok])
+    if extra_interior is not None and len(extra_interior):
+        # sediment refinement seeds (old-element edge midpoints —
+        # interior by construction, but clamp just under the surface)
+        E = np.asarray(extra_interior, dtype=np.float64)
+        zcap = surf(E[:, :2]) - 1e-6 * m.zlength
+        E[:, 2] = np.minimum(E[:, 2], zcap)
+        pts.append(E)
 
     coord = np.concatenate(pts, axis=0)
     # dedup near-coincident points (face/edge overlaps)
@@ -856,7 +869,11 @@ def remesh_simulation(sim, bad_quality: int):
             sim.init_elem_size_n)
 
     extra_interior = None
-    if ndims == 2 and param.mesh.meshing_sediment:
+    if param.mesh.meshing_sediment and (
+            ndims == 2 or h_field is not None):
+        # 3D seeds ride the metric-path regeneration (the structured 3D
+        # lattice cannot take free points); the reference has no 3D
+        # surface refinement at all (remeshing.cxx:1250 'todo')
         extra_interior = sediment_refine_points(
             param, sim.ctx.surf, sim.markers, topo.nelem, old_coord,
             old_conn, old_volume)
@@ -895,7 +912,8 @@ def remesh_simulation(sim, bad_quality: int):
             return c, k, b
         if hf is not None:
             return generate_optimized_mesh_3d(param, old_coord, topo,
-                                              seed, hf)
+                                              seed, hf,
+                                              extra_interior=extra_interior)
         return generate_new_mesh_3d(param, old_coord, topo, seed)
 
     h_scale = 1.0

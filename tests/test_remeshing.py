@@ -281,6 +281,42 @@ def test_metric_driven_remesh_3d():
     assert all(len(b) > 0 for b in sim.topo.bnodes[:6])
 
 
+def test_sediment_surface_refinement_3d():
+    """3D sediment surface refinement through the metric path — the
+    reference's own 3D branch is 'todo' (remeshing.cxx:1250), so the 2D
+    refine_surface_elem contract (remeshing.cxx:1028-1092) is extended:
+    oversized sediment-bearing top-facet elements contribute midpoint
+    seeds and the optimized 3D regeneration densifies there."""
+    from dynearthsol_tpu.remesh_impl import sediment_refine_points
+
+    param = rift_param(
+        sim={"ndims": 3},
+        mesh={"meshing_elem_shape": 0, "use_mesh_optimizer": True,
+              "meshing_sediment": True, "sediment_size": 0.05,
+              "mmg_hmin_factor": 0.4, "mmg_hmax_factor": 1.3,
+              "xlength": 12e3, "ylength": 8e3, "zlength": 6e3,
+              "resolution": 2e3},
+        bc={"vbc_y0": 0, "vbc_y1": 0})
+    sim = des.Simulation(param)
+    coord = np.asarray(sim.state.coord, np.float64)
+    conn = sim.topo.connectivity
+    vol = np.asarray(sim.state.volume, np.float64)
+    # mattype_sed defaults to 0 = the only material, so every surface
+    # element is sediment-bearing; tiny sediment_size => all oversized
+    pts = sediment_refine_points(param, sim.ctx.surf, sim.markers,
+                                 sim.topo.nelem, coord, conn, vol)
+    assert len(pts) >= sim.ctx.surf.etop  # 3 midpoints per facet elem
+    assert pts.shape[1] == 3
+    assert (pts[:, 2] < 0).all() and (pts[:, 2] > -6e3).all()
+
+    nnode_surface_band = (coord[:, 2] > -1.5e3).sum()
+    remesh_simulation(sim, 1)
+    new_coord = np.asarray(sim.state.coord)
+    assert (np.asarray(sim.state.volume) > 0).all()
+    # the seeds densify the surface band relative to the pre-remesh mesh
+    assert (new_coord[:, 2] > -1.5e3).sum() > nnode_surface_band
+
+
 def test_regeneration_min_angle_guarantee():
     """The unstructured regeneration carries Triangle's constructive
     quality bound (the `q` switch, mesh.cxx:110-118; Ruppert refinement
