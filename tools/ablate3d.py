@@ -38,8 +38,13 @@ def main():
     out = {}
     for tag in tags:
         env = dict(os.environ, DES_P3D_ABLATE=tag)
-        r = subprocess.run([sys.executable, "-c", CHILD], env=env,
-                           capture_output=True, text=True, timeout=1800)
+        try:
+            r = subprocess.run([sys.executable, "-c", CHILD], env=env,
+                               capture_output=True, text=True, timeout=2700)
+        except subprocess.TimeoutExpired:
+            out[tag or "baseline"] = {"error": "timeout"}
+            print(json.dumps({tag or "baseline": "timeout"}), flush=True)
+            continue
         line = [l for l in r.stdout.splitlines() if l.startswith("RESULT")]
         if line:
             ms, rate, path = line[0].split()[1:]
