@@ -225,11 +225,34 @@ def regular_grid_3d(xlength: float, ylength: float, zlength: float,
     return MeshData(3, coord, _orient_3d(coord, conn))
 
 
+def _refine_box_3d(coord: np.ndarray, xlength: float, ylength: float,
+                   zlength: float, max_ratio: float,
+                   vol_floor: float = 0.0) -> np.ndarray:
+    """Radius-edge Delaunay refinement of a 3D box point set — the
+    quality guarantee TetGen's `q` switch gives the reference
+    (set_3d_quality_str, mesh.cxx:745-757; mesh.max_ratio, default 2).
+    Returns the (possibly extended) coordinate array."""
+    if max_ratio <= 0:
+        return coord
+    from .refine3d import (box_inside_fn_3d, box_project_fn_3d,
+                           refine_radius_edge)
+
+    surf = lambda x, y: np.zeros_like(np.asarray(x, dtype=float))
+    bot = lambda x, y: np.full_like(np.asarray(x, dtype=float), -zlength)
+    coord, _ = refine_radius_edge(
+        coord, box_inside_fn_3d(xlength, ylength, surf, bot),
+        max_ratio=max_ratio, vol_floor=vol_floor,
+        project_fn=box_project_fn_3d(xlength, ylength, surf, bot))
+    return coord
+
+
 def unstructured_box_3d(xlength: float, ylength: float, zlength: float,
                         resolution: float, jitter: float = 0.25,
-                        seed: int = 12345) -> MeshData:
+                        seed: int = 12345, max_ratio: float = 2.0,
+                        smallest_size: float = 0.01) -> MeshData:
     """Unstructured 3D box via Delaunay of boundary + jittered interior
-    points (replaces the TetGen path, mesh.cxx:2586)."""
+    points (replaces the TetGen path, mesh.cxx:2586), with radius-edge
+    refinement to mesh.max_ratio (TetGen q parity)."""
     rng = np.random.default_rng(seed)
     nx = max(2, int(round(xlength / resolution)) + 1)
     ny = max(2, int(round(ylength / resolution)) + 1)
@@ -243,6 +266,9 @@ def unstructured_box_3d(xlength: float, ylength: float, zlength: float,
                 (Z > zs[0]) & (Z < zs[-1])).ravel()
     d = np.array([xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0]])
     coord[interior] += jitter * d * (rng.random((interior.sum(), 3)) - 0.5)
+    coord = _refine_box_3d(
+        coord, xlength, ylength, zlength, max_ratio,
+        vol_floor=smallest_size * (np.sqrt(2.0) / 12.0) * resolution**3)
 
     from scipy.spatial import Delaunay
 
@@ -369,6 +395,9 @@ def refined_zone_box_3d(param) -> MeshData:
     coord = P[sel].copy()
     inner = ~on_bnd[sel]
     coord[inner] += 0.25 * res * (rng.random((inner.sum(), 3)) - 0.5)
+    coord = _refine_box_3d(
+        coord, Lx, Ly, Lz, m.max_ratio,
+        vol_floor=m.smallest_size * (np.sqrt(2.0) / 12.0) * res**3)
 
     from scipy.spatial import Delaunay
 
@@ -456,4 +485,5 @@ def create_new_mesh(param) -> MeshData:
         return regular_grid_3d(m.xlength, m.ylength, m.zlength, m.resolution)
     return _renumbered(
         unstructured_box_3d(m.xlength, m.ylength, m.zlength,
-                            m.resolution))
+                            m.resolution, max_ratio=m.max_ratio,
+                            smallest_size=m.smallest_size))

@@ -398,6 +398,27 @@ def mesh_from_poly_3d(param) -> MeshData:
             drop[np.maximum(pairs[:, 0], pairs[:, 1])] = True
         coord = coord[~drop]
 
+        # radius-edge refinement (TetGen q<max_ratio> parity,
+        # set_3d_quality_str mesh.cxx:745-757): Steiner points stay
+        # clear of every facet so the conformity audit below still
+        # holds; the audit's densify-retry owns any residual breakage
+        if m.max_ratio > 0:
+            from .refine3d import refine_radius_edge
+
+            def _inside(q):
+                q = np.asarray(q, dtype=np.float64).reshape(-1, 3)
+                okq = probe.find_simplex(q) >= 0
+                dm = np.full(q.shape[0], np.inf)
+                for f in facets:
+                    dm = np.minimum(dm, f.dist(q))
+                return okq & (dm > 0.5 * h_at(q))
+
+            coord, _ = refine_radius_edge(
+                coord, _inside, max_ratio=m.max_ratio,
+                vol_floor=(m.smallest_size * (np.sqrt(2.0) / 12.0)
+                           * h_min**3),
+                max_growth=2.0)
+
         tri = Delaunay(coord, qhull_options="Qbb Qc Qz")
         conn = tri.simplices.astype(np.int32)
         a = coord[conn[:, 0]]
