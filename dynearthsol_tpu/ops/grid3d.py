@@ -27,6 +27,7 @@ from ..config import (RH_ELASTIC, RH_EP, RH_EVP, RH_MAXWELL, RH_VISCOUS,
 from . import fields as F
 from . import matprops as M
 from . import rheology as R
+from . import surface as SP
 from .matprops import MIN_STRAIN_RATE
 from .structured import tet_tables
 
@@ -89,7 +90,6 @@ def grid_step_applicable(param: Param, ctx) -> bool:
             and ctx.axis is None and ctx.ndims == 3
             and not ctrl.has_hydraulic_diffusion
             and not ctrl.has_PT
-            and (ctrl.surface_process_option == 0 or ctx.surf.etop == 0)
             and rheol in (RH_ELASTIC, RH_VISCOUS, RH_MAXWELL, RH_EP,
                           RH_EVP))
 
@@ -433,11 +433,23 @@ def make_grid_step(param: Param, ctx, compensation_pressure: float = 0.0):
         vxs2 = gather(vel[:, 0])
         vys2 = gather(vel[:, 1])
         vzs2 = gather(vel[:, 2])
+        dhacc, edvacc_surf = s.dhacc, s.edvacc_surf
         if ctrl.has_moving_mesh:
             coord = F.update_coordinate(s.coord, vel, s.dt)
-            xs2 = tuple(xs[i] + vxs2[i] * s.dt for i in range(4))
-            ys2 = tuple(ys[i] + vys2[i] * s.dt for i in range(4))
-            zs2 = tuple(zs[i] + vzs2[i] * s.dt for i in range(4))
+            if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
+                # in-step surface processes (surface_processes,
+                # bc.cxx:1667-1831), same call the generic/flat steps
+                # make; the top plane moved, so re-gather coordinates
+                coord, dhacc, edvacc_surf, _dh = \
+                    SP.apply_surface_processes(param, ctx.surf, coord,
+                                               s.dt, dhacc, edvacc_surf)
+                xs2 = gather(coord[:, 0])
+                ys2 = gather(coord[:, 1])
+                zs2 = gather(coord[:, 2])
+            else:
+                xs2 = tuple(xs[i] + vxs2[i] * s.dt for i in range(4))
+                ys2 = tuple(ys[i] + vys2[i] * s.dt for i in range(4))
+                zs2 = tuple(zs[i] + vzs2[i] * s.dt for i in range(4))
             volume_old = vol
             volume = volume_of(xs2, ys2, zs2)
             # correct_surface_element (bc.cxx:1613-1665), active even with
@@ -532,6 +544,7 @@ def make_grid_step(param: Param, ctx, compensation_pressure: float = 0.0):
 
         return dataclasses.replace(
             s, coord=coord, vel=vel, temperature=temperature,
+            dhacc=dhacc, edvacc_surf=edvacc_surf,
             volume=volume, volume_old=volume_old, volume_n=volume_n,
             mass=mass, tmass=tmass, hmass=hmass, ymass=ymass, force=force,
             stress=stress, stressyy=stressyy, strain=strain,

@@ -163,6 +163,10 @@ def pallas3d_step_applicable(param: Param, ctx) -> bool:
     if not grid3d.grid_step_applicable(param, ctx):
         return False
     ctrl = param.control
+    if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
+        # grid3d applies surface processes in-step; this kernel does
+        # not (yet) — such configs ride the grid3d plane step
+        return False
     if param.sim.float_dtype != "float32":
         return False
     if param.sim.is_outputting_averaged_fields:

@@ -365,12 +365,15 @@ def mk_production_param(**over):
 
 def test_flat_structured_production_dispatch():
     """A structured mesh with surface processes + Winkler must dispatch
-    to the flat path, NOT the generic gather step (VERDICT r2 #1)."""
+    to a fast path, NOT the generic gather step (VERDICT r2 #1).  The
+    grid plane step now applies surface processes in-step, so it is
+    preferred; flat remains applicable (it is the post-remesh path)."""
     sim = des.Simulation(mk_production_param())
     from dynearthsol_tpu.ops import grid2d
-    assert not grid2d.grid_step_applicable(sim.param, sim.ctx)
+    assert grid2d.grid_step_applicable(sim.param, sim.ctx)
+    assert flat2d.flat_step_applicable(sim.param, sim.ctx)
     sim._chunk_fn(2)
-    assert sim.step_path == "flat2d"
+    assert sim.step_path in ("grid2d", "pallas2d", "pallas2d_res")
 
 
 def test_flat_structured_production_matches_generic():
@@ -419,15 +422,18 @@ def test_flat_structured_hydraulic_matches_generic():
 
 
 def test_flat3d_structured_dispatch():
-    """3D structured mesh with surface processes falls to flat3d, not
-    generic."""
+    """3D structured mesh with surface processes rides the grid3d plane
+    step (surface processes are applied in-step there), not generic;
+    flat3d remains applicable as the post-remesh path."""
+    from dynearthsol_tpu.ops import flat3d
     p = mk_param3d("maxwell")
     p.mesh.meshing_elem_shape = 1
     p.control.surface_process_option = 1
     p.control.surface_diffusivity = 1e-6
     sim = des.Simulation(p)
+    assert flat3d.flat3d_step_applicable(sim.param, sim.ctx)
     sim._chunk_fn(2)
-    assert sim.step_path == "flat3d"
+    assert sim.step_path == "grid3d"
     sim.run_steps(4, chunk=2)
     assert np.isfinite(np.asarray(sim.state.stress)).all()
 

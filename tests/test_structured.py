@@ -192,3 +192,113 @@ def test_grid3d_step_matches_generic():
         b = np.asarray(getattr(sim2.state, f))
         scale = max(float(np.abs(b).max()), 1e-30)
         assert np.abs(a - b).max() / scale < 1e-6, f
+
+
+def _production2d_param():
+    """examples/rifting-2d.cfg feature shape: surface diffusion + surface
+    element correction + Winkler + water loading, EVP, f64."""
+    return des.param_from_dict({
+        "sim": {"ndims": 2, "float_dtype": "float64"},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 10e3, "ylength": 0.0, "zlength": 5e3,
+                 "resolution": 10e3 / 16,
+                 "quality_check_step_interval": 7},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "has_thermal_diffusion": True, "damping_option": 1,
+                    "surface_process_option": 1,
+                    "surface_diffusivity": 1e-6,
+                    "has_surface_correction": True},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": -1e-9,
+               "vbc_x1": 1, "vbc_val_x1": 1e-9,
+               "has_winkler_foundation": True, "has_water_loading": True,
+               "winkler_delta_rho": 100.0},
+        "mat": {"rheology_type": "elasto-visco-plastic",
+                "is_plane_strain": True,
+                "rho0": [2800.0], "bulk_modulus": [50e9],
+                "shear_modulus": [30e9],
+                "visc_max": 1e24, "visc_min": 1e19},
+    })
+
+
+def test_grid2d_surface_production_matches_generic():
+    """grid2d applies surface processes in-step (the gate widening that
+    keeps production configs on the plane path): trajectory parity vs
+    the generic gather step over 20 steps, incl. the dh accumulators."""
+    import dynearthsol_tpu.ops.grid2d as grid2d
+
+    sim = des.Simulation(_production2d_param())
+    assert grid2d.grid_step_applicable(sim.param, sim.ctx)
+    nx, nz = sim.ctx.sgrid
+    gstep = jax.jit(grid2d.make_grid_step(sim.param, sim.ctx,
+                                          sim.compensation_pressure))
+    g = grid2d.state_to_grid(sim.state, nx, nz)
+    for _ in range(20):
+        g = gstep(sim.ctx, g)
+    out = grid2d.grid_to_state(g, nx, nz)
+
+    step = jax.jit(make_step_fn(sim.param, sim.compensation_pressure))
+    ref = sim.state
+    for _ in range(20):
+        ref = step(sim.ctx, ref)
+
+    for f in ["coord", "vel", "stress", "stressyy", "strain",
+              "temperature", "plstrain", "delta_plstrain", "viscosity",
+              "volume", "volume_old", "mass", "force", "dhacc",
+              "edvacc_surf", "dt", "time"]:
+        a = np.asarray(getattr(out, f))
+        b = np.asarray(getattr(ref, f))
+        scale = max(float(np.abs(b).max()), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-10, f
+
+
+def test_grid3d_surface_production_matches_generic():
+    """grid3d with surface diffusion + surface correction + Winkler/water:
+    trajectory parity vs the generic step (3D production feature set on
+    the plane path)."""
+    import dynearthsol_tpu.ops.grid3d as grid3d
+
+    param = des.param_from_dict({
+        "sim": {"ndims": 3, "float_dtype": "float64"},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 8e3, "ylength": 4e3, "zlength": 4e3,
+                 "resolution": 1e3,
+                 "quality_check_step_interval": 10**8},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "has_thermal_diffusion": True, "damping_option": 1,
+                    "surface_process_option": 1,
+                    "surface_diffusivity": 1e-6,
+                    "has_surface_correction": True},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": -1e-9,
+               "vbc_x1": 1, "vbc_val_x1": 1e-9,
+               "vbc_y0": 1, "vbc_val_y0": 0.0,
+               "vbc_y1": 1, "vbc_val_y1": 0.0,
+               "has_winkler_foundation": True, "has_water_loading": True,
+               "winkler_delta_rho": 100.0},
+        "mat": {"rheology_type": "elasto-visco-plastic",
+                "is_plane_strain": False,
+                "rho0": [2800.0], "bulk_modulus": [50e9],
+                "shear_modulus": [30e9],
+                "visc_max": 1e24, "visc_min": 1e19},
+    })
+    sim = des.Simulation(param)
+    assert grid3d.grid_step_applicable(sim.param, sim.ctx)
+    nx, ny, nz = sim.ctx.sgrid
+    gstep = jax.jit(grid3d.make_grid_step(sim.param, sim.ctx,
+                                          sim.compensation_pressure))
+    g = grid3d.state_to_grid(sim.state, nx, ny, nz)
+    for _ in range(20):
+        g = gstep(sim.ctx, g)
+    out = grid3d.grid_to_state(g, nx, ny, nz)
+
+    step = jax.jit(make_step_fn(sim.param, sim.compensation_pressure))
+    ref = sim.state
+    for _ in range(20):
+        ref = step(sim.ctx, ref)
+
+    for f in ["coord", "vel", "stress", "strain", "temperature",
+              "plstrain", "viscosity", "volume", "volume_old", "mass",
+              "force", "dhacc", "edvacc_surf", "dt", "time"]:
+        a = np.asarray(getattr(out, f))
+        b = np.asarray(getattr(ref, f))
+        scale = max(float(np.abs(b).max()), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-10, f
