@@ -203,6 +203,22 @@ def flagship3d_param(nx_cells=256, ny_cells=48, nz_cells=16,
     })
 
 
+def production3d_param(dtype="float32"):
+    """3D analog of production_param at the 983k-tet north-star scale:
+    surface diffusion + surface element correction + Winkler foundation +
+    water loading + crust/mantle markers, EVP.  Rides the grid3d plane
+    step (pallas3d excludes surface processes and gravity tractions) —
+    the configuration a production 3D rift model actually runs."""
+    p = flagship3d_param(dtype=dtype, nmat=2)
+    p.control.surface_process_option = 1
+    p.control.surface_diffusivity = 1e-6
+    p.control.has_surface_correction = True
+    p.bc.has_winkler_foundation = True
+    p.bc.has_water_loading = True
+    p.bc.winkler_delta_rho = 100.0
+    return p
+
+
 # --------------------------------------------------------------- measure
 
 def _measure(param, chunk=250, bench_steps=500):
@@ -260,6 +276,11 @@ def run_case(case: str, dtype: str) -> dict:
                                      chunk=20 if slow64 else 100,
                                      bench_steps=40 if slow64 else 300)
         metric, dim = "evp3d_multimat_element_steps_per_sec", "3d"
+    elif case == "production3d":
+        rate, nelem, path = _measure(production3d_param(dtype=dtype),
+                                     chunk=20 if slow64 else 100,
+                                     bench_steps=40 if slow64 else 200)
+        metric, dim = "evp3d_production_element_steps_per_sec", "3d"
     elif case == "unstructured":
         param = flagship_param(dtype=dtype)
         param.mesh.meshing_elem_shape = 0  # unstructured -> flat SoA path
@@ -301,7 +322,8 @@ def run_case(case: str, dtype: str) -> dict:
 
 SUITE = [("flagship", "float32"), ("flagship3d", "float32"),
          ("flagship3d_multimat", "float32"),
-         ("production", "float32"), ("unstructured", "float32"),
+         ("production", "float32"), ("production3d", "float32"),
+         ("unstructured", "float32"),
          ("postremesh", "float32"), ("flagship", "float64")]
 
 
@@ -349,6 +371,7 @@ def main(argv=None):
     ap.add_argument("--case", default=None,
                     choices=["flagship", "flagship3d",
                              "flagship3d_multimat", "production",
+                             "production3d",
                              "unstructured", "postremesh"],
                     help="run one case in-process; default runs the full "
                          "suite, one subprocess per case")
