@@ -302,3 +302,34 @@ def test_grid3d_surface_production_matches_generic():
         b = np.asarray(getattr(ref, f))
         scale = max(float(np.abs(b).max()), 1e-30)
         assert np.abs(a - b).max() / scale < 1e-10, f
+
+
+def test_grid2d_surface_102_matches_generic():
+    """Option 102 (diffusion + terrigenous basin fill + hemi/pelagic
+    rain) through the grid2d in-step surface call, vs generic."""
+    import dynearthsol_tpu.ops.grid2d as grid2d
+
+    param = _production2d_param()
+    param.control.surface_process_option = 102
+    param.control.terrig_sediment_area = 3.17e-7
+    sim = des.Simulation(param)
+    assert grid2d.grid_step_applicable(sim.param, sim.ctx)
+    nx, nz = sim.ctx.sgrid
+    gstep = jax.jit(grid2d.make_grid_step(sim.param, sim.ctx,
+                                          sim.compensation_pressure))
+    g = grid2d.state_to_grid(sim.state, nx, nz)
+    for _ in range(15):
+        g = gstep(sim.ctx, g)
+    out = grid2d.grid_to_state(g, nx, nz)
+
+    step = jax.jit(make_step_fn(sim.param, sim.compensation_pressure))
+    ref = sim.state
+    for _ in range(15):
+        ref = step(sim.ctx, ref)
+
+    for f in ["coord", "vel", "stress", "plstrain", "dhacc",
+              "edvacc_surf", "dt", "time"]:
+        a = np.asarray(getattr(out, f))
+        b = np.asarray(getattr(ref, f))
+        scale = max(float(np.abs(b).max()), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-10, f
