@@ -156,6 +156,81 @@ def _pick_ty(nyc: int, nzc: int, nxc: int, nce: int = 0):
     return None
 
 
+def _grav_facets_structured_3d(param, ctx):
+    """Decode the gravity-traction facet tables (ctx.sbc) on a 3D
+    structured 5-tet grid into compile-time constants for the in-kernel
+    Winkler/water blocks (apply_stress_bcs, bc.cxx:632-790).
+
+    Each boundary cell's quad face is covered by two triangles owned by
+    two corner tets; which tets and which corner triples depends on cell
+    parity.  Returns {"winkler","water","bottom","top"} where bottom/top
+    map parity -> [(tet_slot, (code0, code1, code2)), ...] with corner
+    codes (a*4 + b*2 + d) IN THE STORED facet-node order, so the kernel's
+    cross product reproduces the generic path's outward normal exactly.
+    Returns None when there are no gravity facets; raises ValueError when
+    the tables are not canonical full bottom/top coverage (sidewall
+    lithostatic facets, partial rows) — the gate rejects those configs."""
+    n_grav = int(ctx.sbc.n_grav)
+    if n_grav == 0:
+        return None
+    nx, ny, nz = ctx.sgrid
+    nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
+    fn = np.asarray(ctx.sbc.facet_nodes)      # (n, 3)
+    fe = np.asarray(ctx.sbc.facet_elem)       # (n,)
+    kind = np.asarray(ctx.sbc.kind)           # (n,)
+    if not set(np.unique(kind)).issubset({0, 1}):
+        raise ValueError("sidewall lithostatic facets not supported "
+                         "in-kernel")
+    spec = {"winkler": False, "water": False, "bottom": None, "top": None}
+    for kval, name in ((0, "bottom"), (1, "top")):
+        rows = np.where(kind == kval)[0]
+        if rows.size == 0:
+            continue
+        if rows.size != 2 * nxc * nyc:
+            raise ValueError(f"{name} facet coverage incomplete")
+        f = fn[rows]
+        # node id = (i*ny + j)*nz + k; elem id = ((i*nyc + j)*nzc + k)*5+t
+        k_n = f % nz
+        j_n = (f // nz) % ny
+        i_n = f // (nz * ny)
+        lane = 0 if kval == 0 else nz - 1
+        if not (k_n == lane).all():
+            raise ValueError(f"{name} facets off the boundary lane")
+        e = fe[rows]
+        t_id = e % 5
+        cell = e // 5
+        kz = cell % nzc
+        jy = (cell // nzc) % nyc
+        ix = cell // (nzc * nyc)
+        if not (kz == (0 if kval == 0 else nzc - 1)).all():
+            raise ValueError(f"{name} facet elements off the boundary row")
+        a = i_n - ix[:, None]
+        b = j_n - jy[:, None]
+        d = k_n - kz[:, None]
+        if not (((a == 0) | (a == 1)) & ((b == 0) | (b == 1))
+                & ((d == 0) | (d == 1))).all():
+            raise ValueError(f"{name} facet nodes outside the owner cell")
+        codes = a * 4 + b * 2 + d
+        parv = (ix + jy + kz) % 2
+        groups = {0: {}, 1: {}}
+        for r in range(rows.size):
+            key = (int(t_id[r]), tuple(int(c) for c in codes[r]))
+            groups[int(parv[r])].setdefault(key, set()).add(
+                (int(ix[r]), int(jy[r])))
+        out = {}
+        for pv in (0, 1):
+            cells_pv = {(i, j) for i in range(nxc) for j in range(nyc)
+                        if (i + j + (0 if kval == 0 else nzc - 1)) % 2
+                        == pv}
+            if len(groups[pv]) != 2 or any(
+                    cs != cells_pv for cs in groups[pv].values()):
+                raise ValueError(f"{name} facet groups not canonical")
+            out[pv] = sorted(groups[pv].keys())
+        spec[name] = out
+        spec["winkler" if kval == 0 else "water"] = True
+    return spec
+
+
 def pallas3d_step_applicable(param: Param, ctx) -> bool:
     """Static gate for the fused 3D Pallas path; see module docstring."""
     from . import grid3d
@@ -175,9 +250,13 @@ def pallas3d_step_applicable(param: Param, ctx) -> bool:
         return False
     if ctrl.damping_option not in (0, 1, 2, 3):
         return False
-    if ctx.sbc.n_grav > 0 or ctx.sbc.n_neu > 0 \
-            or param.bc.has_elastic_foundation:
+    if ctx.sbc.n_neu > 0 or param.bc.has_elastic_foundation:
         return False
+    if ctx.sbc.n_grav > 0:
+        try:
+            _grav_facets_structured_3d(param, ctx)
+        except ValueError:
+            return False
     if ctx.vbc.incl is not None:
         return False
     nx, ny, nz = ctx.sgrid
@@ -356,6 +435,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
     nmat = int(np.asarray(tabn.rho0).shape[0])
     NCE = len(CE3_SLOTS) + nmat
     uniform_mat = _uniform_mat(param)
+    grav3 = _grav_facets_structured_3d(param, ctx)
     # timing-ablation knob (DEV ONLY — produces wrong physics): comma
     # list of phase tags to stub out, for locating kernel time on real
     # hardware.  e.g. DES_P3D_ABLATE=cfl,jaumann
@@ -1037,6 +1117,76 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         r2 = r2 + jnp.where(tt == jnp.asarray(T - 1, jnp.int32), edge,
                             _c(0.0))
         red_ref[0, 3] = red_ref[0, 3] + r2
+
+        # gravity facet tractions (apply_stress_bcs, bc.cxx:632-790),
+        # after the residual like grid3d: Winkler on the bottom facet
+        # row, water loading on the top.  Per-parity (tet, corner-code)
+        # groups come from _grav_facets_structured_3d; the cross product
+        # uses the STORED node order, so the outward normal matches the
+        # generic path bit-for-bit.  Every product sits INSIDE a masked
+        # where: ghost coord rows are uninitialized HBM and a masked
+        # 0 * NaN would still poison the pad-adds.
+        if grav3 is not None:
+            izc = jax.lax.broadcasted_iota(jnp.int32, (NWy, nzc, nxc), 1)
+            gconst = _c(ctrl.gravity)
+            third = _c(1.0 / 3.0)
+
+            def facet_block(name, zrow, p_of, fx, fy, fz):
+                rowm = izc == jnp.asarray(zrow, jnp.int32)
+                for parval, pairs in grav3[name].items():
+                    pmask = par if parval == 0 else jnp.logical_not(par)
+                    corner_tab = even_t if parval == 0 else odd_t
+                    for (t, codes) in pairs:
+                        m = rowm & pmask & vmask
+                        c0, c1, c2 = codes
+                        e1 = tuple(jnp.where(m, v[c1] - v[c0], _c(0.0))
+                                   for v in (cx_v, cy_v, cz_v))
+                        e2 = tuple(jnp.where(m, v[c2] - v[c0], _c(0.0))
+                                   for v in (cx_v, cy_v, cz_v))
+                        nrx = 0.5 * (e1[1] * e2[2] - e1[2] * e2[1])
+                        nry = 0.5 * (e1[2] * e2[0] - e1[0] * e2[2])
+                        nrz = 0.5 * (e1[0] * e2[1] - e1[1] * e2[0])
+                        zc_f = jnp.where(
+                            m, (cz_v[c0] + cz_v[c1] + cz_v[c2]) * third,
+                            _c(0.0))
+                        pres = p_of(zc_f, t, corner_tab[t], m)
+                        cfx = jnp.where(m, -pres * nrx * third, _c(0.0))
+                        cfy = jnp.where(m, -pres * nry * third, _c(0.0))
+                        cfz = jnp.where(m, -pres * nrz * third, _c(0.0))
+                        for ci in codes:
+                            fx = fx + pad_corner(cfx, ci)
+                            fy = fy + pad_corner(cfy, ci)
+                            fz = fz + pad_corner(cfz, ci)
+                return fx, fy, fz
+
+            if grav3["winkler"]:
+                def p_wink(zc_f, t, corners, m):
+                    # rho of the owning tet from PRE-update temperature
+                    # (grid3d computes rho_e before the diffusion update)
+                    ts4 = [jnp.where(m, ts_v[c], _c(0.0))
+                           for c in corners]
+                    TinC = (ts4[0] + ts4[1] + ts4[2] + ts4[3]) / npe \
+                        - CELSIUS0
+                    rho_f = (_c(CE_CONST["rhoA"])
+                             - _c(CE_CONST["rhoB"]) * TinC) \
+                        if uniform_mat else \
+                        (CE("rhoA", t) - CE("rhoB", t) * TinC)
+                    return (_c(compensation_pressure)
+                            - (rho_f + _c(param.bc.winkler_delta_rho))
+                            * gconst
+                            * (zc_f + _c(param.mesh.zlength)))
+
+                force_x, force_y, force_z = facet_block(
+                    "bottom", 0, p_wink, force_x, force_y, force_z)
+            if grav3["water"]:
+                def p_water(zc_f, t, corners, m):
+                    base = _c(ctrl.surf_base_level)
+                    return jnp.where(
+                        zc_f < base,
+                        _c(1030.0) * gconst * (base - zc_f), _c(0.0))
+
+                force_x, force_y, force_z = facet_block(
+                    "top", nzc - 1, p_water, force_x, force_y, force_z)
 
         # ---- phase 3: damping + velocity + vbcs + coordinates ----
         mass_n = N("mass")

@@ -208,3 +208,39 @@ def test_pallas3d_single_step_evp_multimat():
         assert (a == b).all(), f
     vb = np.log(np.asarray(out.viscosity, dtype=np.float64))
     assert np.isfinite(vb).all()
+
+
+def test_pallas3d_gate_accepts_winkler_water():
+    sim = make_sim(bc={"has_winkler_foundation": True,
+                       "has_water_loading": True,
+                       "winkler_delta_rho": 100.0})
+    assert sim.ctx.sbc.n_grav > 0
+    assert pallas3d.pallas3d_step_applicable(sim.param, sim.ctx)
+    spec = pallas3d._grav_facets_structured_3d(sim.param, sim.ctx)
+    assert spec["winkler"] and spec["water"]
+    for name in ("bottom", "top"):
+        for pv in (0, 1):
+            assert len(spec[name][pv]) == 2
+
+
+def test_pallas3d_matches_grid_step_winkler_water_maxwell():
+    """10-step trajectory gate with in-kernel Winkler + water tractions
+    (apply_stress_bcs parity): branch-free maxwell rheology so roundoff
+    does not amplify through the plastic min-select."""
+    sim = make_sim(mat={"rheology_type": "maxwell"},
+                   control={"surf_base_level": 10.0},
+                   bc={"has_winkler_foundation": True,
+                       "has_water_loading": True,
+                       "winkler_delta_rho": 100.0})
+    ref, out = run_both(sim, 10)
+    assert_close(ref, out, FIELDS, {"force": 5e-3}, 1e-3)
+
+
+def test_pallas3d_single_step_winkler_water_evp():
+    """Single-step EVP gate with tractions at roundoff tolerance."""
+    sim = make_sim(control={"surf_base_level": 10.0},
+                   bc={"has_winkler_foundation": True,
+                       "has_water_loading": True,
+                       "winkler_delta_rho": 100.0})
+    ref, out = run_both(sim, 1)
+    assert_close(ref, out, FIELDS, {"force": 1e-3}, 1e-4)
