@@ -97,14 +97,19 @@ def node_sum(contrib: jnp.ndarray, gather_idx: jnp.ndarray,
     gather_idx/gather_mask: (nnode, max_degree) padded support table
     returns: (nnode,) or (nnode, k)
     """
+    from .fastidx import support_sum
+
     nslots = contrib.shape[0] * contrib.shape[1]
-    flat = contrib.reshape(nslots, -1)
-    vals = flat[gather_idx]  # (nnode, max_degree, k)
-    vals = jnp.where(gather_mask[..., None], vals, 0.0)
-    out = vals.sum(axis=1)
     if contrib.ndim == 2:
-        return out[:, 0]
-    return out
+        # flatten to 1-D (fast) + per-column support gather (fastidx.py:
+        # the fused rank-2 gather form costs ~16 s of XLA compile at
+        # production sizes on the tunneled TPU backend)
+        return support_sum(contrib.reshape(nslots), gather_idx,
+                           gather_mask)
+    comps = [support_sum(contrib[..., d].reshape(nslots), gather_idx,
+                         gather_mask)
+             for d in range(contrib.shape[2])]
+    return jnp.stack(comps, axis=1)
 
 
 def node_sum_scatter(contrib: jnp.ndarray, conn: jnp.ndarray, nnode: int,

@@ -9,6 +9,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .fastidx import take_rows
+
 from .assembly import node_sum
 from .tensor import trace
 
@@ -51,7 +53,7 @@ def elem_min_height(coord, conn, volume):
     """Min altitude of each element (geometry.cxx:830-852):
     2D: 2*A / longest edge; 3D: 3*V / largest facet area.
     Pass conn=None when coord is already corner slots (nelem,npe,ndims)."""
-    x = coord[conn] if conn is not None else coord
+    x = take_rows(coord, conn) if conn is not None else coord
     ndims = x.shape[2]
     if ndims == 2:
         d01 = ((x[:, 0] - x[:, 1]) ** 2).sum(axis=1)
@@ -76,7 +78,7 @@ def elem_min_height(coord, conn, volume):
 def elem_quality(coord, conn, volume):
     """Element quality in (0, 1]; 1 = equilateral (geometry.cxx:1157-1195)."""
     ndims = coord.shape[1]
-    x = coord[conn]
+    x = take_rows(coord, conn)
     if ndims == 2:
         d01 = ((x[:, 0] - x[:, 1]) ** 2).sum(axis=1)
         d12 = ((x[:, 1] - x[:, 2]) ** 2).sum(axis=1)
@@ -125,7 +127,7 @@ def compute_dt(coord, conn, volume, vel, shearm_e, rho_e, visc_min,
 
         return jax.lax.pmax(x, axis_name) if axis_name is not None else x
 
-    v_slots = vel[conn] if conn is not None else vel
+    v_slots = take_rows(vel, conn) if conn is not None else vel
     if fixed_dt != 0.0:
         vmag = jnp.sqrt((v_slots.mean(axis=1) ** 2).sum(axis=1))
         vmax = _pmax(jnp.maximum(_emask(vmag, 0.0).max(), max_vbc_val))

@@ -39,11 +39,17 @@ E_TENSORS = ("stress", "strain", "strain_rate", "stress_avg", "strain_avg0")
 
 
 @functools.lru_cache(maxsize=None)
-def _parity3(nx: int, ny: int, nz: int):
+def _parity3_np(nx: int, ny: int, nz: int):
     k = np.arange(nz - 1)[:, None, None]
     j = np.arange(ny - 1)[None, :, None]
     i = np.arange(nx - 1)[None, None, :]
-    return jnp.asarray((i + j + k) % 2 == 0)  # (nzc, nyc, nxc), x-minor
+    return (i + j + k) % 2 == 0  # (nzc, nyc, nxc), x-minor
+
+
+def _parity3(nx: int, ny: int, nz: int):
+    # numpy is cached, not jnp: a cached jnp array created inside a jit
+    # trace leaks a tracer into later traces (UnexpectedTracerError)
+    return jnp.asarray(_parity3_np(nx, ny, nz))
 
 
 def state_to_grid(s, nx: int, ny: int, nz: int):

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .fastidx import take_rows
+
 
 def compute_volume_slots(d: jnp.ndarray) -> jnp.ndarray:
     """Volume from pre-gathered corner coords (nelem, npe, ndims)."""
@@ -31,7 +33,7 @@ def compute_volume(coord: jnp.ndarray, conn: jnp.ndarray) -> jnp.ndarray:
     """Triangle area (2D) / tet volume (3D); positive for valid orientation
     (geometry.cxx:135-200)."""
     ndims = coord.shape[1]
-    x = coord[conn]  # (nelem, npe, ndims)
+    x = take_rows(coord, conn)  # (nelem, npe, ndims)
     if ndims == 2:
         ab = x[:, 1] - x[:, 0]
         ac = x[:, 2] - x[:, 0]
@@ -46,7 +48,7 @@ def shape_fn_gradients(coord: jnp.ndarray, conn: jnp.ndarray,
                        volume: jnp.ndarray) -> jnp.ndarray:
     """Gradients dN_i/dx_d of the P1 shape functions (nodal-array entry;
     gathers corners then calls the slot variant)."""
-    return shape_fn_gradients_slots(coord[conn], volume)
+    return shape_fn_gradients_slots(take_rows(coord, conn), volume)
 
 
 def shape_fn_gradients_slots(d: jnp.ndarray,

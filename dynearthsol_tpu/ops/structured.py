@@ -66,20 +66,27 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _parity(nx: int, nz: int):
+def _parity_np(nx: int, nz: int):
     # host-side checkerboard, embedded as an XLA constant: computing
     # (i+j)%2 on-device lowers to thousands of emulated-rem shift ops
     i = np.arange(nx - 1)[:, None]
     j = np.arange(nz - 1)[None, :]
-    return jnp.asarray((i + j) % 2 == 0)  # (nx-1, nz-1) bool
+    return (i + j) % 2 == 0  # (nx-1, nz-1) bool
+
+
+def _parity(nx: int, nz: int):
+    # NOTE: only the numpy array is cached — caching the jnp.asarray
+    # result would capture a tracer when first called under a jit trace
+    return jnp.asarray(_parity_np(nx, nz))
 
 
 def gather_corners_2d(nodal: jnp.ndarray, nx: int, nz: int) -> jnp.ndarray:
     """Nodal (nnode,) or (nnode, k) -> corner slots (nelem, 3[, k])."""
+    from .fastidx import fast_reshape
     squeeze = nodal.ndim == 1
     v = nodal[:, None] if squeeze else nodal
     k = v.shape[1]
-    g = v.reshape(nx, nz, k)
+    g = fast_reshape(v, nx, nz, k)
     c00 = g[:-1, :-1]
     c10 = g[1:, :-1]
     c01 = g[:-1, 1:]
@@ -88,7 +95,7 @@ def gather_corners_2d(nodal: jnp.ndarray, nx: int, nz: int) -> jnp.ndarray:
     t0 = jnp.stack([c00, c10, jnp.where(P, c11, c01)], axis=2)
     t1 = jnp.stack([jnp.where(P, c00, c10), c11, c01], axis=2)
     out = jnp.stack([t0, t1], axis=2)  # (nx-1, nz-1, 2, 3, k)
-    out = out.reshape((nx - 1) * (nz - 1) * 2, 3, k)
+    out = fast_reshape(out, (nx - 1) * (nz - 1) * 2, 3, k)
     return out[..., 0] if squeeze else out
 
 
@@ -96,10 +103,11 @@ def scatter_corners_2d(contrib: jnp.ndarray, nx: int, nz: int
                        ) -> jnp.ndarray:
     """Transpose of gather_corners_2d: (nelem, 3[, k]) -> nodal sums
     (nnode[, k])."""
+    from .fastidx import fast_reshape
     squeeze = contrib.ndim == 2
     c = contrib[..., None] if squeeze else contrib
     k = c.shape[2]
-    c = c.reshape(nx - 1, nz - 1, 2, 3, k)
+    c = fast_reshape(c, nx - 1, nz - 1, 2, 3, k)
     t0, t1 = c[:, :, 0], c[:, :, 1]
     P = _parity(nx, nz)[..., None]
     zero = jnp.zeros((), dtype=c.dtype)
@@ -110,7 +118,7 @@ def scatter_corners_2d(contrib: jnp.ndarray, nx: int, nz: int
     out = jnp.zeros((nx, nz, k), dtype=c.dtype)
     out = (out.at[:-1, :-1].add(a00).at[1:, :-1].add(a10)
               .at[1:, 1:].add(a11).at[:-1, 1:].add(a01))
-    out = out.reshape(nx * nz, k)
+    out = fast_reshape(out, nx * nz, k)
     return out[:, 0] if squeeze else out
 
 
@@ -193,4 +201,5 @@ def make_corner_gather(ctx):
     if ctx.sgrid is not None and len(ctx.sgrid) == 2 and ctx.axis is None:
         nx, nz = ctx.sgrid
         return lambda nodal: gather_corners_2d(nodal, nx, nz)
-    return lambda nodal: nodal[ctx.conn]
+    from .fastidx import take_rows
+    return lambda nodal: take_rows(nodal, ctx.conn)

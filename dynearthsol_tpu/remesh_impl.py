@@ -819,7 +819,7 @@ def remesh_simulation(sim, bad_quality: int):
     from .ops import geometry as G
     from .ops import matprops as M
     from .ops.shapefn import compute_volume
-    from .simulation import StepCtx, _elem_props
+    from .simulation import StepCtx, _dev, jit_compute_volume
     from .state import State, allocate_state
 
     param, topo = sim.param, sim.topo
@@ -1053,7 +1053,7 @@ def remesh_simulation(sim, bad_quality: int):
         conn=jnp.asarray(topo2.connectivity),
         gather_idx=jnp.asarray(topo2.gather_idx),
         gather_mask=jnp.asarray(topo2.gather_mask),
-        elem_mask=jnp.ones(topo2.nelem, dtype=dtype),
+        elem_mask=_dev(np.ones(topo2.nelem), dtype),
         top_mask=jnp.asarray((topo2.bcflag & BOUNDZ1) != 0),
         pp_bc_mask=jnp.asarray(bc_mod.pp_bc_mask(param.bc, topo2.bcflag)),
         vbc=bc_mod.VBCSpec.from_param(param, topo2.bcflag, topo=topo2,
@@ -1065,32 +1065,31 @@ def remesh_simulation(sim, bad_quality: int):
 
     s2 = allocate_state(topo2.nnode, topo2.nelem, ndims, param.mat.nmat,
                         netop=ctx.surf.etop, dtype=dtype)
-    coord_j = jnp.asarray(new_coord, dtype=dtype)
-    volume = compute_volume(coord_j, ctx.conn)
-    # dv back to an actual old volume against the new mesh volumes
+    coord_j = _dev(new_coord, dtype)
+    volume = jit_compute_volume(coord_j, ctx.conn)
+    # dv -> volume_old conversion happens inside the finalize jit below
     # (remeshing.cxx:3072-3080: volume_old = volume / (1 + dv))
-    volume_old = volume / (1.0 + jnp.asarray(dv_new, dtype=dtype))
+    volume_old = volume
 
     s2 = State(**{**s2.__dict__,
                   "coord": coord_j,
-                  "coord0": jnp.asarray(coord0_new, dtype=dtype),
-                  "vel": jnp.asarray(vel_new, dtype=dtype),
-                  "temperature": jnp.asarray(temp_new, dtype=dtype),
-                  "ppressure": jnp.asarray(pp_new, dtype=dtype),
-                  "dppressure": jnp.asarray(dpp_new, dtype=dtype),
+                  "coord0": _dev(coord0_new, dtype),
+                  "vel": _dev(vel_new, dtype),
+                  "temperature": _dev(temp_new, dtype),
+                  "ppressure": _dev(pp_new, dtype),
+                  "dppressure": _dev(dpp_new, dtype),
                   "volume": volume, "volume_old": volume_old,
-                  "stress": jnp.asarray(stress_new, dtype=dtype),
-                  "stressyy": jnp.asarray(syy_new, dtype=dtype),
-                  "strain": jnp.asarray(strain_new, dtype=dtype),
-                  "plstrain": jnp.asarray(plstrain_new, dtype=dtype),
-                  "delta_plstrain": jnp.asarray(dpls_new, dtype=dtype),
-                  "radiogenic_source": jnp.asarray(radio_new, dtype=dtype),
-                  "dyn_fric_coeff": jnp.asarray(dfc_new, dtype=dtype),
-                  "state_variable": jnp.asarray(sv_new, dtype=dtype),
-                  "emw": jnp.asarray(emw, dtype=dtype),
-                  "old_mean_stress": jnp.asarray(
-                      stress_new[:, :ndims].sum(axis=1) / ndims,
-                      dtype=dtype),
+                  "stress": _dev(stress_new, dtype),
+                  "stressyy": _dev(syy_new, dtype),
+                  "strain": _dev(strain_new, dtype),
+                  "plstrain": _dev(plstrain_new, dtype),
+                  "delta_plstrain": _dev(dpls_new, dtype),
+                  "radiogenic_source": _dev(radio_new, dtype),
+                  "dyn_fric_coeff": _dev(dfc_new, dtype),
+                  "state_variable": _dev(sv_new, dtype),
+                  "emw": _dev(emw, dtype),
+                  "old_mean_stress": _dev(
+                      stress_new[:, :ndims].sum(axis=1) / ndims, dtype),
                   "time": s.time, "dt": s.dt, "steps": s.steps,
                   "max_global_vel_mag": s.max_global_vel_mag,
                   "global_dt_min": s.global_dt_min,
@@ -1098,31 +1097,13 @@ def remesh_simulation(sim, bad_quality: int):
                   "hydro_diff_max": s.hydro_diff_max})
     if edvacc_new is not None:
         s2 = State(**{**s2.__dict__,
-                      "edvacc_surf": jnp.asarray(edvacc_new, dtype=dtype)})
+                      "edvacc_surf": _dev(edvacc_new, dtype)})
 
-    # re-apply vbcs + recompute masses (remeshing.cxx:3048-3080)
-    vel2 = bc_mod.apply_vbcs(ctx.vbc, s2.vel, coord_j, s2.time)
-    s2 = State(**{**s2.__dict__, "vel": vel2})
-    bulkm, shearm, rho_e = _elem_props(ctx, s2)
-    ctrl = param.control
-    from .ops.assembly import make_asm as _make_asm
-    volume_n, mass, tmass, hmass, ymass = G.compute_mass(
-        volume, ctx.conn, bulkm, shearm, rho_e,
-        M.cp(ctx.mat, s2.emw), M.phi_porosity(ctx.mat, s2.emw),
-        M.alpha_biot(ctx.mat, s2.emw), M.beta_fluid(ctx.mat, s2.emw),
-        _make_asm(ctx),
-        pseudo_speed=ctx.max_vbc_val * ctrl.inertial_scaling,
-        pseudo_speed_atp=s2.max_global_vel_mag * ctrl.inertial_scaling,
-        is_quasi_static=ctrl.is_quasi_static,
-        use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
-        has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
-        has_thermal_diffusion=ctrl.has_thermal_diffusion,
-        ndims=ndims)
-    viscosity = M.visc(ctx.mat, s2.emw, s2.temperature, ctx.conn,
-                       s2.stress, s2.strain_rate)
-    sim.state = State(**{**s2.__dict__, "volume_n": volume_n, "mass": mass,
-                         "tmass": tmass, "hmass": hmass, "ymass": ymass,
-                         "viscosity": viscosity})
+    # re-apply vbcs + recompute masses (remeshing.cxx:3048-3080), as ONE
+    # jitted program (simulation.make_finalize_fn) — the eager version
+    # cost minutes of op-by-op tunnel compiles per remesh event
+    sim.state = sim._finalize_fn(with_dt=False)(ctx, s2,
+                                                _dev(dv_new, dtype))
 
     sim._chunk_fns = {}  # shapes changed -> fresh compiles
 

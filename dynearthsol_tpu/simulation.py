@@ -38,6 +38,10 @@ from .ops import rheology as R
 from .ops import surface as SP
 from .ops.assembly import node_sum
 from .ops.shapefn import compute_volume, shape_fn_gradients
+
+# one shared jit object: every init/restart/remesh/surface-dh call reuses
+# the same compiled program per shape signature (one tunnel compile each)
+jit_compute_volume = jax.jit(compute_volume)
 from .ops.tensor import second_invariant2, trace
 from .state import State, allocate_state
 
@@ -85,6 +89,15 @@ class StepCtx:
     # band-friendly mesh; the flat step then routes its corner gathers
     # and assemblies through the supernode-window MXU engine (f32 only)
     band: Optional[object] = None
+
+
+def _dev(x, dtype) -> jnp.ndarray:
+    """Host-side dtype convert + device_put.  ``jnp.asarray(x, dtype=...)``
+    on a mismatched-dtype numpy array dispatches an eager
+    convert_element_type — a ~0.4-6 s server-side compile per distinct
+    shape on the tunneled TPU backend.  Converting in numpy first makes
+    the transfer a pure (compile-free) device_put."""
+    return jnp.asarray(np.asarray(x, dtype=jnp.dtype(dtype)))
 
 
 def _elem_props(ctx: StepCtx, s: State):
@@ -579,6 +592,69 @@ def make_step_fn(param: Param, compensation_pressure: float = 0.0):
     return step
 
 
+def make_finalize_fn(param: Param, *, with_dt: bool, with_mass: bool = True):
+    """One-jit device-side init/remesh tail: apply vbcs -> [CFL dt] ->
+    (pseudo-)masses -> viscosity (dynearthsol.cxx:186-190, 411-420,
+    remeshing.cxx:3048-3080).
+
+    Running these ops eagerly costs ~190 s per Simulation init on the
+    tunneled TPU backend (136 op-by-op XLA compiles at ~1.4 s each,
+    round-4 profile); as ONE jitted program it is a single compile that
+    the persistent compilation cache amortises across runs.
+    """
+    ctrl = param.control
+    from .ops.assembly import make_asm as _make_asm
+
+    @jax.jit
+    def fin(ctx: StepCtx, s: State, dv=None) -> State:
+        if dv is not None:
+            # remesh: volume_old crosses the remesh as dv = V/V_old - 1,
+            # converted back against the new volumes (remeshing.cxx:3072)
+            s = State(**{**s.__dict__,
+                         "volume_old": s.volume / (1.0 + dv)})
+        vel = bc_mod.apply_vbcs(ctx.vbc, s.vel, s.coord, s.time)
+        s = State(**{**s.__dict__, "vel": vel})
+        bulkm, shearm, rho_e = _elem_props(ctx, s)
+        if with_dt:
+            dt, vmax, gdtmin = G.compute_dt(
+                s.coord, ctx.conn, s.volume, vel, shearm, rho_e,
+                ctx.mat.visc_min, ctx.mat.therm_diff_max, s.hydro_diff_max,
+                ctx.max_vbc_val,
+                fixed_dt=ctrl.fixed_dt, dt_fraction=ctrl.dt_fraction,
+                inertial_scaling=ctrl.inertial_scaling,
+                is_quasi_static=ctrl.is_quasi_static,
+                has_thermal_diffusion=ctrl.has_thermal_diffusion,
+                has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
+                use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
+                bulk_modulus_ref=param.mat.bulk_modulus[
+                    param.mat.mattype_ref],
+                rho0_ref=param.mat.rho0[param.mat.mattype_ref])
+            s = State(**{**s.__dict__, "dt": dt, "max_global_vel_mag": vmax,
+                         "global_dt_min": gdtmin})
+        if with_mass:
+            phi_e = M.phi_porosity(ctx.mat, s.emw)
+            volume_n, mass, tmass, hmass, ymass = G.compute_mass(
+                s.volume, ctx.conn, bulkm, shearm, rho_e,
+                M.cp(ctx.mat, s.emw), phi_e,
+                M.alpha_biot(ctx.mat, s.emw), M.beta_fluid(ctx.mat, s.emw),
+                _make_asm(ctx),
+                pseudo_speed=ctx.max_vbc_val * ctrl.inertial_scaling,
+                pseudo_speed_atp=s.max_global_vel_mag
+                * ctrl.inertial_scaling,
+                is_quasi_static=ctrl.is_quasi_static,
+                use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
+                has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
+                has_thermal_diffusion=ctrl.has_thermal_diffusion,
+                ndims=ctx.ndims)
+            s = State(**{**s.__dict__, "volume_n": volume_n, "mass": mass,
+                         "tmass": tmass, "hmass": hmass, "ymass": ymass})
+        viscosity = M.visc(ctx.mat, s.emw, s.temperature, ctx.conn,
+                           s.stress, s.strain_rate)
+        return State(**{**s.__dict__, "viscosity": viscosity})
+
+    return fin
+
+
 def _detect_sgrid(topo) -> Optional[tuple]:
     """(nx, nz) / (nx, ny, nz) when the mesh is the raster structured grid
     (stencil fast path, ops/structured.py and ops/grid2d.py/grid3d.py);
@@ -640,7 +716,7 @@ class Simulation:
             conn=jnp.asarray(topo.connectivity),
             gather_idx=jnp.asarray(topo.gather_idx),
             gather_mask=jnp.asarray(topo.gather_mask),
-            elem_mask=jnp.ones(topo.nelem, dtype=self.dtype),
+            elem_mask=_dev(np.ones(topo.nelem), self.dtype),
             top_mask=jnp.asarray((topo.bcflag & BOUNDZ1) != 0),
             pp_bc_mask=jnp.asarray(bc_mod.pp_bc_mask(param.bc, topo.bcflag)),
             vbc=bc_mod.VBCSpec.from_param(param, topo.bcflag, topo=topo,
@@ -656,11 +732,13 @@ class Simulation:
         self.reference_frame_time = 0.0
         self.compensation_pressure = 0.0
         self.bottom_temperature = param.bc.mantle_temperature
+        self._fin_fns = {}
         if _restart is None:
             self.state = self._init_state()
             bot = topo.bnodes[IBOUNDZ0]
             if len(bot):
-                self.bottom_temperature = float(self.state.temperature[bot[0]])
+                self.bottom_temperature = float(
+                    np.asarray(self._host_bottom_temperature)[bot[0]])
         else:
             self.state = self._restart_state(_restart)
         self._step_fn = make_step_fn(param, self.compensation_pressure)
@@ -669,22 +747,31 @@ class Simulation:
         # "pallas2d"/"pallas3d"/"grid2d"/"grid3d"/"flat2d"/"flat3d"/"generic"
         self.step_path = None
 
+    def _finalize_fn(self, *, with_dt: bool, with_mass: bool = True):
+        """Cached jitted init/remesh tail (shapes may change across a
+        remesh; the same jit object retraces per shape signature)."""
+        key = (with_dt, with_mass)
+        if key not in self._fin_fns:
+            self._fin_fns[key] = make_finalize_fn(
+                self.param, with_dt=with_dt, with_mass=with_mass)
+        return self._fin_fns[key]
+
     # ---- init (dynearthsol.cxx:158-225) ----
     def _init_state(self) -> State:
         param, topo, ctx = self.param, self.topo, self.ctx
         ndims = ctx.ndims
         s = allocate_state(topo.nnode, topo.nelem, ndims, param.mat.nmat,
                            netop=self.ctx.surf.etop, dtype=self.dtype)
-        coord = jnp.asarray(self.mesh.coord, dtype=self.dtype)
+        coord = _dev(self.mesh.coord, self.dtype)
         # jit this so the initial volume is bitwise identical to the volume
         # the jitted step recomputes from unchanged coords (eager mode skips
         # XLA's FMA contraction -> 1-ulp diffs; the maxwell dv = V/V_old - 1
         # term multiplies that ulp by the bulk modulus every step)
-        volume = jax.jit(compute_volume)(coord, ctx.conn)
+        volume = jit_compute_volume(coord, ctx.conn)
 
-        temperature = jnp.asarray(
-            ic_mod.initial_temperature(param, self.mesh.coord),
-            dtype=self.dtype)
+        temperature_h = ic_mod.initial_temperature(param, self.mesh.coord)
+        self._host_bottom_temperature = temperature_h
+        temperature = _dev(temperature_h, self.dtype)
         stress, stressyy, old_mean, strain, self.compensation_pressure = \
             ic_mod.initial_stress_state(param, self.mesh.coord,
                                         topo.connectivity)
@@ -713,17 +800,15 @@ class Simulation:
                 ms.mattype[:n] = np.where(
                     w >= 0.5, param.mat.mattype_asthenosphere,
                     ms.mattype[:n])
-            emw = jnp.asarray(
-                mk.emw_from_markers(self.markers, topo.nelem,
-                                    param.mat.nmat),
-                dtype=self.dtype)
+            emw = _dev(mk.emw_from_markers(self.markers, topo.nelem,
+                                           param.mat.nmat), self.dtype)
         else:
             self.markers = None
-            emw = jnp.asarray(
+            emw = _dev(
                 ic_mod.initial_material_weights(param, self.mesh.coord,
                                                 topo.connectivity,
                                                 regattr=regattr),
-                dtype=self.dtype)
+                self.dtype)
 
         if param.mat.rheol_type in (RH_EP_RSF, RH_EVP_RSF):
             dfc0, sv0 = ic_mod.initial_rsf_state(param, np.asarray(emw))
@@ -734,69 +819,26 @@ class Simulation:
                      "coord": coord, "coord0": coord, "volume": volume,
                      "volume_old": volume,
                      "temperature": temperature,
-                     "stress": jnp.asarray(stress, dtype=self.dtype),
-                     "stressyy": jnp.asarray(stressyy, dtype=self.dtype),
-                     "old_mean_stress": jnp.asarray(old_mean,
-                                                    dtype=self.dtype),
-                     "strain": jnp.asarray(strain, dtype=self.dtype),
-                     "plstrain": jnp.asarray(plstrain, dtype=self.dtype),
-                     "radiogenic_source": jnp.asarray(
+                     "stress": _dev(stress, self.dtype),
+                     "stressyy": _dev(stressyy, self.dtype),
+                     "old_mean_stress": _dev(old_mean, self.dtype),
+                     "strain": _dev(strain, self.dtype),
+                     "plstrain": _dev(plstrain, self.dtype),
+                     "radiogenic_source": _dev(
                          ic_mod.initial_radiogenic_source(
                              param, self.mesh.coord, topo.connectivity),
-                         dtype=self.dtype),
+                         self.dtype),
                      "emw": emw,
-                     **({"ppressure": jnp.asarray(pp0, dtype=self.dtype)}
+                     **({"ppressure": _dev(pp0, self.dtype)}
                         if pp0 is not None else {}),
-                     **({"dyn_fric_coeff": jnp.asarray(dfc0,
-                                                       dtype=self.dtype),
-                         "state_variable": jnp.asarray(sv0,
-                                                       dtype=self.dtype)}
+                     **({"dyn_fric_coeff": _dev(dfc0, self.dtype),
+                         "state_variable": _dev(sv0, self.dtype)}
                         if dfc0 is not None else {}),
-                     "hydro_diff_max": jnp.asarray(1e-1, dtype=self.dtype)})
+                     "hydro_diff_max": _dev(1e-1, self.dtype)})
 
-        # apply vbcs + initial dt + mass (dynearthsol.cxx:186-190)
-        vel = bc_mod.apply_vbcs(ctx.vbc, s.vel, coord, s.time)
-        bulkm, shearm, rho_e = _elem_props(ctx, State(**{**s.__dict__,
-                                                         "vel": vel}))
-        ctrl = param.control
-        dt, vmax, gdtmin = G.compute_dt(
-            coord, ctx.conn, volume, vel, shearm, rho_e,
-            ctx.mat.visc_min, ctx.mat.therm_diff_max, s.hydro_diff_max,
-            ctx.max_vbc_val,
-            fixed_dt=ctrl.fixed_dt, dt_fraction=ctrl.dt_fraction,
-            inertial_scaling=ctrl.inertial_scaling,
-            is_quasi_static=ctrl.is_quasi_static,
-            has_thermal_diffusion=ctrl.has_thermal_diffusion,
-            has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
-            use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
-            bulk_modulus_ref=param.mat.bulk_modulus[param.mat.mattype_ref],
-            rho0_ref=param.mat.rho0[param.mat.mattype_ref])
-
-        pseudo_speed = ctx.max_vbc_val * ctrl.inertial_scaling
-        phi_e = M.phi_porosity(ctx.mat, s.emw)
-        ab_e = M.alpha_biot(ctx.mat, s.emw)
-        bf_e = M.beta_fluid(ctx.mat, s.emw)
-        cp_e = M.cp(ctx.mat, s.emw)
-        from .ops.assembly import make_asm as _make_asm
-        volume_n, mass, tmass, hmass, ymass = G.compute_mass(
-            volume, ctx.conn, bulkm, shearm, rho_e, cp_e, phi_e, ab_e, bf_e,
-            _make_asm(ctx),
-            pseudo_speed=pseudo_speed,
-            pseudo_speed_atp=vmax * ctrl.inertial_scaling,
-            is_quasi_static=ctrl.is_quasi_static,
-            use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
-            has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
-            has_thermal_diffusion=ctrl.has_thermal_diffusion,
-            ndims=ndims)
-
-        viscosity = M.visc(ctx.mat, s.emw, temperature, ctx.conn,
-                           s.stress, s.strain_rate)
-
-        return State(**{**s.__dict__, "vel": vel, "dt": dt,
-                        "max_global_vel_mag": vmax, "global_dt_min": gdtmin,
-                        "volume_n": volume_n, "mass": mass, "tmass": tmass,
-                        "hmass": hmass, "ymass": ymass,
-                        "viscosity": viscosity})
+        # apply vbcs + initial dt + mass (dynearthsol.cxx:186-190),
+        # as ONE jitted program (see make_finalize_fn)
+        return self._finalize_fn(with_dt=True)(ctx, s)
 
     # ---- restart (dynearthsol.cxx:227-420) ----
     def _restart_state(self, r: dict) -> State:
@@ -805,16 +847,15 @@ class Simulation:
         dt = self.dtype
         s = allocate_state(topo.nnode, topo.nelem, ndims, param.mat.nmat,
                            netop=self.ctx.surf.etop, dtype=dt)
-        coord = jnp.asarray(r["coord"], dtype=dt)
+        coord = _dev(r["coord"], dt)
         if "volume" in r:  # exact-restart extras present
-            volume = jnp.asarray(r["volume"], dtype=dt)
+            volume = _dev(r["volume"], dt)
         else:
-            volume = jax.jit(compute_volume)(coord, ctx.conn)  # see _init_state
+            volume = jit_compute_volume(coord, ctx.conn)  # see _init_state
         self.markers = r.get("markers")
         if self.markers is not None:
-            emw = jnp.asarray(
-                mk.emw_from_markers(self.markers, topo.nelem,
-                                    param.mat.nmat), dtype=dt)
+            emw = _dev(mk.emw_from_markers(self.markers, topo.nelem,
+                                           param.mat.nmat), dt)
         else:
             emw = s.emw
         scal = r["scalars"]
@@ -823,16 +864,14 @@ class Simulation:
         self.bottom_temperature = scal[3]
         self.reference_frame_time = scal[6]
         if "dhacc" in r:
-            s = State(**{**s.__dict__,
-                         "dhacc": jnp.asarray(r["dhacc"], dtype=dt)})
+            s = State(**{**s.__dict__, "dhacc": _dev(r["dhacc"], dt)})
         if "edvacc_surf" in r:
             s = State(**{**s.__dict__,
-                         "edvacc_surf": jnp.asarray(r["edvacc_surf"],
-                                                    dtype=dt)})
+                         "edvacc_surf": _dev(r["edvacc_surf"], dt)})
 
         def a(name, default=None):
             if name in r:
-                return jnp.asarray(r[name], dtype=dt)
+                return _dev(r[name], dt)
             return default
 
         s = State(**{**s.__dict__,
@@ -848,54 +887,31 @@ class Simulation:
                      "plstrain": a("plstrain", s.plstrain),
                      "state_variable": a("state_variable", s.state_variable),
                      "emw": emw,
-                     "time": jnp.asarray(scal[0], dtype=dt),
-                     "dt": jnp.asarray(scal[4], dtype=dt),
-                     "steps": jnp.asarray(r["steps"], dtype=jnp.int64),
-                     "max_global_vel_mag": jnp.asarray(scal[5], dtype=dt),
-                     "hydro_diff_max": jnp.asarray(1e-1, dtype=dt)})
+                     "time": _dev(scal[0], dt),
+                     "dt": _dev(scal[4], dt),
+                     "steps": _dev(r["steps"], jnp.int64),
+                     "max_global_vel_mag": _dev(scal[5], dt),
+                     "hydro_diff_max": _dev(1e-1, dt)})
         if "old_mean_stress" in r:
             s = State(**{**s.__dict__,
-                         "old_mean_stress": jnp.asarray(r["old_mean_stress"],
-                                                        dtype=dt)})
-        elif param.control.has_hydraulic_diffusion:
+                         "old_mean_stress": _dev(r["old_mean_stress"], dt)})
+        elif param.control.has_hydraulic_diffusion and "stress" in r:
             s = State(**{**s.__dict__,
-                         "old_mean_stress": trace(s.stress) / ndims})
+                         "old_mean_stress": _dev(
+                             np.asarray(r["stress"])[:, :ndims]
+                             .sum(axis=1) / ndims, dt)})
 
-        # recompute mass/normals, re-apply vbcs (dynearthsol.cxx:411-420)
-        vel = bc_mod.apply_vbcs(ctx.vbc, s.vel, coord, s.time)
-        s = State(**{**s.__dict__, "vel": vel})
+        # recompute mass/normals, re-apply vbcs (dynearthsol.cxx:411-420),
+        # as ONE jitted program (see make_finalize_fn)
         if "mass" in r:  # exact-restart extras present
-            volume_n, mass, tmass, hmass, ymass = (
-                jnp.asarray(r["volume_n"], dtype=dt),
-                jnp.asarray(r["mass"], dtype=dt),
-                jnp.asarray(r["tmass"], dtype=dt),
-                jnp.asarray(r["hmass"], dtype=dt),
-                jnp.asarray(r["ymass"], dtype=dt))
-        else:
-            bulkm, shearm, rho_e = _elem_props(ctx, s)
-            ctrl = param.control
-            pseudo_speed = ctx.max_vbc_val * ctrl.inertial_scaling
-            phi_e = M.phi_porosity(ctx.mat, s.emw)
-            ab_e = M.alpha_biot(ctx.mat, s.emw)
-            bf_e = M.beta_fluid(ctx.mat, s.emw)
-            cp_e = M.cp(ctx.mat, s.emw)
-            from .ops.assembly import make_asm as _make_asm
-            volume_n, mass, tmass, hmass, ymass = G.compute_mass(
-                volume, ctx.conn, bulkm, shearm, rho_e, cp_e, phi_e, ab_e,
-                bf_e, _make_asm(ctx),
-                pseudo_speed=pseudo_speed,
-                pseudo_speed_atp=s.max_global_vel_mag
-                * ctrl.inertial_scaling,
-                is_quasi_static=ctrl.is_quasi_static,
-                use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
-                has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
-                has_thermal_diffusion=ctrl.has_thermal_diffusion,
-                ndims=ndims)
-        viscosity = M.visc(ctx.mat, s.emw, s.temperature, ctx.conn,
-                           s.stress, s.strain_rate)
-        return State(**{**s.__dict__, "volume_n": volume_n, "mass": mass,
-                        "tmass": tmass, "hmass": hmass, "ymass": ymass,
-                        "viscosity": viscosity})
+            s = State(**{**s.__dict__,
+                         "volume_n": _dev(r["volume_n"], dt),
+                         "mass": _dev(r["mass"], dt),
+                         "tmass": _dev(r["tmass"], dt),
+                         "hmass": _dev(r["hmass"], dt),
+                         "ymass": _dev(r["ymass"], dt)})
+            return self._finalize_fn(with_dt=False, with_mass=False)(ctx, s)
+        return self._finalize_fn(with_dt=False)(ctx, s)
 
     # ---- pre-run relaxations (dynearthsol.cxx:476-571) ----
     def isostasy_adjustment(self):

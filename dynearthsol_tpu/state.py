@@ -68,11 +68,23 @@ class State:
 
 def allocate_state(nnode: int, nelem: int, ndims: int, nmat: int,
                    netop: int = 0, dtype=jnp.float64) -> State:
-    """Zero-initialised state (cf. allocate_variables, fields.cxx:56-122)."""
+    """Zero-initialised state (cf. allocate_variables, fields.cxx:56-122).
+
+    Zeros are built host-side and device_put rather than eager
+    ``jnp.zeros``: on the tunneled TPU backend every distinct-shape eager
+    op is a ~0.4-6 s server-side XLA compile, so allocation alone cost
+    8 compiles; device_put is compile-free.
+    """
+    import numpy as np
+
     nstr = ndims * (ndims + 1) // 2
+    npdt = jnp.dtype(dtype)
 
     def nvec(*shape):
-        return jnp.zeros(shape, dtype=dtype)
+        return jnp.asarray(np.zeros(shape, dtype=npdt))
+
+    def scalar(dt=npdt):
+        return jnp.asarray(np.zeros((), dtype=jnp.dtype(dt)))
 
     return State(
         coord=nvec(nnode, ndims), coord0=nvec(nnode, ndims),
@@ -87,15 +99,16 @@ def allocate_state(nnode: int, nelem: int, ndims: int, nmat: int,
         delta_plstrain=nvec(nelem), viscosity=nvec(nelem),
         dpressure=nvec(nelem), edvoldt=nvec(nelem),
         radiogenic_source=nvec(nelem), dyn_fric_coeff=nvec(nelem),
-        state_variable=nvec(nelem), emw=jnp.ones((nelem, nmat), dtype=dtype),
+        state_variable=nvec(nelem),
+        emw=jnp.asarray(np.ones((nelem, nmat), dtype=npdt)),
         dhacc=nvec(nnode), edvacc_surf=nvec(netop),
         stress_avg=nvec(nelem, nstr), delta_plstrain_avg=nvec(nelem),
         coord_avg0=nvec(nnode, ndims), strain_avg0=nvec(nelem, nstr),
-        time_avg0=jnp.zeros((), dtype=dtype),
-        time=jnp.zeros((), dtype=dtype), dt=jnp.zeros((), dtype=dtype),
-        steps=jnp.zeros((), dtype=jnp.int64),
-        max_global_vel_mag=jnp.zeros((), dtype=dtype),
-        global_dt_min=jnp.zeros((), dtype=dtype),
-        l2_residual=jnp.zeros((), dtype=dtype),
-        hydro_diff_max=jnp.zeros((), dtype=dtype),
+        time_avg0=scalar(),
+        time=scalar(), dt=scalar(),
+        steps=scalar(jnp.int64),
+        max_global_vel_mag=scalar(),
+        global_dt_min=scalar(),
+        l2_residual=scalar(),
+        hydro_diff_max=scalar(),
     )
