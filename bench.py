@@ -206,9 +206,10 @@ def flagship3d_param(nx_cells=256, ny_cells=48, nz_cells=16,
 def production3d_param(dtype="float32"):
     """3D analog of production_param at the 983k-tet north-star scale:
     surface diffusion + surface element correction + Winkler foundation +
-    water loading + crust/mantle markers, EVP.  Rides the grid3d plane
-    step (pallas3d excludes surface processes and gravity tractions) —
-    the configuration a production 3D rift model actually runs."""
+    water loading + crust/mantle markers, EVP — the configuration a
+    production 3D rift model actually runs.  Rides the fused Pallas 3D
+    kernel (round 4: in-kernel facet-FEM surface diffusion + Winkler/
+    water tractions + const-property-plane multi-material pack)."""
     p = flagship3d_param(dtype=dtype, nmat=2)
     p.control.surface_process_option = 1
     p.control.surface_diffusivity = 1e-6
@@ -226,7 +227,9 @@ def _measure(param, chunk=250, bench_steps=500):
 
     import dynearthsol_tpu as des
 
+    t_init0 = time.perf_counter()
     sim = des.Simulation(param)
+    _measure.init_s = round(time.perf_counter() - t_init0, 1)
     nelem = sim.topo.nelem
     # warmup run uses the SAME chunk length: exactly one scan compile
     sim.run_steps(chunk, chunk=chunk)
@@ -292,9 +295,14 @@ def run_case(case: str, dtype: str) -> dict:
 
         param = flagship_param(dtype=dtype)
         param.mesh.meshing_elem_shape = 0
+        t_init0 = time.perf_counter()
         sim = des.Simulation(param)
+        init_s = time.perf_counter() - t_init0
         sim.run_steps(20, chunk=20)       # settle, then force one remesh
+        t_rm0 = time.perf_counter()
         remesh(sim, 1)
+        _measure.init_s = round(init_s, 1)
+        _measure.remesh_s = round(time.perf_counter() - t_rm0, 1)
         nelem = sim.topo.nelem
         import numpy as np
 
@@ -310,7 +318,7 @@ def run_case(case: str, dtype: str) -> dict:
         raise SystemExit(f"unknown case {case}")
     if slow64:
         metric += "_f64"
-    return {
+    out = {
         "metric": metric,
         "value": round(rate, 1),
         "unit": "elem*steps/s",
@@ -318,25 +326,47 @@ def run_case(case: str, dtype: str) -> dict:
         "path": path,
         "vs_baseline": round(rate / _baseline(dim), 4),
     }
+    if getattr(_measure, "init_s", None) is not None:
+        out["init_s"] = _measure.init_s
+        _measure.init_s = None
+    if getattr(_measure, "remesh_s", None) is not None:
+        out["remesh_s"] = _measure.remesh_s
+        _measure.remesh_s = None
+    return out
 
 
-SUITE = [("flagship", "float32"), ("flagship3d", "float32"),
-         ("flagship3d_multimat", "float32"),
-         ("production", "float32"), ("production3d", "float32"),
-         ("unstructured", "float32"),
-         ("postremesh", "float32"), ("flagship", "float64")]
+# priority order: the VERDICT-required quartet first, so a driver
+# timeout still leaves the numbers that matter in the tail
+SUITE = [("flagship", "float32"), ("production3d", "float32"),
+         ("postremesh", "float32"), ("flagship3d", "float32"),
+         ("production", "float32"), ("flagship3d_multimat", "float32"),
+         ("unstructured", "float32"), ("flagship", "float64")]
 
 
 def run_suite() -> dict:
-    """Run every case in a subprocess; collect a per-case table."""
+    """Run every case in a subprocess, printing each case's own JSON
+    line (flushed) AS IT COMPLETES — a driver timeout mid-suite leaves
+    the finished cases parseable in the output tail (each per-case line
+    carries metric/value/unit/vs_baseline).  A total wall budget
+    (env BENCH_BUDGET_S, default 1500 s) skips remaining cases
+    legibly instead of overrunning the driver's timeout."""
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    t_start = time.perf_counter()
     cases = {}
     for case, dtype in SUITE:
         key = case + ("_f64" if dtype == "float64" else "")
+        remaining = budget_s - (time.perf_counter() - t_start)
+        # a case needs init + compile + measurement; launching one into
+        # less than this just burns the budget for nothing
+        if remaining < 180:
+            cases[key] = {"skipped": "budget"}
+            continue
         cmd = [sys.executable, os.path.abspath(__file__),
                "--case", case, "--dtype", dtype]
+        timeout_s = min(1200.0, remaining)
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=2400, cwd=REPO)
+                               timeout=timeout_s, cwd=REPO)
             line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() \
                 else ""
             if r.returncode == 0 and line.startswith("{"):
@@ -345,13 +375,18 @@ def run_suite() -> dict:
                 cases[key] = {"error":
                               (r.stderr or r.stdout).strip()[-300:]}
         except subprocess.TimeoutExpired:
-            cases[key] = {"error": "case timed out (2400s)"}
+            cases[key] = {"error": f"case timed out ({int(timeout_s)}s)"}
+        if "value" in cases[key]:
+            print(json.dumps(cases[key]), flush=True)
+        else:
+            print(json.dumps({"case": key, **cases[key]}), flush=True)
     head = cases.get("flagship", {})
     out = {
         "metric": head.get("metric", "evp2d_element_steps_per_sec"),
         "value": head.get("value"),
         "unit": "elem*steps/s",
         "vs_baseline": head.get("vs_baseline"),
+        "wall_s": round(time.perf_counter() - t_start, 1),
         "cases": cases,
     }
     if "error" in head:

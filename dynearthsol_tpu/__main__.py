@@ -88,6 +88,16 @@ def run(param, argv_echo: str = ""):
         if p.ic.isostasy_adjustment_time_in_yr > 0:
             n = sim.isostasy_adjustment()
             print(f"Adjusted isostasy for {n} steps.")
+        # optional PT gravity pre-relaxation (dynearthsol.cxx:731-739)
+        if p.ic.has_body_force_adjustment:
+            if not p.control.has_PT:
+                print("Warning: ic.has_body_force_adjustment needs "
+                      "control.has_PT; skipping (dynearthsol.cxx:736 "
+                      "'Only works with PT loop').")
+            else:
+                n = sim.body_force_adjustment()
+                print(f"Adjusted initial body force for {n} PT "
+                      "iterations.")
         if p.sim.has_initial_checkpoint:
             out.write_checkpoint(sim)
         out.write_exact(sim)

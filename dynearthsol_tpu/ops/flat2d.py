@@ -34,9 +34,10 @@ The summation order per node is identical to node_sum's, so this step
 reproduces the generic step BIT-FOR-BIT in f64 (tests/test_flat.py).
 
 Feature coverage: all rheologies of the grid paths plus in-step surface
-processes and hydraulic (Biot) diffusion; only PT-relaxation configs
-fall back to the generic step.  Reference kernel order:
-dynearthsol.cxx:746-956.
+processes, hydraulic (Biot) diffusion, and the pseudo-transient inner
+relaxation (dynearthsol.cxx:779-840) — PT configs (the consolidation
+benchmarks) ride this path at SoA speed (round 4; was a generic-step
+fallback).  Reference kernel order: dynearthsol.cxx:746-956.
 """
 
 from __future__ import annotations
@@ -83,7 +84,6 @@ def flat_step_applicable(param: Param, ctx) -> bool:
     ctrl = param.control
     rheol = param.mat.rheol_type
     return (ctx.axis is None and ctx.ndims == 2
-            and not ctrl.has_PT
             and rheol in (RH_ELASTIC, RH_VISCOUS, RH_MAXWELL, RH_EP,
                           RH_EVP, RH_EP_RSF, RH_EVP_RSF)
             and (rheol == RH_MAXWELL or rheol == RH_VISCOUS
@@ -532,17 +532,188 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                                 ctrl.damping_option, ctrl.damping_factor)
         vel = F.update_velocity(s.vel, force, s.mass, s.dt)
 
+        # pseudo-transient inner relaxation (dynearthsol.cxx:779-840) in
+        # SoA columns: same kernel sequence with ZEROED vbc values
+        # (PT_jump, bc.cxx:305-317), surface processes skipped
+        # (dynearthsol.cxx:439-444) and hydraulic diffusion suspended
+        # (:781-784), iterated until the residual's relative change
+        # drops below PT_relative_tolerance
+        if ctrl.has_PT:
+            vbc0 = dataclasses.replace(ctx.vbc, values=(0.0,) * 6,
+                                       values_lateral=(0.0,) * 4)
+            sc0 = dataclasses.replace(
+                s, vel=vel, stress=stress, stressyy=stressyy,
+                strain=strain, strain_rate=strain_rate,
+                plstrain=plstrain, delta_plstrain=delta_plstrain,
+                viscosity=viscosity, dpressure=dpressure,
+                dyn_fric_coeff=dyn_fric_coeff,
+                state_variable=state_variable, edvoldt=edvoldt,
+                temperature=temperature, l2_residual=l2_res)
+            # PT-loop-invariant: the POST-diffusion element temperature
+            # (the generic loop gathers s_mid.temperature)
+            tsp = cgather(temperature[:, None])
+            temp_e_pt = (tsp[0][0] + tsp[1][0] + tsp[2][0]) / npe
+
+            def pt_body(carry):
+                sc, res_old, _, k = carry
+                velp = bc_mod.apply_vbcs(vbc0, sc.vel, sc.coord, time)
+                if ctrl.has_moving_mesh:
+                    coordp = F.update_coordinate(sc.coord, velp, sc.dt)
+                    gp = cgather(jnp.concatenate([coordp, velp], axis=1))
+                    volp_old = sc.volume
+                else:
+                    coordp = sc.coord
+                    gp = cgather(jnp.concatenate([coordp, velp], axis=1))
+                xsp = tuple(gp[c][0] for c in range(3))
+                zsp = tuple(gp[c][1] for c in range(3))
+                vxp = tuple(gp[c][2] for c in range(3))
+                vzp = tuple(gp[c][3] for c in range(3))
+                if ctrl.has_moving_mesh:
+                    volp = volume_of(xsp, zsp)
+                    if ctrl.use_global_velocity_scaling:
+                        apparent = jnp.minimum(
+                            sc.max_global_vel_mag * ctrl.inertial_scaling,
+                            jnp.sqrt(shearm / rho_e))
+                        rho_q = bulkm / (apparent * apparent)
+                    else:
+                        rho_q = bulkm / (pseudo_speed * pseudo_speed)
+                    rho_m = rho_q if ctrl.is_quasi_static else rho_e
+                    bulk_comp_p = 1.0 / (bulkm + shearm / 3.0)
+                    ab_p = M.alpha_biot(tab, s.emw)
+                    bf_p = M.beta_fluid(tab, s.emw)
+                    cp_p = M.cp(tab, s.emw)
+                    hm_co = ab_p + phi_e - ab_p * phi_e
+                    mpk = asm_pack([(volp, rho_m * volp / npe,
+                                     rho_e * cp_p * volp / npe,
+                                     (hm_co * bulk_comp_p
+                                      + phi_e * bf_p) * volp / npe,
+                                     9.0 * bulkm * shearm
+                                     / (3.0 * bulkm + shearm) / npe)] * 3)
+                    sc = dataclasses.replace(
+                        sc, coord=coordp, volume=volp,
+                        volume_old=volp_old, volume_n=mpk[:, 0],
+                        mass=mpk[:, 1], tmass=mpk[:, 2],
+                        hmass=mpk[:, 3], ymass=mpk[:, 4])
+                else:
+                    volp = sc.volume
+                vnp = cgather(sc.volume_n[:, None])
+                dndxp, dndzp = shape_fn(xsp, zsp, volp)
+                lxxp = (vxp[0] * dndxp[0] + vxp[1] * dndxp[1]
+                        + vxp[2] * dndxp[2])
+                lzzp = (vzp[0] * dndzp[0] + vzp[1] * dndzp[1]
+                        + vzp[2] * dndzp[2])
+                lxzp = 0.5 * (vxp[0] * dndzp[0] + vxp[1] * dndzp[1]
+                              + vxp[2] * dndzp[2]
+                              + vzp[0] * dndxp[0] + vzp[1] * dndxp[1]
+                              + vzp[2] * dndxp[2])
+                srp = (lxxp, lzzp, lxzp)
+                _, gdvp = asm_gather([((lxxp + lzzp) * volp,)] * 3, kg=1)
+                dvsp = [gdvp[c][0] / vnp[c][0] for c in range(3)]
+                edvp = (dvsp[0] + dvsp[1] + dvsp[2]) / npe
+                adjp = (edvp - (lxxp + lzzp)) / 2.0
+                edotp = (lxxp + adjp, lzzp + adjp, lxzp)
+                dep = (edotp[0] * sc.dt, edotp[1] * sc.dt,
+                       edotp[2] * sc.dt)
+                strainp = jnp.stack([sc.strain[0] + dep[0],
+                                     sc.strain[1] + dep[1],
+                                     sc.strain[2] + dep[2]])
+                vmeanp = None
+                if is_rsf:
+                    vmeanp = ((vxp[0] + vxp[1] + vxp[2]) / npe,
+                              (vzp[0] + vzp[1] + vzp[2]) / npe)
+                sc1 = dataclasses.replace(sc, vel=velp, edvoldt=edvp)
+                (stp, syyp, plsp, dplsp, viscp, dprp, dfcp, svp) =                     update_stress_cols(tab, sc1, dep, edotp, srp, bulkm,
+                                       shearm, temp_e_pt, sc.dt, None,
+                                       vmeanp)
+                # NO NMD smoothing inside the PT loop: the reference
+                # iteration is update_stress -> update_force only
+                # (dynearthsol.cxx:787-800; NMD_stress is a main-loop
+                # kernel), and the generic PT loop matches
+                fpk = asm_pack([
+                    ((stp[0] * dndxp[c] + stp[2] * dndzp[c]) * volp,
+                     (stp[2] * dndxp[c] + stp[1] * dndzp[c] + buoy)
+                     * volp)
+                    for c in range(3)])
+                forcep = -fpk
+                resp = F.residual_l2(forcep)
+                if ctrl.gravity != 0:
+                    forcep = bc_mod.apply_stress_bcs(
+                        param, ctx.sbc, sc.coord, forcep, rho_e,
+                        compensation_pressure, sc.coord0)
+                forcep = bc_mod.apply_stress_bcs_neumann(
+                    ctx.sbc, sc.coord, forcep)
+                forcep = F.apply_damping(forcep, velp, sc.mass, sc.ymass,
+                                         ctrl.damping_option,
+                                         ctrl.damping_factor)
+                velq = F.update_velocity(velp, forcep, sc.mass, sc.dt)
+                relp = jnp.abs((resp - res_old)
+                               / jnp.where(res_old != 0, res_old, 1.0))
+                sc2 = dataclasses.replace(
+                    sc1, vel=velq, force=forcep, stress=jnp.stack(stp),
+                    stressyy=syyp, strain=strainp,
+                    strain_rate=jnp.stack(edotp), plstrain=plsp,
+                    delta_plstrain=dplsp, viscosity=viscp,
+                    dpressure=dprp, l2_residual=resp,
+                    **({"dyn_fric_coeff": dfcp, "state_variable": svp}
+                       if dfcp is not None else {}))
+                return (sc2, resp, relp, k + 1)
+
+            def pt_cond(carry):
+                _, _, rel, k = carry
+                return ((k < ctrl.PT_max_iter)
+                        & (rel >= ctrl.PT_relative_tolerance))
+
+            s_pt, _, _, _ = jax.lax.while_loop(
+                pt_cond, pt_body,
+                (sc0, l2_res, jnp.ones((), dtype=vol.dtype), 0))
+            (stress, stressyy, strain, strain_rate, plstrain,
+             delta_plstrain, viscosity, dpressure) = (
+                s_pt.stress, s_pt.stressyy, s_pt.strain,
+                s_pt.strain_rate, s_pt.plstrain, s_pt.delta_plstrain,
+                s_pt.viscosity, s_pt.dpressure)
+            dyn_fric_coeff = s_pt.dyn_fric_coeff
+            state_variable = s_pt.state_variable
+            vel, force, l2_res, edvoldt = (s_pt.vel, s_pt.force,
+                                           s_pt.l2_residual,
+                                           s_pt.edvoldt)
+            s = dataclasses.replace(
+                s, coord=s_pt.coord, volume=s_pt.volume,
+                volume_old=s_pt.volume_old, volume_n=s_pt.volume_n,
+                mass=s_pt.mass, tmass=s_pt.tmass, hmass=s_pt.hmass,
+                ymass=s_pt.ymass)
+            vol = s.volume
+            stress_c = (stress[0], stress[1], stress[2])
+
         # pore-pressure update after velocity, before vbcs
         # (dynearthsol.cxx:842-850 order)
         ppressure, dppressure = s.ppressure, s.dppressure
         if ctrl.has_hydraulic_diffusion:
-            upd = jnp.where(
-                s.hmass > 0.0,
-                pp_tdot * s.dt / jnp.where(s.hmass > 0, s.hmass, 1.0),
-                0.0)
-            ppressure = jnp.where(ctx.pp_bc_mask, s.ppressure,
-                                  s.ppressure - upd)
-            dppressure = jnp.where(ctx.pp_bc_mask, s.dppressure, upd)
+            if ctrl.has_PT:
+                # post-PT recompute from the PT-updated stress (the
+                # generic step calls F.update_pore_pressure here with
+                # the pre-PT shape gradients; mirror exactly)
+                from .assembly import make_asm as _make_asm
+
+                dnd_r3 = jnp.stack(
+                    [jnp.stack([dndx[c], dndz[c]], axis=-1)
+                     for c in range(3)], axis=1)
+                ppressure, dppressure, hydro_diff_max =                     F.update_pore_pressure(
+                        s.ppressure, s.dppressure, s.coord, ctx.conn,
+                        dnd_r3, s.volume, stress.T, old_mean_stress,
+                        s.hmass, s.dt, ctrl.gravity,
+                        M.perm(tab, s.emw), M.mu_fluid(tab, s.emw),
+                        M.alpha_biot(tab, s.emw),
+                        M.phi_porosity(tab, s.emw),
+                        M.beta_fluid(tab, s.emw), bulkm, shearm,
+                        ctx.pp_bc_mask, _make_asm(ctx))
+            else:
+                upd = jnp.where(
+                    s.hmass > 0.0,
+                    pp_tdot * s.dt / jnp.where(s.hmass > 0, s.hmass, 1.0),
+                    0.0)
+                ppressure = jnp.where(ctx.pp_bc_mask, s.ppressure,
+                                      s.ppressure - upd)
+                dppressure = jnp.where(ctx.pp_bc_mask, s.dppressure, upd)
 
         vel = bc_mod.apply_vbcs(ctx.vbc, vel, s.coord, time)
 

@@ -38,7 +38,6 @@ def flat3d_step_applicable(param: Param, ctx) -> bool:
     ctrl = param.control
     rheol = param.mat.rheol_type
     return (ctx.axis is None and ctx.ndims == 3
-            and not ctrl.has_PT
             and rheol in (RH_ELASTIC, RH_VISCOUS, RH_MAXWELL, RH_EP,
                           RH_EVP, RH_EP_RSF, RH_EVP_RSF))
 
@@ -476,16 +475,184 @@ def make_flat_step(param: Param, ctx, compensation_pressure: float = 0.0):
                                 ctrl.damping_option, ctrl.damping_factor)
         vel = F.update_velocity(s.vel, force, s.mass, s.dt)
 
+        # pseudo-transient inner relaxation (dynearthsol.cxx:779-840) in
+        # SoA columns — see flat2d's PT block; NO NMD smoothing inside
+        # the loop (the reference iteration is update_stress ->
+        # update_force only, :787-800)
+        if ctrl.has_PT:
+            vbc0 = dataclasses.replace(ctx.vbc, values=(0.0,) * 6,
+                                       values_lateral=(0.0,) * 4)
+            sc0 = dataclasses.replace(
+                s, vel=vel, stress=stress, strain=strain,
+                strain_rate=strain_rate, plstrain=plstrain,
+                delta_plstrain=delta_plstrain, viscosity=viscosity,
+                dpressure=dpressure, dyn_fric_coeff=dyn_fric_coeff,
+                state_variable=state_variable, edvoldt=edvoldt,
+                temperature=temperature, l2_residual=l2_res)
+            tsp = cgather(temperature[:, None])
+            temp_e_pt = sum(tsp[c][0] for c in range(4)) / npe
+
+            def pt_body(carry):
+                sc, res_old, _, k = carry
+                velp = bc_mod.apply_vbcs(vbc0, sc.vel, sc.coord, time)
+                if ctrl.has_moving_mesh:
+                    coordp = F.update_coordinate(sc.coord, velp, sc.dt)
+                    volp_old = sc.volume
+                else:
+                    coordp = sc.coord
+                gp = cgather(jnp.concatenate([coordp, velp], axis=1))
+                xsp = tuple(gp[c][0] for c in range(4))
+                ysp = tuple(gp[c][1] for c in range(4))
+                zsp = tuple(gp[c][2] for c in range(4))
+                vxp = tuple(gp[c][3] for c in range(4))
+                vyp = tuple(gp[c][4] for c in range(4))
+                vzp = tuple(gp[c][5] for c in range(4))
+                if ctrl.has_moving_mesh:
+                    volp = volume_of(xsp, ysp, zsp)
+                    if ctrl.use_global_velocity_scaling:
+                        apparent = jnp.minimum(
+                            sc.max_global_vel_mag * ctrl.inertial_scaling,
+                            jnp.sqrt(shearm / rho_e))
+                        rho_q = bulkm / (apparent * apparent)
+                    else:
+                        rho_q = bulkm / (pseudo_speed * pseudo_speed)
+                    rho_m = rho_q if ctrl.is_quasi_static else rho_e
+                    bulk_comp_p = 1.0 / bulkm  # 3D (geometry.cxx:1098)
+                    ab_p = M.alpha_biot(tab, s.emw)
+                    bf_p = M.beta_fluid(tab, s.emw)
+                    cp_p = M.cp(tab, s.emw)
+                    hm_co = ab_p + phi_e - ab_p * phi_e
+                    mpk = asm_pack([(volp, rho_m * volp / npe,
+                                     rho_e * cp_p * volp / npe,
+                                     (hm_co * bulk_comp_p
+                                      + phi_e * bf_p) * volp / npe,
+                                     9.0 * bulkm * shearm
+                                     / (3.0 * bulkm + shearm) / npe)] * 4)
+                    sc = dataclasses.replace(
+                        sc, coord=coordp, volume=volp,
+                        volume_old=volp_old, volume_n=mpk[:, 0],
+                        mass=mpk[:, 1], tmass=mpk[:, 2],
+                        hmass=mpk[:, 3], ymass=mpk[:, 4])
+                else:
+                    volp = sc.volume
+                vnp = cgather(sc.volume_n[:, None])
+                dndxp, dndyp, dndzp = shape_fn(xsp, ysp, zsp, volp)
+                lxxp = sum(vxp[i] * dndxp[i] for i in range(4))
+                lyyp = sum(vyp[i] * dndyp[i] for i in range(4))
+                lzzp = sum(vzp[i] * dndzp[i] for i in range(4))
+                lxyp = 0.5 * (sum(vxp[i] * dndyp[i] for i in range(4))
+                              + sum(vyp[i] * dndxp[i] for i in range(4)))
+                lxzp = 0.5 * (sum(vxp[i] * dndzp[i] for i in range(4))
+                              + sum(vzp[i] * dndxp[i] for i in range(4)))
+                lyzp = 0.5 * (sum(vyp[i] * dndzp[i] for i in range(4))
+                              + sum(vzp[i] * dndyp[i] for i in range(4)))
+                srp = (lxxp, lyyp, lzzp, lxyp, lxzp, lyzp)
+                _, gdvp = asm_gather(
+                    [((lxxp + lyyp + lzzp) * volp,)] * 4, kg=1)
+                dvsp = [gdvp[c][0] / vnp[c][0] for c in range(4)]
+                edvp = sum(dvsp) / npe
+                adjp = (edvp - (lxxp + lyyp + lzzp)) / 3.0
+                edotp = (lxxp + adjp, lyyp + adjp, lzzp + adjp,
+                         lxyp, lxzp, lyzp)
+                dep = tuple(edotp[i] * sc.dt for i in range(6))
+                strainp = jnp.stack([sc.strain[i] + dep[i]
+                                     for i in range(6)])
+                vmeanp = None
+                if is_rsf:
+                    vmeanp = (sum(vxp[i] for i in range(4)) / npe,
+                              sum(vyp[i] for i in range(4)) / npe,
+                              sum(vzp[i] for i in range(4)) / npe)
+                sc1 = dataclasses.replace(sc, vel=velp, edvoldt=edvp)
+                (stp, plsp, dplsp, viscp, dprp, dfcp, svp) = \
+                    update_stress_cols(tab, sc1, dep, edotp, srp, bulkm,
+                                       shearm, temp_e_pt, sc.dt, None,
+                                       vmeanp)
+                fpk = asm_pack([
+                    ((stp[0] * dndxp[c] + stp[3] * dndyp[c]
+                      + stp[4] * dndzp[c]) * volp,
+                     (stp[3] * dndxp[c] + stp[1] * dndyp[c]
+                      + stp[5] * dndzp[c]) * volp,
+                     (stp[4] * dndxp[c] + stp[5] * dndyp[c]
+                      + stp[2] * dndzp[c] + buoy) * volp)
+                    for c in range(4)])
+                forcep = -fpk
+                resp = F.residual_l2(forcep)
+                if ctrl.gravity != 0:
+                    forcep = bc_mod.apply_stress_bcs(
+                        param, ctx.sbc, sc.coord, forcep, rho_e,
+                        compensation_pressure, sc.coord0)
+                forcep = bc_mod.apply_stress_bcs_neumann(
+                    ctx.sbc, sc.coord, forcep)
+                forcep = F.apply_damping(forcep, velp, sc.mass, sc.ymass,
+                                         ctrl.damping_option,
+                                         ctrl.damping_factor)
+                velq = F.update_velocity(velp, forcep, sc.mass, sc.dt)
+                relp = jnp.abs((resp - res_old)
+                               / jnp.where(res_old != 0, res_old, 1.0))
+                sc2 = dataclasses.replace(
+                    sc1, vel=velq, force=forcep, stress=jnp.stack(stp),
+                    strain=strainp, strain_rate=jnp.stack(edotp),
+                    plstrain=plsp, delta_plstrain=dplsp, viscosity=viscp,
+                    dpressure=dprp, l2_residual=resp,
+                    **({"dyn_fric_coeff": dfcp, "state_variable": svp}
+                       if dfcp is not None else {}))
+                return (sc2, resp, relp, k + 1)
+
+            def pt_cond(carry):
+                _, _, rel, k = carry
+                return ((k < ctrl.PT_max_iter)
+                        & (rel >= ctrl.PT_relative_tolerance))
+
+            s_pt, _, _, _ = jax.lax.while_loop(
+                pt_cond, pt_body,
+                (sc0, l2_res, jnp.ones((), dtype=vol.dtype), 0))
+            (stress, strain, strain_rate, plstrain, delta_plstrain,
+             viscosity, dpressure) = (
+                s_pt.stress, s_pt.strain, s_pt.strain_rate,
+                s_pt.plstrain, s_pt.delta_plstrain, s_pt.viscosity,
+                s_pt.dpressure)
+            dyn_fric_coeff = s_pt.dyn_fric_coeff
+            state_variable = s_pt.state_variable
+            vel, force, l2_res, edvoldt = (s_pt.vel, s_pt.force,
+                                           s_pt.l2_residual,
+                                           s_pt.edvoldt)
+            s = dataclasses.replace(
+                s, coord=s_pt.coord, volume=s_pt.volume,
+                volume_old=s_pt.volume_old, volume_n=s_pt.volume_n,
+                mass=s_pt.mass, tmass=s_pt.tmass, hmass=s_pt.hmass,
+                ymass=s_pt.ymass)
+            vol = s.volume
+            stress_c = tuple(stress[i] for i in range(6))
+
         # pore-pressure update after velocity, before vbcs
         ppressure, dppressure = s.ppressure, s.dppressure
         if ctrl.has_hydraulic_diffusion:
-            upd = jnp.where(
-                s.hmass > 0.0,
-                pp_tdot * s.dt / jnp.where(s.hmass > 0, s.hmass, 1.0),
-                0.0)
-            ppressure = jnp.where(ctx.pp_bc_mask, s.ppressure,
-                                  s.ppressure - upd)
-            dppressure = jnp.where(ctx.pp_bc_mask, s.dppressure, upd)
+            if ctrl.has_PT:
+                # post-PT recompute from the PT-updated stress, exactly
+                # like the generic step (see flat2d)
+                from .assembly import make_asm as _make_asm
+
+                dnd_r3 = jnp.stack(
+                    [jnp.stack([dndx[c], dndy[c], dndz[c]], axis=-1)
+                     for c in range(4)], axis=1)
+                ppressure, dppressure, hydro_diff_max = \
+                    F.update_pore_pressure(
+                        s.ppressure, s.dppressure, s.coord, ctx.conn,
+                        dnd_r3, s.volume, stress.T, old_mean_stress,
+                        s.hmass, s.dt, ctrl.gravity,
+                        M.perm(tab, s.emw), M.mu_fluid(tab, s.emw),
+                        M.alpha_biot(tab, s.emw),
+                        M.phi_porosity(tab, s.emw),
+                        M.beta_fluid(tab, s.emw), bulkm, shearm,
+                        ctx.pp_bc_mask, _make_asm(ctx))
+            else:
+                upd = jnp.where(
+                    s.hmass > 0.0,
+                    pp_tdot * s.dt / jnp.where(s.hmass > 0, s.hmass, 1.0),
+                    0.0)
+                ppressure = jnp.where(ctx.pp_bc_mask, s.ppressure,
+                                      s.ppressure - upd)
+                dppressure = jnp.where(ctx.pp_bc_mask, s.dppressure, upd)
 
         vel = bc_mod.apply_vbcs(ctx.vbc, vel, s.coord, time)
 

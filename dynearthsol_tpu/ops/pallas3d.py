@@ -71,10 +71,14 @@ E_SLOTS = E_SCALAR_IN + ("edvoldt",)
 NE = NE_IN + 1 + 6                                   # 25 (+ strain_rate)
 
 # nodal pack, each slot (nyp_n, LZN, LXN).  Slots 0..NN_IN-1 are inputs.
+# "dhacc" is the surface-process height accumulator; "edv_a"/"edv_b"
+# carry edvacc_surf per top FACET (2 triangles per top cell, stored at
+# the cell's (y, z=top, x) node position — see _surf_maps)
 N_SLOTS = ("coord_x", "coord_y", "coord_z", "vel_x", "vel_y", "vel_z",
            "temperature", "mass", "tmass", "volume_n",
+           "dhacc", "edv_a", "edv_b",
            "hmass", "force_x", "force_y", "force_z")
-NN_IN = 10
+NN_IN = 13
 NN = len(N_SLOTS)
 
 # const nodal pack (per chunk)
@@ -138,20 +142,25 @@ def _nce(param: Param) -> int:
         len(CE3_SLOTS) + len(param.mat.rho0)
 
 
-def _pick_ty(nyc: int, nzc: int, nxc: int, nce: int = 0):
+def _pick_ty(nyc: int, nzc: int, nxc: int, nce: int = 0,
+             halo: int = H):
     """Largest tile height keeping the big VMEM slabs under budget."""
     import os
 
     force = os.environ.get("DES_PALLAS3D_TY")
     if force and nyc % int(force) == 0:
         return int(force)
-    for ty in (64, 32, 16, 8):
+    for ty in (64, 32, 16, 12, 8, 6, 4):
         if nyc % ty:
             continue
         # the big VMEM slabs: input pack + full-extent output staging
-        # + (multi-material) the const property pack
-        slab = (NE_IN + NE + nce) * (ty + 2 * H) * 5 * nzc * nxc * 4
-        if slab <= 80 * 1024 * 1024:
+        # + (multi-material) the const property pack.  Total kernel VMEM
+        # (incl. nodal slabs + Mosaic stack temporaries) measures 2.0x
+        # this estimate on the real chip (round-4 calibration: TY=6
+        # surf -> 60.3M est / 120.4M real; TY=8 surf -> 67.8M / 141.2M),
+        # so the cap is half the 126M usable VMEM.
+        slab = (NE_IN + NE + nce) * (ty + 2 * halo) * 5 * nzc * nxc * 4
+        if slab <= 63 * 1024 * 1024:
             return ty
     return None
 
@@ -231,6 +240,59 @@ def _grav_facets_structured_3d(param, ctx):
     return spec
 
 
+def _surf_on(param, ctx) -> bool:
+    return (param.control.surface_process_option == 1
+            and int(ctx.surf.etop) > 0)
+
+
+def _halo_for(param, ctx) -> int:
+    # surface diffusion reads the post-move coords of +-1 neighbour
+    # cells: one extra chained-stencil hop (cf. bc.cxx:920-1050 running
+    # between update_coordinate and the post-move geometry)
+    return H + 1 if _surf_on(param, ctx) else H
+
+
+def _surf_maps(ctx, nx: int, ny: int, nz: int):
+    """Host map from top-facet index to (triangle slot, flat node id).
+
+    Each top cell's quad face splits into two triangles along the
+    parity diagonal (tet_tables): even cells {1,3,7}/{1,5,7}, odd cells
+    {1,3,5}/{3,5,7} in corner codes a*4+b*2+d.  Triangle slot 0 is the
+    one containing corner (0,1) and (0,0)... classified by corner SET;
+    the accumulator value lives at the owning cell's (x0, y0, z=top)
+    node.  Returns (tri (etop,), nid (etop,)) int32 arrays."""
+    nzc = nz - 1
+    fn = np.asarray(ctx.surf.facet_nodes)        # (etop, 3) node ids
+    k_n = fn % nz
+    j_n = (fn // nz) % ny
+    i_n = fn // (nz * ny)
+    if not (k_n == nz - 1).all():
+        raise ValueError("top facets off the top lane")
+    i0 = i_n.min(axis=1)
+    j0 = j_n.min(axis=1)
+    a = i_n - i0[:, None]
+    b = j_n - j0[:, None]
+    codes = [frozenset(zip(a[r], b[r])) for r in range(fn.shape[0])]
+    par = (i0 + j0 + nzc - 1) % 2
+    tri = np.empty(fn.shape[0], dtype=np.int32)
+    even0 = frozenset({(0, 0), (0, 1), (1, 1)})   # {1,3,7}
+    even1 = frozenset({(0, 0), (1, 0), (1, 1)})   # {1,5,7}
+    odd0 = frozenset({(0, 0), (0, 1), (1, 0)})    # {1,3,5}
+    odd1 = frozenset({(0, 1), (1, 0), (1, 1)})    # {3,5,7}
+    for r in range(fn.shape[0]):
+        want0 = even0 if par[r] == 0 else odd0
+        want1 = even1 if par[r] == 0 else odd1
+        if codes[r] == want0:
+            tri[r] = 0
+        elif codes[r] == want1:
+            tri[r] = 1
+        else:
+            raise ValueError("top facet is not a parity-diagonal "
+                             "triangle of the 5-tet decomposition")
+    nid = ((i0 * ny + j0) * nz + (nz - 1)).astype(np.int32)
+    return tri, nid
+
+
 def pallas3d_step_applicable(param: Param, ctx) -> bool:
     """Static gate for the fused 3D Pallas path; see module docstring."""
     from . import grid3d
@@ -238,10 +300,14 @@ def pallas3d_step_applicable(param: Param, ctx) -> bool:
     if not grid3d.grid_step_applicable(param, ctx):
         return False
     ctrl = param.control
-    if ctrl.surface_process_option != 0 and ctx.surf.etop > 0:
-        # grid3d applies surface processes in-step; this kernel does
-        # not (yet) — such configs ride the grid3d plane step
+    if ctrl.surface_process_option not in (0, 1) and ctx.surf.etop > 0:
+        # options 11/101/102 need host/basin machinery -> grid3d path
         return False
+    if _surf_on(param, ctx):
+        try:
+            _surf_maps(ctx, *ctx.sgrid)
+        except ValueError:
+            return False
     if param.sim.float_dtype != "float32":
         return False
     if param.sim.is_outputting_averaged_fields:
@@ -263,16 +329,21 @@ def pallas3d_step_applicable(param: Param, ctx) -> bool:
     nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
     if nxc % 128 != 0 or nzc % 8 != 0:
         return False
-    if _pick_ty(nyc, nzc, nxc, _nce(param)) is None:
+    if _pick_ty(nyc, nzc, nxc, _nce(param),
+                halo=_halo_for(param, ctx)) is None:
         return False
     return True
 
 
 # ---- packing / unpacking (chunk boundaries) ----
 
-def state_to_pgrid(s, nx: int, ny: int, nz: int):
+def state_to_pgrid(s, nx: int, ny: int, nz: int, pad: int = PAD,
+                   surf_maps=None):
     """AoS State -> packed ghost-padded planes (epack in .volume, npack
-    in .coord; every other field is passthrough, cf. pallas2d)."""
+    in .coord; every other field is passthrough, cf. pallas2d).
+    ``surf_maps`` (from _surf_maps) additionally packs dhacc and the
+    per-facet edvacc_surf accumulators into their nodal slots."""
+    PAD = pad
     nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
     LZN, LXN = _pad8(nz), _pad128(nx)
 
@@ -298,10 +369,22 @@ def state_to_pgrid(s, nx: int, ny: int, nz: int):
     def n2p(a):  # (nnode,) -> (ny, nz, nx); node id = (i*ny + j)*nz + k
         return a.reshape(nx, ny, nz).transpose(1, 2, 0)
 
+    nnode = nx * ny * nz
+    if surf_maps is not None:
+        tri, nid = surf_maps
+        eva = jnp.zeros(nnode, s.edvacc_surf.dtype).at[
+            jnp.asarray(nid[tri == 0])].set(s.edvacc_surf[tri == 0])
+        evb = jnp.zeros(nnode, s.edvacc_surf.dtype).at[
+            jnp.asarray(nid[tri == 1])].set(s.edvacc_surf[tri == 1])
+        dhacc = s.dhacc
+    else:
+        eva = evb = dhacc = jnp.zeros(nnode, s.coord.dtype)
     nplanes = [n2p(s.coord[:, 0]), n2p(s.coord[:, 1]), n2p(s.coord[:, 2]),
                n2p(s.vel[:, 0]), n2p(s.vel[:, 1]), n2p(s.vel[:, 2]),
                n2p(s.temperature), n2p(s.mass), n2p(s.tmass),
-               n2p(s.volume_n), n2p(s.hmass),
+               n2p(s.volume_n),
+               n2p(dhacc), n2p(eva), n2p(evb),
+               n2p(s.hmass),
                n2p(s.force[:, 0]), n2p(s.force[:, 1]), n2p(s.force[:, 2])]
     npack = jnp.stack(nplanes)  # (NN, ny, nz, nx)
     npack = jnp.pad(npack, ((0, 0), (PAD, PAD), (0, LZN - nz),
@@ -317,8 +400,10 @@ def state_to_pgrid(s, nx: int, ny: int, nz: int):
     return dataclasses.replace(s, coord=npack, volume=epack)
 
 
-def pgrid_to_state(g, nx: int, ny: int, nz: int):
+def pgrid_to_state(g, nx: int, ny: int, nz: int, pad: int = PAD,
+                   surf_maps=None):
     """Packed planes -> AoS State."""
+    PAD = pad
     nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
     nelem = nxc * nyc * nzc * 5
     epack = g.volume[:, :, PAD:PAD + nyc]
@@ -344,13 +429,24 @@ def pgrid_to_state(g, nx: int, ny: int, nz: int):
     upd["mass"] = p2n(7)
     upd["tmass"] = p2n(8)
     upd["volume_n"] = p2n(9)
-    upd["hmass"] = p2n(10)
-    upd["force"] = jnp.stack([p2n(11), p2n(12), p2n(13)], axis=1)
+    upd["hmass"] = p2n(_nslot("hmass"))
+    upd["force"] = jnp.stack([p2n(_nslot("force_x")),
+                              p2n(_nslot("force_y")),
+                              p2n(_nslot("force_z"))], axis=1)
+    if surf_maps is not None:
+        tri, nid = surf_maps
+        upd["dhacc"] = p2n(_nslot("dhacc"))
+        pa = p2n(_nslot("edv_a"))
+        pb = p2n(_nslot("edv_b"))
+        nid_j = jnp.asarray(nid)
+        upd["edvacc_surf"] = jnp.where(jnp.asarray(tri) == 0,
+                                       pa[nid_j], pb[nid_j])
     return dataclasses.replace(g, **upd)
 
 
-def _const_npack(param, ctx, s, nx, ny, nz):
+def _const_npack(param, ctx, s, nx, ny, nz, pad: int = PAD):
     """Per-chunk constant nodal planes: top mask + vbc component masks."""
+    PAD = pad
     LZN, LXN = _pad8(nz), _pad128(nx)
     dtype = jnp.float32
 
@@ -370,13 +466,14 @@ def _const_npack(param, ctx, s, nx, ny, nz):
                             (0, LXN - nx)))
 
 
-def _const_epack(param, ctx, s, nx, ny, nz):
+def _const_epack(param, ctx, s, nx, ny, nz, pad: int = PAD):
     """Per-chunk constant element planes (multi-material path):
     radiogenic source + the nmat raw marker-weight planes.  Property
     MIXTURES are computed in-kernel from the weights (see CE3_SLOTS
     note — the pre-mixed-plane design oversubscribes VMEM at the
     983k-tet tile size).  (NCE, 5, nyp_c, nzc, nxc), ghost y rows
     zero."""
+    PAD = pad
     nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
     dtype = s.emw.dtype
     nmat = s.emw.shape[1]
@@ -410,8 +507,11 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
     mat = param.mat
     nx, ny, nz = ctx.sgrid
     nxc, nyc, nzc = nx - 1, ny - 1, nz - 1
+    surf_on = _surf_on(param, ctx)
+    H = _halo_for(param, ctx)   # shadows the module constant on purpose
+    PAD = H                     # (surface diffusion adds one stencil hop)
     LZN, LXN = _pad8(nz), _pad128(nx)
-    TY = _pick_ty(nyc, nzc, nxc, _nce(param))
+    TY = _pick_ty(nyc, nzc, nxc, _nce(param), halo=H)
     T = nyc // TY
     NWy = TY + 2 * H          # local cell rows
     NYN = NWy + 1             # local node rows
@@ -1221,6 +1321,77 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         coord_y = N("coord_y") + vel_y * dt
         coord_z = N("coord_z") + vel_z * dt
 
+        # ---- surface processes option 1: facet-FEM topography
+        # diffusion (surface_dh_3d parity; bc.cxx:920-1050), applied
+        # between the coordinate update and the post-move geometry
+        # exactly like update_mesh (dynearthsol.cxx:431-473).  The top
+        # quad of each cell splits into two triangles along the parity
+        # diagonal (tet_tables); per-triangle slope/area contributions
+        # scatter to the 4 top corners via pad_corner, then
+        # dh = -k*dt*total_slope/total_area on top nodes. ----
+        dhacc_new = N("dhacc")
+        edva_new = N("edv_a")
+        edvb_new = N("edv_b")
+        if surf_on:
+            izc3 = jax.lax.broadcasted_iota(jnp.int32, (NWy, nzc, nxc), 1)
+            smask = vmask & (izc3 == jnp.asarray(nzc - 1, jnp.int32))
+            cxv = nviews(coord_x)
+            cyv = nviews(coord_y)
+            czv = nviews(coord_z)
+            # corner codes (a*4+b*2+d, d=1) in CCW (+z outward) order
+            TRI_E = ((1, 7, 3), (1, 5, 7))
+            TRI_O = ((1, 5, 3), (3, 5, 7))
+            ts_acc = zero_n      # total_slope
+            td_acc = zero_n      # total projected area
+            pareas = []
+            for t3 in range(2):
+                ce3, co3 = TRI_E[t3], TRI_O[t3]
+                px = tuple(jnp.where(par, cxv[ce3[j]], cxv[co3[j]])
+                           for j in range(3))
+                py = tuple(jnp.where(par, cyv[ce3[j]], cyv[co3[j]])
+                           for j in range(3))
+                pz = tuple(jnp.where(par, czv[ce3[j]], czv[co3[j]])
+                           for j in range(3))
+                nzA = ((px[1] - px[0]) * (py[2] - py[0])
+                       - (py[1] - py[0]) * (px[2] - px[0]))
+                parea = 0.5 * nzA
+                pareas.append(parea)
+                iv3 = 1.0 / (2.0 * jnp.where(parea != 0, parea, _c(1.0)))
+                sdx = (iv3 * (py[1] - py[2]), iv3 * (py[2] - py[0]),
+                       iv3 * (py[0] - py[1]))
+                sdy = (iv3 * (px[2] - px[1]), iv3 * (px[0] - px[2]),
+                       iv3 * (px[1] - px[0]))
+                gx3 = sdx[0] * pz[0] + sdx[1] * pz[1] + sdx[2] * pz[2]
+                gy3 = sdy[0] * pz[0] + sdy[1] * pz[1] + sdy[2] * pz[2]
+                am = jnp.where(smask, parea, _c(0.0))
+                for j in range(3):
+                    sl = (sdx[j] * gx3 + sdy[j] * gy3) * parea
+                    sl = jnp.where(smask, sl, _c(0.0))
+                    ts_acc = ts_acc \
+                        + pad_corner(jnp.where(par, sl, _c(0.0)), ce3[j]) \
+                        + pad_corner(jnp.where(par, _c(0.0), sl), co3[j])
+                    td_acc = td_acc \
+                        + pad_corner(jnp.where(par, am, _c(0.0)), ce3[j]) \
+                        + pad_corner(jnp.where(par, _c(0.0), am), co3[j])
+            conv = _c(ctrl.surface_diffusivity) * dt * ts_acc \
+                / jnp.where(td_acc > 0, td_acc, _c(1.0))
+            dh = jnp.where(cn_vm[0] > 0, -conv, _c(0.0))
+            coord_z = coord_z + dh
+            dhacc_new = dhacc_new + dh
+            # per-facet deposited volume (bc.cxx:1745-1760): dv =
+            # sum(dh_corners) * projected_area / ndims, stored at the
+            # owning cell's (x0, y0, top) node (see _surf_maps)
+            dhv = nviews(dh)
+            for t3 in range(2):
+                ce3, co3 = TRI_E[t3], TRI_O[t3]
+                dh_e = sum(jnp.where(par, dhv[ce3[j]], dhv[co3[j]])
+                           for j in range(3))
+                dv3 = jnp.where(smask, dh_e * pareas[t3] / 3.0, _c(0.0))
+                if t3 == 0:
+                    edva_new = edva_new + pad_corner(dv3, 1)
+                else:
+                    edvb_new = edvb_new + pad_corner(dv3, 1)
+
         # ---- phase 4: post-move geometry, masses, CFL, Jaumann ----
         cx2_v = nviews(coord_x)
         cy2_v = nviews(coord_y)
@@ -1378,6 +1549,9 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
         no_vm[_nslot("force_x")] = fdx[own_n1]
         no_vm[_nslot("force_y")] = fdy[own_n1]
         no_vm[_nslot("force_z")] = fdz[own_n1]
+        no_vm[_nslot("dhacc")] = dhacc_new[own_n1]
+        no_vm[_nslot("edv_a")] = edva_new[own_n1]
+        no_vm[_nslot("edv_b")] = edvb_new[own_n1]
 
         dma_eo = pltpu.make_async_copy(
             eo_vm.at[:, :, pl.ds(jnp.asarray(H, jnp.int32), TY)],
@@ -1427,7 +1601,7 @@ def make_pallas_step(param: Param, ctx, compensation_pressure: float = 0.0):
             pltpu.SemaphoreType.DMA((7,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=INTERPRET,
         debug=bool(int(__import__('os').environ.get('PALLAS3D_DEBUG',
                                                     '0'))),
@@ -1523,21 +1697,23 @@ def make_chunk_runner(param: Param, ctx, compensation_pressure: float,
                       n: int):
     """jit(run_chunk)(ctx, state): pack -> scan n fused steps -> unpack."""
     nx, ny, nz = ctx.sgrid
+    pad = _halo_for(param, ctx)
+    smaps = _surf_maps(ctx, nx, ny, nz) if _surf_on(param, ctx) else None
     step = make_pallas_step(param, ctx, compensation_pressure)
 
     @jax.jit
     def run_chunk(sctx, state):
-        cnpack = _const_npack(param, sctx, state, nx, ny, nz)
+        cnpack = _const_npack(param, sctx, state, nx, ny, nz, pad=pad)
         if _uniform_mat(param):
             cepack = jnp.zeros((1, 1, 1, 8, 128), jnp.float32)
         else:
-            cepack = _const_epack(param, sctx, state, nx, ny, nz)
-        g = state_to_pgrid(state, nx, ny, nz)
+            cepack = _const_epack(param, sctx, state, nx, ny, nz, pad=pad)
+        g = state_to_pgrid(state, nx, ny, nz, pad=pad, surf_maps=smaps)
 
         def body(s, _):
             return step(sctx, s, (cepack, cnpack)), None
 
         g, _ = jax.lax.scan(body, g, length=n)
-        return pgrid_to_state(g, nx, ny, nz)
+        return pgrid_to_state(g, nx, ny, nz, pad=pad, surf_maps=smaps)
 
     return run_chunk

@@ -1006,6 +1006,118 @@ class Simulation:
         self.state = run(self.state)
         return iso_steps
 
+    def body_force_adjustment(self):
+        """Pre-run gravity relaxation by pseudo-transient iteration
+        (initial_body_force_adjustment, dynearthsol.cxx:526-571, invoked
+        at :731-739): iterate the quasi-static force balance with ZEROED
+        boundary-velocity values (PT_jump, bc.cxx:305-317) and hydraulic
+        diffusion suspended (:733-737), until the L2 force residual's
+        relative change drops below PT_relative_tolerance or PT_max_iter
+        is hit.  Reference gates it on the PT loop ("Only works with PT
+        loop"); same here.  Returns the iteration count."""
+        import dataclasses as _dc
+
+        param = self.param
+        ctrl = param.control
+        if not (param.ic.has_body_force_adjustment and ctrl.has_PT):
+            return 0
+        ctx = self.ctx
+        ndims = ctx.ndims
+        vbc0 = _dc.replace(ctx.vbc, values=(0.0,) * 6,
+                           values_lateral=(0.0,) * 4)
+        param_pt = _dc.replace(
+            param, control=_dc.replace(param.control,
+                                       has_hydraulic_diffusion=False)) \
+            if ctrl.has_hydraulic_diffusion else param
+        comp_p = self.compensation_pressure
+        from .ops.assembly import make_asm as _make_asm
+
+        asm = _make_asm(ctx)
+
+        def iterate(carry):
+            s, res_old, _, k = carry
+            bulkm, shearm, rho_e = _elem_props(ctx, s)
+            phi_e = M.phi_porosity(ctx.mat, s.emw)
+            vel = bc_mod.apply_vbcs(vbc0, s.vel, s.coord, s.time)
+            if ctrl.has_moving_mesh:
+                coord = F.update_coordinate(s.coord, vel, s.dt)
+                volume_old = s.volume
+                volume = compute_volume(coord, ctx.conn)
+                voln, mass, tmass, hmass, ymass = G.compute_mass(
+                    volume, ctx.conn, bulkm, shearm, rho_e,
+                    M.cp(ctx.mat, s.emw), phi_e,
+                    M.alpha_biot(ctx.mat, s.emw),
+                    M.beta_fluid(ctx.mat, s.emw), asm,
+                    pseudo_speed=ctx.max_vbc_val * ctrl.inertial_scaling,
+                    pseudo_speed_atp=s.max_global_vel_mag
+                    * ctrl.inertial_scaling,
+                    is_quasi_static=ctrl.is_quasi_static,
+                    use_global_velocity_scaling=(
+                        ctrl.use_global_velocity_scaling),
+                    has_hydraulic_diffusion=False,
+                    has_thermal_diffusion=ctrl.has_thermal_diffusion,
+                    ndims=ndims)
+                s = State(**{**s.__dict__, "coord": coord,
+                             "volume": volume, "volume_old": volume_old,
+                             "volume_n": voln, "mass": mass,
+                             "tmass": tmass, "hmass": hmass,
+                             "ymass": ymass})
+            dnd = shape_fn_gradients(s.coord, ctx.conn, s.volume)
+            srate = F.update_strain_rate(vel, ctx.conn, dnd)
+            dv = G.compute_dvoldt(srate, s.volume, s.volume_n, ctx.conn,
+                                  asm)
+            edv = G.compute_edvoldt(dv, ctx.conn)
+            s1 = State(**{**s.__dict__, "vel": vel, "edvoldt": edv})
+            (stress, stressyy, strain, srate2, plstrain, dpls, visc, dpr,
+             dfc, sv) = _update_stress(param_pt, ctx, s1, bulkm, shearm,
+                                       srate)
+            if ctrl.gravity != 0:
+                buoy = (rho_e * (1.0 - phi_e) + 1000.0 * phi_e) \
+                    * ctrl.gravity / (ndims + 1)
+            else:
+                buoy = jnp.zeros_like(s.volume)
+            contrib = F.internal_force_contrib(stress, s.volume, dnd, buoy)
+            force = F.assemble_force(contrib, asm)
+            res = F.residual_l2(force)
+            if ctrl.gravity != 0:
+                force = bc_mod.apply_stress_bcs(param, ctx.sbc, s.coord,
+                                                force, rho_e, comp_p,
+                                                s.coord0)
+            force = bc_mod.apply_stress_bcs_neumann(ctx.sbc, s.coord,
+                                                    force)
+            force = F.apply_damping(force, vel, s.mass, s.ymass,
+                                    ctrl.damping_option,
+                                    ctrl.damping_factor)
+            vel2 = F.update_velocity(vel, force, s.mass, s.dt)
+            rel = jnp.abs((res - res_old)
+                          / jnp.where(res_old != 0, res_old, 1.0))
+            s2 = State(**{**s1.__dict__, "vel": vel2, "force": force,
+                          "stress": stress, "stressyy": stressyy,
+                          "strain": strain, "strain_rate": srate2,
+                          "plstrain": plstrain, "delta_plstrain": dpls,
+                          "viscosity": visc, "dpressure": dpr,
+                          "l2_residual": res,
+                          **({"dyn_fric_coeff": dfc,
+                              "state_variable": sv}
+                             if dfc is not None else {})})
+            return (s2, res, rel, k + 1)
+
+        def cond(carry):
+            _, _, rel, k = carry
+            return ((k < ctrl.PT_max_iter)
+                    & (rel >= ctrl.PT_relative_tolerance))
+
+        @jax.jit
+        def run(s):
+            res0 = s.l2_residual
+            out, _, _, k = jax.lax.while_loop(
+                cond, iterate,
+                (s, res0, jnp.asarray(1.0, dtype=self.dtype), 0))
+            return out, k
+
+        self.state, k = run(self.state)
+        return int(k)
+
     def apply_host_surface_dh(self, dh_top):
         """Apply an externally-computed surface increment at a host chunk
         boundary (GoSPL coupling, surface_process_option 11, and the
@@ -1035,12 +1147,12 @@ class Simulation:
         edv = np.asarray(self.state.edvacc_surf, dtype=np.float64) \
             + dh_e * base / ndims
 
-        cj = jnp.asarray(coord, dtype=self.dtype)
-        volume = jax.jit(compute_volume)(cj, self.ctx.conn)
+        cj = _dev(coord, self.dtype)
+        volume = jit_compute_volume(cj, self.ctx.conn)
         s1 = State(**{**self.state.__dict__,
                       "coord": cj, "volume": volume,
-                      "dhacc": jnp.asarray(dhacc, dtype=self.dtype),
-                      "edvacc_surf": jnp.asarray(edv, dtype=self.dtype)})
+                      "dhacc": _dev(dhacc, self.dtype),
+                      "edvacc_surf": _dev(edv, self.dtype)})
         ctx, ctrl = self.ctx, self.param.control
         from .ops.assembly import make_asm as _make_asm
 

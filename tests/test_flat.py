@@ -329,10 +329,10 @@ def test_flat_gate():
     assert flat2d.flat_step_applicable(sim.param, sim.ctx)
     sim._chunk_fn(2)
     assert sim.step_path in ("grid2d", "pallas2d")
-    # PT relaxation falls back to the generic step
+    # PT relaxation rides the flat path too (round 4)
     p2 = mk_param(control={"has_PT": True})
     sim2 = des.Simulation(p2)
-    assert not flat2d.flat_step_applicable(sim2.param, sim2.ctx)
+    assert flat2d.flat_step_applicable(sim2.param, sim2.ctx)
 
 
 def test_flat_dispatched_by_simulation():
@@ -565,3 +565,55 @@ def test_flat3d_band_matches_exact_maxwell():
     ref = run(sim.ctx, sim.state)
     out = run(ctx_band, sim.state)
     assert_match(ref, out, tol=1e-5)
+
+
+def test_flat_matches_generic_pt():
+    """PT inner relaxation (dynearthsol.cxx:779-840) on the flat path
+    must reproduce the generic step's PT loop to f64 roundoff — same
+    kernel sequence, same support-table summation order (round 4: the
+    has_PT gate exclusion dropped)."""
+    p = mk_param(control={"has_PT": True, "PT_max_iter": 8,
+                          "PT_relative_tolerance": 1e-12})
+    ref, out = run_both(p, n=6)
+    assert_match(ref, out, tol=1e-10)
+
+
+def test_flat_matches_generic_pt_hydraulic():
+    """PT + hydraulic diffusion (the consolidation configuration,
+    benchmarks/2d-consolidation.cfg): hydraulic is suspended inside the
+    PT loop and the pore-pressure update recomputes from the PT-updated
+    stress, exactly like the generic step."""
+    p = mk_param(
+        rheo="elastic",
+        control={"has_PT": True, "PT_max_iter": 8,
+                 "PT_relative_tolerance": 1e-12,
+                 "has_hydraulic_diffusion": True,
+                 "has_thermal_diffusion": False},
+        bc={"vbc_z0": 1, "vbc_val_z0": 0.0,
+            "stress_bc_z1": 3, "stress_val_z1": -1e5},
+        mat={"porosity": [0.3], "hydraulic_perm": [1e-13],
+             "biot_coeff": [1.0], "fluid_bulk_modulus": [2.2e9]})
+    ref, out = run_both(p, n=6)
+    assert_match(ref, out, tol=1e-10)
+
+
+def test_flat3d_matches_generic_pt():
+    """3D PT inner relaxation on the flat path vs the generic step
+    (round 4: has_PT gate exclusion dropped in flat3d too).
+
+    The tight gate runs branch-free maxwell; EVP gets a loose
+    short-horizon check only — the 3D eig3 plastic/viscous min-select
+    is bistable at f32/f64 roundoff (same story as tests/test_pallas3d
+    docstring), and PT iterates it many times per step."""
+    p = mk_param3d(rheo="maxwell")
+    p.control.has_PT = True
+    p.control.PT_max_iter = 6
+    p.control.PT_relative_tolerance = 1e-12
+    ref, out = run_both3d(p, 4)
+    assert_match(ref, out, tol=1e-10)
+    p2 = mk_param3d()
+    p2.control.has_PT = True
+    p2.control.PT_max_iter = 6
+    p2.control.PT_relative_tolerance = 1e-12
+    ref2, out2 = run_both3d(p2, 1)
+    assert_match(ref2, out2, tol=5e-3)

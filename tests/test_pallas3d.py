@@ -244,3 +244,77 @@ def test_pallas3d_single_step_winkler_water_evp():
                        "winkler_delta_rho": 100.0})
     ref, out = run_both(sim, 1)
     assert_close(ref, out, FIELDS, {"force": 1e-3}, 1e-4)
+
+
+# ---- in-kernel surface processes (round 4: production3d on pallas3d) ----
+
+def _surf_over():
+    return {"surface_process_option": 1, "surface_diffusivity": 1e-6,
+            "has_surface_correction": True}
+
+
+def test_pallas3d_gate_accepts_surface():
+    sim = make_sim(control=_surf_over())
+    assert pallas3d.pallas3d_step_applicable(sim.param, sim.ctx)
+    # options 11/101/102 need host machinery -> grid3d path
+    sim2 = make_sim(control={"surface_process_option": 102})
+    assert not pallas3d.pallas3d_step_applicable(sim2.param, sim2.ctx)
+    # the facet->triangle map covers every top facet
+    tri, nid = pallas3d._surf_maps(sim.ctx, *sim.ctx.sgrid)
+    assert tri.shape[0] == int(sim.ctx.surf.etop)
+    nx, ny, nz = sim.ctx.sgrid
+    assert tri.sum() * 2 == tri.shape[0]  # half slot 0, half slot 1
+
+
+def test_pallas3d_matches_grid_step_surface_maxwell():
+    """10-step trajectory gate with in-kernel facet-FEM surface
+    diffusion (surface_dh_3d parity, bc.cxx:920-1050) + surface element
+    correction: branch-free maxwell rheology so the dh cancellations
+    (slopes of a near-flat surface) stay roundoff-dominated.  Measured
+    agreement round 4: fields ~1e-4, dhacc/edvacc ~1.5e-3."""
+    sim = make_sim(mat={"rheology_type": "maxwell"},
+                   control=_surf_over())
+    ref, out = run_both(sim, 10)
+    assert_close(ref, out, FIELDS, {"force": 5e-3}, 1e-3)
+    assert_close(ref, out, ("dhacc", "edvacc_surf"), {}, 5e-3)
+    assert float(np.abs(np.asarray(ref.dhacc)).max()) > 0.0
+
+
+def test_pallas3d_single_step_production3d_evp():
+    """Single-step EVP gate on the FULL production-3D feature set:
+    crust/mantle markers + Winkler + water loading + surface diffusion
+    + surface correction — the bench `production3d` configuration on
+    the fused kernel.  dhacc/edvacc are excluded: the plastic
+    min-select amplifies a 1e-7 stress perturbation of the ORACLE
+    ITSELF to 15%/84% on those near-cancelling accumulators (measured
+    round 4); they are gated on the maxwell variant above instead."""
+    over = _multimat_over()
+    over["control"] = {**_surf_over(), "surf_base_level": 10.0}
+    over["bc"] = {"has_winkler_foundation": True,
+                  "has_water_loading": True,
+                  "winkler_delta_rho": 100.0}
+    sim = make_sim(**over)
+    assert pallas3d.pallas3d_step_applicable(sim.param, sim.ctx)
+    ref, out = run_both(sim, 1)
+    assert_close(ref, out, FIELDS, {"force": 1e-3}, 1e-3)
+
+
+def test_pallas3d_surface_multimat_maxwell():
+    """Surface diffusion + const-property-plane pack together (the two
+    mechanisms share the widened H=5 halo and the nodal slot layout).
+
+    dhacc/edvacc tolerances: the surface slopes of a near-flat surface
+    are catastrophic cancellations, and the crust/mantle density step
+    amplifies f32 noise through them — the ORACLE's own dhacc moves
+    2.4e-2 relative at 10 steps under a 1e-7 input perturbation
+    (measured round 4).  The mechanism gate is the step-1 check (6e-6
+    measured); the 10-step gate only bounds the amplification."""
+    over = _multimat_over()
+    over["mat"]["rheology_type"] = "maxwell"
+    over["control"] = _surf_over()
+    sim = make_sim(**over)
+    ref1, out1 = run_both(sim, 1)
+    assert_close(ref1, out1, ("dhacc", "edvacc_surf"), {}, 5e-5)
+    ref, out = run_both(sim, 10)
+    assert_close(ref, out, FIELDS, {"force": 5e-3}, 1e-3)
+    assert_close(ref, out, ("dhacc", "edvacc_surf"), {}, 2e-1)

@@ -188,3 +188,44 @@ def test_inclined_boundary_vbcs():
     assert abs(out[1][1] - np.asarray(vel0)[1][1]) < 1e-18
     # untouched node
     assert np.allclose(out[3], np.asarray(vel0)[3])
+
+
+def test_initial_body_force_adjustment():
+    """PT gravity pre-relaxation (initial_body_force_adjustment,
+    dynearthsol.cxx:526-571, invoked at :731-739): iterates the
+    quasi-static balance with zeroed vbcs until the L2 residual stalls.
+    The adjusted state must be finite, the residual must drop, and the
+    flag without has_PT must be a no-op (the reference comments 'Only
+    works with PT loop')."""
+    d = {
+        "sim": {"max_steps": 10**9, "ndims": 2, "float_dtype": "float64",
+                "is_outputting_averaged_fields": False},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 8e3, "ylength": 0.0, "zlength": 4e3,
+                 "resolution": 1e3, "quality_check_step_interval": 10**8},
+        "control": {"gravity": 10.0, "inertial_scaling": 1e5,
+                    "damping_option": 1, "damping_factor": 0.8,
+                    "has_thermal_diffusion": False,
+                    "has_PT": True, "PT_max_iter": 50,
+                    "PT_relative_tolerance": 1e-4},
+        "ic": {"has_body_force_adjustment": True},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": 0.0, "vbc_x1": 1,
+               "vbc_val_x1": 0.0, "vbc_z0": 1, "vbc_val_z0": 0.0,
+               "vbc_z1": 0,
+               "has_winkler_foundation": False,
+               "has_water_loading": False},
+        "mat": {"rheology_type": "elastic", "rho0": [2650.0],
+                "bulk_modulus": [50e9], "shear_modulus": [30e9]},
+    }
+    param = des.param_from_dict(d)
+    assert param.ic.has_body_force_adjustment
+    sim = des.Simulation(param)
+    res0 = float(sim.state.l2_residual)
+    n = sim.body_force_adjustment()
+    assert 0 < n <= 50
+    assert np.isfinite(np.asarray(sim.state.stress)).all()
+    assert np.isfinite(np.asarray(sim.state.vel)).all()
+    # no-PT config: flag is ignored
+    d2 = {**d, "control": {**d["control"], "has_PT": False}}
+    sim2 = des.Simulation(des.param_from_dict(d2))
+    assert sim2.body_force_adjustment() == 0
