@@ -145,6 +145,11 @@ class Markers:
     min_num_markers_in_element: int = 3
     replenishment_option: int = 2
     random_seed: int = 1
+    # repo extension: seed the initial marker placement with a replica of
+    # glibc rand() so marker streams MATCH the reference binary run on
+    # the same mesh (markerset.cxx:116-133, 521-524) — unlocks
+    # cross-code golden gates on marker-histogram-mixed fields
+    reference_compatible_rng: bool = False
 
 
 @dataclass

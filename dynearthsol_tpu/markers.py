@@ -223,7 +223,14 @@ def create_markers(param, coord: np.ndarray, conn: np.ndarray,
 
     ms = MarkerSet.empty(ndims, cap=nelem * mpe + 64)
     elems = np.repeat(np.arange(nelem, dtype=np.int32), mpe)
-    eta = random_barycentric(nelem * mpe, npe, rng)
+    if param.markers.reference_compatible_rng:
+        # byte-identical replica of the reference's srand/rand placement
+        # (markerset.cxx:510-538 random_markers; utils/glibc_rand.py)
+        from .utils.glibc_rand import reference_random_eta
+        eta = reference_random_eta(param.markers.random_seed,
+                                   nelem * mpe, ndims)
+    else:
+        eta = random_barycentric(nelem * mpe, npe, rng)
     pts = bary_to_coord(coord, conn, elems, eta)
     if param.ic.mattype_option == 0 and regattr is not None:
         # mattype from the mesher's regional attribute

@@ -49,7 +49,12 @@ def _prepare_case(rundir, work):
     cfg = cfg.replace("modelname = ref", "modelname = our")
     cfg += ("\n[mesh]\n"
             f"mesh_from_run = {os.path.join(rundir, 'ref')}\n"
-            "mesh_from_run_frame = 0\n")
+            "mesh_from_run_frame = 0\n"
+            # repo-only flag (the reference binary would reject it):
+            # replicate the reference's glibc marker stream so
+            # multi-material (histogram-mixed) cases compare cross-code
+            "[markers]\n"
+            "reference_compatible_rng = yes\n")
     with open(os.path.join(work, "case.cfg"), "w") as f:
         f.write(cfg)
     # aux inputs (.poly etc.) live next to the golden cfg
@@ -115,6 +120,13 @@ def test_golden_fields_match_reference(case, tmp_path):
     # (accum_thr, rate_thr, max_frame)
     CASE_RULES = {
         "evp-winkler-2d": (1e-6, 1e-5, 2),
+        # multi-material: the histogram-weighted property mixtures
+        # (matprops.cxx:115-144) sum per-marker contributions in a
+        # different association order than our vectorized histogram
+        # form, adding one more ulp source on top of the FMA floor;
+        # measured worst accumulated diff 9.8e-9 at frame 10 (strain),
+        # everything else within the single-material contract
+        "maxwell-2mat-2d": (3e-8, 1e-7, None),
     }
     accum_thr, rate_thr, max_frame = CASE_RULES.get(case, (1e-8, 1e-7,
                                                            None))

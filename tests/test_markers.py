@@ -102,3 +102,61 @@ def test_simulation_uses_marker_histogram():
     assert sim.markers is not None
     emw = np.asarray(sim.state.emw)
     assert emw.sum() == sim.markers.n
+
+
+def test_glibc_rand_replica():
+    """utils/glibc_rand reproduces the in-container glibc rand() stream
+    word-for-word (vectors captured from a C program compiled here:
+    srand(seed); rand() x5)."""
+    from dynearthsol_tpu.utils.glibc_rand import (glibc_rand_stream,
+                                                  reference_random_eta)
+
+    assert glibc_rand_stream(1, 5).tolist() == [
+        1804289383, 846930886, 1681692777, 1714636915, 1957747793]
+    assert glibc_rand_stream(12345, 5).tolist() == [
+        383100999, 858300821, 357768173, 455528251, 133005921]
+    # seed 0 is replaced by 1 (glibc __srandom_r)
+    assert glibc_rand_stream(0, 2).tolist() == glibc_rand_stream(
+        1, 2).tolist()
+
+    eta = reference_random_eta(12345, 1000, 2)
+    assert eta.shape == (1000, 3)
+    assert (eta >= 0).all()
+    assert np.allclose(eta.sum(axis=1), 1.0, atol=1e-15)
+    # first marker reproduces the hand-walked rejection sequence:
+    # u0+u1 = (383100999+858300821)/RAND_MAX < 1 -> accepted directly
+    assert abs(eta[0, 0] - 383100999 / 2147483647) < 1e-18
+    assert abs(eta[0, 1] - 858300821 / 2147483647) < 1e-18
+
+
+def test_reference_compatible_marker_init():
+    """markers.reference_compatible_rng places nelem*mpe markers from
+    the glibc stream in reference element order (markerset.cxx:510-538)."""
+    import dynearthsol_tpu as des
+
+    d = {
+        "sim": {"ndims": 2, "float_dtype": "float64"},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 4e3, "ylength": 0.0, "zlength": 2e3,
+                 "resolution": 1e3, "quality_check_step_interval": 10**8},
+        "markers": {"markers_per_element": 4, "random_seed": 12345,
+                    "reference_compatible_rng": True},
+        "ic": {"mattype_option": 1, "num_mattype_layers": 2,
+               "layer_mattypes": [0, 1], "mattype_layer_depths": [0.5]},
+        "control": {"gravity": 0.0, "has_thermal_diffusion": False},
+        "bc": {"vbc_x0": 1, "vbc_val_x0": 0.0, "vbc_x1": 1,
+               "vbc_val_x1": 0.0, "vbc_z0": 1, "vbc_val_z0": 0.0,
+               "vbc_z1": 0},
+        "mat": {"rheology_type": "maxwell", "nmat": 2,
+                "rho0": [2700.0, 3300.0],
+                "bulk_modulus": [1e12, 2e12],
+                "shear_modulus": [1e10, 3e10]},
+    }
+    sim = des.Simulation(des.param_from_dict(d))
+    ms = sim.markers
+    assert ms.n == sim.topo.nelem * 4
+    from dynearthsol_tpu.utils.glibc_rand import reference_random_eta
+    eta = reference_random_eta(12345, ms.n, 2)
+    assert np.abs(ms.eta[:ms.n] - eta).max() == 0.0
+    # both materials present (layered split)
+    assert set(np.unique(ms.mattype[:ms.n])) == {0, 1}
