@@ -28,6 +28,96 @@ from .simulation import Simulation
 INT_MAX = 2**31 - 1
 
 
+class HaloStepper:
+    """Multi-chip stepping for the CLI driver (SURVEY §2.3/§5.8).
+
+    Wraps parallel.halo_step: nodal state lives sharded ~1/N (+halo
+    windows) across a 1-D ``jax.sharding.Mesh``; the per-step halo
+    exchange rides ``ppermute`` over ICI.  The driver's host events
+    (output, checkpoints, quality checks, remeshing) need the flat
+    host state, so ``sync()`` gathers at event boundaries only — the
+    same wake cadence as single-chip chunking.  After a remesh the
+    shapes change: ``rebuild()`` re-plans the partition, re-builds the
+    shard_map runner and re-shards the fresh state (gather -> remesh on
+    host -> re-shard choreography; the reference has no counterpart)."""
+
+    def __init__(self, sim, n_devices: int | None = None):
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        from .parallel.halo_step import AXIS
+
+        devs = jax.devices()
+        if n_devices is not None:
+            devs = devs[:n_devices]
+        self.sim = sim
+        self.mesh = Mesh(_np.asarray(devs), (AXIS,))
+        self._dirty = False
+        self._build()
+
+    def _build(self):
+        from .parallel.halo_step import make_halo_runner
+
+        (self._ctx_sh, self._state_sh, self._run_chunk, self._plan,
+         self._specs) = make_halo_runner(self.sim, self.mesh)
+
+    def run_steps(self, n: int, chunk: int | None = None):
+        chunk = chunk or min(n, self.sim.param.sim.scan_chunk_steps
+                             or 100)
+        done = 0
+        while done < n:
+            c = min(chunk, n - done)
+            self._state_sh = self._run_chunk(self._ctx_sh,
+                                             self._state_sh, c)
+            done += c
+        self._dirty = True
+        self.sync()
+
+    def sync(self):
+        """Gather the sharded state back to the flat host layout in
+        sim.state (no-op when already in sync)."""
+        if not self._dirty:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from .parallel.halo_step import unpack_state
+
+        out = unpack_state(jax.device_get(self._state_sh), self._specs,
+                           self._plan, self.sim.state)
+        self.sim.state = jax.tree.map(jnp.asarray, out)
+        self._dirty = False
+
+    def rebuild(self):
+        """Re-plan + re-shard after a topology change (remesh)."""
+        self._build()
+        self._dirty = False
+
+
+def _make_stepper(sim):
+    """CLI multi-chip opt-in: DES_N_DEVICES=N (or 'all') selects the
+    node-sharded halo step across the first N jax devices."""
+    import os
+
+    nd = os.environ.get("DES_N_DEVICES")
+    if not nd:
+        return None
+    import jax
+
+    n = jax.device_count() if nd == "all" else int(nd)
+    if n <= 1:
+        return None
+    try:
+        stepper = HaloStepper(sim, n)
+    except (NotImplementedError, ValueError) as e:
+        print(f"Warning: multi-chip halo step unavailable ({e}); "
+              "running single-device.")
+        return None
+    print(f"Multi-chip: node-sharded halo step on {n} devices.")
+    return stepper
+
+
 def _next_event_step(sim, next_regular_frame, starting_step, mon=None):
     """Smallest future step at which the host must wake: output frame,
     quality check, monitor row, earthquake-tracking tick, or info display
@@ -113,6 +203,7 @@ def run(param, argv_echo: str = ""):
     print(report_mesh_info(sim))
 
     mon = Monitor(p, sim)
+    stepper = _make_stepper(sim)
     mon.write_if_due(sim)  # row at the starting step (monitor_initialize)
     eq = EarthquakeState.init(p)
 
@@ -147,7 +238,10 @@ def run(param, argv_echo: str = ""):
                                   mon)
         n = target - int(sim.state.steps)
         t0 = _time.monotonic_ns()
-        sim.run_steps(n)
+        if stepper is not None:
+            stepper.run_steps(n)
+        else:
+            sim.run_steps(n)
         import jax
         jax.block_until_ready(sim.state.coord)
         t_compute_ns += _time.monotonic_ns() - t0
@@ -247,6 +341,10 @@ def run(param, argv_echo: str = ""):
                     out.write_exact(sim)
                 mon.before_remesh(sim)
                 remesh(sim, bad)
+                if stepper is not None:
+                    # gather happened before the quality check; the new
+                    # topology needs a fresh partition + re-shard
+                    stepper.rebuild()
                 mon.rebind(sim)
                 if getattr(sim, "gospl", None) is not None:
                     sim.gospl.on_remesh()  # dynearthsol.cxx:632-709

@@ -191,3 +191,94 @@ def test_halo_unstructured_postremesh(devices8):
     mesh = Mesh(np.asarray(devices8), ("e",))
     run_halo(sim_h, mesh, 10, chunk=10)
     _compare(sim_ref, sim_h, tol=1e-9)  # facet-sum FP grouping, see above
+
+
+def test_cli_multichip_end_to_end(devices8, tmp_path):
+    """DES_N_DEVICES=8 drives the FULL CLI (python -m dynearthsol_tpu)
+    through the node-sharded halo step, INCLUDING the remesh
+    choreography: gather to host -> regenerate -> rebuild the partition
+    plan -> re-shard (VERDICT r3 ask #6).  The multi-chip run must
+    remesh like the single-device run and land on comparable fields."""
+    import subprocess, sys, os, shutil
+
+    cfg_body = """\
+[sim]
+modelname = run
+max_steps = 120
+output_step_interval = 60
+checkpoint_frame_interval = 1000000
+is_outputting_averaged_fields = no
+
+[mesh]
+meshing_option = 1
+meshing_elem_shape = 0
+xlength = 128e3
+ylength = 0
+zlength = 8e3
+resolution = 1e3
+quality_check_step_interval = 50
+remeshing_option = 1
+max_boundary_distortion = 1e-6
+
+[markers]
+markers_per_element = 4
+random_seed = 7
+
+[control]
+gravity = 10
+inertial_scaling = 1e5
+has_thermal_diffusion = yes
+damping_option = 1
+
+[bc]
+vbc_x0 = 1
+vbc_val_x0 = -1e-9
+vbc_x1 = 1
+vbc_val_x1 = 1e-9
+vbc_z0 = 0
+vbc_z1 = 0
+surface_temperature = 273
+mantle_temperature = 1600
+
+[mat]
+rheology_type = elasto-visco-plastic
+rho0 = [ 2800 ]
+bulk_modulus = [ 50e9 ]
+shear_modulus = [ 30e9 ]
+max_viscosity = 1e24
+min_viscosity = 1e19
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = {}
+    for tag, extra_env in (("single", {}), ("multi",
+                                            {"DES_N_DEVICES": "8"})):
+        work = tmp_path / tag
+        work.mkdir()
+        (work / "case.cfg").write_text(cfg_body)
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8",
+                   JAX_ENABLE_X64="1", PYTHONPATH=repo, **extra_env)
+        r = subprocess.run(
+            [sys.executable, "-m", "dynearthsol_tpu", "case.cfg"],
+            cwd=work, env=env, capture_output=True, text=True,
+            timeout=1500)
+        assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+        outs[tag] = (work, r.stdout)
+    assert "Multi-chip: node-sharded halo step on 8 devices." \
+        in outs["multi"][1]
+    # both runs hit the min_quality=0.9 trigger and remeshed
+    for tag in outs:
+        assert "remeshing (trigger" in outs[tag][1], tag
+
+    from dynearthsol_tpu.postproc import OutputReader
+
+    ra = OutputReader(str(outs["single"][0] / "run"))
+    rb = OutputReader(str(outs["multi"][0] / "run"))
+    last = ra.frames[-1]
+    assert last == rb.frames[-1]
+    for fld in ("coordinate", "velocity", "stress", "plastic strain"):
+        a = np.asarray(ra.read_field(last, fld), dtype=np.float64)
+        b = np.asarray(rb.read_field(last, fld), dtype=np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() / scale < 1e-8, fld
