@@ -158,8 +158,14 @@ def mesh_from_poly_2d(param) -> MeshData:
     # option 91 sizes are in units of the STANDARD element size, not
     # resolution^2 (mesh.cxx:2110-2115 scales by std_elem_size)
     unit = 1.0 if m.meshing_option == 90 else std_size
-    sizes = np.where(regions[:, 3] > 0, regions[:, 3] * unit,
+    unlimited = regions[:, 3] <= 0
+    sizes = np.where(~unlimited, regions[:, 3] * unit,
                      std_size * m.largest_size)
+    # unconstrained regions still pre-sample their BOUNDARY segments at
+    # the largest_size spacing (well-spaced outer boundaries keep the
+    # encroachment cascade from over-splitting), but get no interior
+    # seeding and no area bound — size then grows quality-limited away
+    # from the constrained zones like Triangle''s regional -a behavior
     h_region = np.sqrt(2.0 * sizes)
     seeds = regions[:, :2]
     rng = np.random.default_rng(12345)
@@ -179,11 +185,16 @@ def mesh_from_poly_2d(param) -> MeshData:
 
     def h_at(p):
         t = probe.find_simplex(p)
-        # map qhull simplex ids onto the filtered conn via centroid lookup
+        out = t < 0  # outside the hull: no size constraint there
         t = np.clip(t, 0, len(probe_reg) - 1)
-        return h_region[probe_reg[t]]
+        return np.where(out, np.inf, h_region[probe_reg[t]])
 
-    # final segment sampling at the local spacing (min of both sides)
+    # final segment sampling at the local spacing (min of both sides).
+    # Outside-the-hull / unconstrained sides fall back to the
+    # largest_size spacing: leaving outer boundaries unsampled lets the
+    # Ruppert encroachment cascade over-refine the coarse interior
+    # (measured round 4: coarse median halves without this cap)
+    h_cap = float(np.sqrt(2.0 * std_size * m.largest_size))
     h_seg = []
     for a, b in segs:
         mid = (pts[a] + pts[b]) / 2.0
@@ -191,8 +202,8 @@ def mesh_from_poly_2d(param) -> MeshData:
         nrm = np.array([-d[1], d[0]])
         nrm /= max(np.hypot(*nrm), 1e-300)
         eps = 0.01 * np.hypot(*d)
-        h_seg.append(float(min(h_at(mid + eps * nrm),
-                               h_at(mid - eps * nrm))))
+        h2 = min(h_at(mid + eps * nrm), h_at(mid - eps * nrm))
+        h_seg.append(float(min(h2, h_cap)))
     final_pts, final_edges = _sample_segments(pts, segs, h_seg)
 
     # graded interior lattice, thinned to the local target density
@@ -205,9 +216,21 @@ def mesh_from_poly_2d(param) -> MeshData:
     P = np.stack([X.ravel(), Z.ravel()], axis=1)
     hP = h_at(P)
     keep = rng.random(P.shape[0]) < (h_min / hP) ** 2
+    # regions WITHOUT a size constraint get no interior seeding at all —
+    # Triangle only quality-refines there, so element size grows
+    # geometrically away from the constrained zones (the grading
+    # contrast the round-3 meshes lost; mesh.cxx:2577-2621 via triangle)
+    if unlimited.any():
+        regP = probe_reg[np.clip(probe.find_simplex(P), 0,
+                                 len(probe_reg) - 1)]
+        keep &= ~unlimited[regP]
     P = P[keep]
     hP = hP[keep]
-    P = P + 0.35 * h_min * (rng.random(P.shape) - 0.5)
+    # jitter scales with the LOCAL spacing: a fixed h_min jitter leaves
+    # coarse-region points nearly on the regular lattice, whose skinny
+    # transition triangles then over-refine the coarse side (round-4
+    # grading-contrast fix)
+    P = P + 0.35 * hP[:, None] * (rng.random(P.shape) - 0.5)
     # drop lattice points crowding any segment
     dmin = np.full(P.shape[0], np.inf)
     for a, b in segs:
@@ -240,9 +263,18 @@ def mesh_from_poly_2d(param) -> MeshData:
         area_floor = (m.smallest_size * (np.sqrt(3.0) / 4.0)
                       * res * res)
         bc0 = np.zeros(coord.shape[0], dtype=np.uint32)
+
+        def max_area(p):
+            # per-region area bound, exactly Triangle's `-a` semantics:
+            # split any triangle above its region's size; unconstrained
+            # regions are quality-only (no bound)
+            reg = probe_reg[np.clip(probe.find_simplex(p), 0,
+                                    len(probe_reg) - 1)]
+            return np.where(unlimited[reg], np.inf, sizes[reg])
+
         coord, _, (seg_new, seg_origin), _ = refine_min_angle(
             coord, bc0, inside, m.min_angle, area_floor=area_floor,
-            segments=seg_arr)
+            segments=seg_arr, max_area_fn=max_area)
         final_edges = [(int(a), int(b), int(flags_in[o]))
                        for (a, b), o in zip(seg_new, seg_origin)]
 

@@ -129,7 +129,8 @@ def refine_min_angle(coord: np.ndarray, bcflag: np.ndarray,
                      area_floor: float = 0.0,
                      max_rounds: int = 64,
                      max_growth: float = 8.0,
-                     segments: np.ndarray | None = None):
+                     segments: np.ndarray | None = None,
+                     max_area_fn=None):
     """Refine a boundary-flagged point set until every kept triangle of
     its Delaunay triangulation has min angle >= ``min_angle`` degrees.
 
@@ -140,7 +141,11 @@ def refine_min_angle(coord: np.ndarray, bcflag: np.ndarray,
     tiny-element deletion path owns them).
     ``segments``: explicit (nseg, 2) PSLG constraint segments (the .poly
     path); None derives the box boundary chains from ``bcflag`` each
-    round.  Returns (coord, bcflag, segments, converged) — in explicit
+    round.  ``max_area_fn(points) -> max area``: local size field —
+    triangles larger than the bound at their centroid are split too
+    (Triangle's per-region `-a` area constraint, the mechanism that
+    preserves Triangle's fine/coarse grading contrast through the
+    quality pass; mesh.cxx:2577-2621 via triangle).  Returns (coord, bcflag, segments, converged) — in explicit
     mode segments is (split-updated (nseg', 2) array, (nseg',) index of
     the ORIGINAL input segment each row descends from), so callers can
     propagate per-segment flags across splits; None in box mode.
@@ -210,6 +215,10 @@ def refine_min_angle(coord: np.ndarray, bcflag: np.ndarray,
             - (v[:, 1, 1] - v[:, 0, 1]) * (v[:, 2, 0] - v[:, 0, 0]))
         angles = tri_min_angle(coord, conn)
         bad = (angles < min_angle) & interior & (area > area_floor)
+        if max_area_fn is not None:
+            # size-field violation: oversized triangles split at their
+            # circumcenter like Triangle's area constraint
+            bad = bad | (interior & (area > max_area_fn(cen)))
         if not bad.any() and not new_pts:
             converged = True
             break
@@ -247,7 +256,21 @@ def refine_min_angle(coord: np.ndarray, bcflag: np.ndarray,
             u = dvec / dlen[:, None]
             rt = half / max(np.sin(np.radians(min_angle)), 1e-9)
             y_off = rt + np.sqrt(np.maximum(rt**2 - half**2, 0.0))
-            y = np.minimum(dlen, y_off)
+            if max_area_fn is not None:
+                # Triangle-parity insertion (round 4): the CIRCUMCENTER,
+                # like Triangle's default Ruppert rule — new edges are
+                # >= the circumradius, so element size GROWS moving away
+                # from fine zones (the grading contrast).  The off-center
+                # shortcut (min with y_off) inserts near the short edge
+                # and propagates the FINE length scale across coarse
+                # regions (measured: coarse-region median area half of
+                # Triangle's).  y_off remains a lower bound so
+                # degenerate near-collinear circumcenters stay safe.
+                y = np.maximum(dlen, 0.0)
+            else:
+                # off-center (Ungor 2004) for the box/remesh paths:
+                # fewer insertions, grading is externally controlled
+                y = np.minimum(dlen, y_off)
             pts3 = mid + y[:, None] * u
             # exclusion radius: no other insertion within the new
             # point's distance to its own triangle (keeps new edges
