@@ -230,6 +230,7 @@ def run(param, argv_echo: str = ""):
     t_compute_ns = 0
     t_output_ns = 0
     t_remesh_ns = 0
+    n_remesh = 0
     nsteps0 = int(sim.state.steps)
 
     while (int(sim.state.steps) < p.sim.max_steps
@@ -351,6 +352,7 @@ def run(param, argv_echo: str = ""):
                 if p.sim.has_output_during_remeshing:
                     out.write_exact(sim)
                 t_remesh_ns += _time.monotonic_ns() - t0
+                n_remesh += 1
 
         # progress line (dynearthsol.cxx:936-950)
         if steps >= sim.info_display_next_step:
@@ -373,7 +375,11 @@ def run(param, argv_echo: str = ""):
         print(f"Compute:  {t_compute_ns * 1e-9:.2f} s / {nsteps} steps = "
               f"{t_compute_ns * 1e-9 / nsteps:.3e} s/step")
     print(f"Output:   {t_output_ns * 1e-9:.2f} s")
-    print(f"Remesh:   {t_remesh_ns * 1e-9:.2f} s")
+    if n_remesh:
+        print(f"Remesh:   {t_remesh_ns * 1e-9:.2f} s / {n_remesh} = "
+              f"{t_remesh_ns * 1e-9 / n_remesh:.2f} s/remesh")
+    else:
+        print(f"Remesh:   {t_remesh_ns * 1e-9:.2f} s")
     if prof_dir:
         import jax
 
