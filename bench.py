@@ -360,6 +360,8 @@ def run_suite() -> dict:
         # less than this just burns the budget for nothing
         if remaining < 180:
             cases[key] = {"skipped": "budget"}
+            print(json.dumps({"case": key, "skipped": "budget"}),
+                  flush=True)
             continue
         cmd = [sys.executable, os.path.abspath(__file__),
                "--case", case, "--dtype", dtype]

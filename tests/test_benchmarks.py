@@ -104,3 +104,31 @@ def test_oedometer_mohr_coulomb_analytic():
         assert rel < 5e-3, f"step {cp}: sxx={sxx_num} ana={sxx_ana[cp]} rel={rel}"
     # plastic yielding must actually have happened
     assert float(np.asarray(s.plstrain).max()) > 0
+
+
+def test_bench_budget_skips_legibly():
+    """bench.py run_suite honors BENCH_BUDGET_S: with no budget left it
+    emits {'skipped': 'budget'} entries and a final superset summary
+    line instead of overrunning the driver's timeout (VERDICT r3 #1)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, BENCH_BUDGET_S="0", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), "--no-probe"],
+        capture_output=True, text=True, timeout=120, env=env, cwd=repo)
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = [ln for ln in r.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    # per-case skip lines flushed incrementally + the final summary
+    assert len(lines) >= 2
+    for ln in lines[:-1]:
+        d = json.loads(ln)
+        assert d.get("skipped") == "budget", d
+    summary = json.loads(lines[-1])
+    assert "cases" in summary and len(summary["cases"]) == 8
+    assert all(c.get("skipped") == "budget"
+               for c in summary["cases"].values())
