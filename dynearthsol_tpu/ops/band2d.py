@@ -108,9 +108,11 @@ jax.tree_util.register_pytree_node(
     BandTables, BandTables.tree_flatten, BandTables.tree_unflatten)
 
 
-MB = 4            # element blocks per megablock (one DMA set each);
-                  # TPU-swept at the 277k-tri flagship: MB=4 minimizes
-                  # gather+scatter (1.46+1.52 ms vs 1.93+1.78 at MB=8)
+MB = 16           # element blocks per megablock (one DMA set each);
+                  # re-swept round 4 at the 277k-tri flagship on the
+                  # current backend: step throughput 35.1/35.8/36.1/35.5M
+                  # at MB=4/8/16/32 — MB=16 wins, the knob is now nearly
+                  # flat (the per-call floor, not DMA grouping, binds)
 
 
 def build_band_tables(conn: np.ndarray, nnode: int,
