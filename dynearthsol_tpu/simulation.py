@@ -1154,26 +1154,36 @@ class Simulation:
                       "dhacc": _dev(dhacc, self.dtype),
                       "edvacc_surf": _dev(edv, self.dtype)})
         ctx, ctrl = self.ctx, self.param.control
-        from .ops.assembly import make_asm as _make_asm
 
-        bulkm, shearm, rho_e = _elem_props(ctx, s1)
-        volume_n, mass, tmass, hmass, ymass = G.compute_mass(
-            volume, ctx.conn, bulkm, shearm, rho_e,
-            M.cp(ctx.mat, s1.emw), M.phi_porosity(ctx.mat, s1.emw),
-            M.alpha_biot(ctx.mat, s1.emw), M.beta_fluid(ctx.mat, s1.emw),
-            _make_asm(ctx),
-            pseudo_speed=ctx.max_vbc_val * ctrl.inertial_scaling,
-            pseudo_speed_atp=float(s1.max_global_vel_mag)
-            * ctrl.inertial_scaling,
-            is_quasi_static=ctrl.is_quasi_static,
-            use_global_velocity_scaling=ctrl.use_global_velocity_scaling,
-            has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
-            has_thermal_diffusion=ctrl.has_thermal_diffusion,
-            ndims=ndims)
-        self.state = State(**{**s1.__dict__,
-                              "volume_n": volume_n, "mass": mass,
-                              "tmass": tmass, "hmass": hmass,
-                              "ymass": ymass})
+        if "_mass_tail" not in self._fin_fns:
+            from .ops.assembly import make_asm as _make_asm
+            param = self.param
+
+            @jax.jit
+            def mass_tail(ctx, s):
+                # ONE jitted program (op-by-op dispatch costs ~30 tunnel
+                # compiles per GoSPL coupling event; cf. make_finalize_fn)
+                bulkm, shearm, rho_e = _elem_props(ctx, s)
+                volume_n, mass, tmass, hmass, ymass = G.compute_mass(
+                    s.volume, ctx.conn, bulkm, shearm, rho_e,
+                    M.cp(ctx.mat, s.emw), M.phi_porosity(ctx.mat, s.emw),
+                    M.alpha_biot(ctx.mat, s.emw),
+                    M.beta_fluid(ctx.mat, s.emw), _make_asm(ctx),
+                    pseudo_speed=ctx.max_vbc_val * ctrl.inertial_scaling,
+                    pseudo_speed_atp=s.max_global_vel_mag
+                    * ctrl.inertial_scaling,
+                    is_quasi_static=ctrl.is_quasi_static,
+                    use_global_velocity_scaling=(
+                        ctrl.use_global_velocity_scaling),
+                    has_hydraulic_diffusion=ctrl.has_hydraulic_diffusion,
+                    has_thermal_diffusion=ctrl.has_thermal_diffusion,
+                    ndims=ctx.ndims)
+                return State(**{**s.__dict__, "volume_n": volume_n,
+                                "mass": mass, "tmass": tmass,
+                                "hmass": hmass, "ymass": ymass})
+
+            self._fin_fns["_mass_tail"] = mass_tail
+        self.state = self._fin_fns["_mass_tail"](ctx, s1)
 
     # ---- surface marker bookkeeping (host, chunk-boundary cadence) ----
     def correct_surface_markers(self):
