@@ -13,7 +13,9 @@ The reference publishes no absolute numbers (BASELINE.md); its own
 throughput metric is s/step (dynearthsol.cxx:963-1002).  We report
 element-steps/second and compare against MEASURED single-core runs of the
 in-container reference build x 64 (perfect-OpenMP-scaling assumption —
-overstates the baseline, understates our speedup):
+overstates the baseline, understates our speedup; this container has ONE
+CPU core, so the reference's true multi-core scaling cannot be measured
+here and perfect scaling is the conservative stand-in):
   tools/reference_baseline.json     (2D, refbuild/dynearthsol2d)
   tools/reference_baseline_3d.json  (3D, refbuild/dynearthsol3d)
 
