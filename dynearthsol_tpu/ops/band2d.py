@@ -814,3 +814,38 @@ def scatter_corners_tpu(slot_cols, bt: BandTables):
     )(bt.W0_8, bt.rel0_8, contrib, ab)
 
     return unpack_nodal(out, bt, k)
+
+
+# ---------------------------------------------------------------------------
+# ROUND-5 DESIGN SKETCH: VMEM-resident banded multi-step kernel
+# ---------------------------------------------------------------------------
+# Measured bound (round 4): the flat step makes 6 band-engine calls per
+# step at ~0.9 ms each (gather, thermal+dvoldt asm, NMD asm, force asm,
+# post-move gather, mass asm) -> ~5.5 of 7.9 ms/step is per-CALL floor
+# (launch + window DMA + out-buffer roundtrip), not FLOPs (matmuls are
+# ~0.2 ms) and not HBM streaming (~0.05 ms).  MB/EB re-sweeps are flat
+# to +-3%: the knob space is exhausted.  The fix is structural:
+#
+#   * the whole 277k-tri state fits VMEM: element SoA planes ~28 MB
+#     (25 fields f32) + nodal supernode pack ~7 MB + a_e/b_e tables
+#     6.6 MB (int16-ify: 3.3 MB) + w0_8 ~ 40 MB total, leaving ~80 MB
+#     working set — a pallas2d-style RESIDENT multi-step kernel holds
+#     everything on-chip for an entire scan chunk;
+#   * per step, iterate element blocks (541 at EB=512) as an in-kernel
+#     fori_loop: slice the block's node window from the RESIDENT nodal
+#     pack (pl.ds on VMEM, no DMA), run the one-hot-matmul corner
+#     gather (reuse _sel_dot), compute the full per-element physics
+#     (port update_stress_cols from flat2d — it is already
+#     columnwise), and accumulate assembly contributions back into the
+#     resident nodal pack via the transposed matmul + window-row adds;
+#   * the two transfer hops (dvoldt, NMD) and the force->velocity->
+#     coordinate nodal phase are full-pack VPU passes between block
+#     loops — all in VMEM;
+#   * dt/CFL: same SMEM reduction scheme as pallas2d's resident kernel
+#     (per-step dt history out, 10-step refresh cadence);
+#   * expected: the 6 x 0.9 ms call floor collapses to ~6 in-kernel
+#     block loops at matmul+VPU cost (~0.2-0.4 ms each) -> ~150-300M
+#     elem*steps/s, the VERDICT r3 #3 target.
+# Correctness harness: interpreter-mode equivalence vs flat2d at f32
+# (the band engine's matmul reassociation precludes bit-parity; gate
+# like tests/test_band2d.py does today).
