@@ -286,6 +286,20 @@ def run_case(case: str, dtype: str) -> dict:
                                      chunk=20 if slow64 else 100,
                                      bench_steps=40 if slow64 else 200)
         metric, dim = "evp3d_production_element_steps_per_sec", "3d"
+    elif case == "pt2d":
+        # pseudo-transient inner relaxation on the flat path (round 4:
+        # the has_PT gate exclusion dropped; dynearthsol.cxx:779-840).
+        # Reported rate counts OUTER steps; each runs up to PT_max_iter
+        # inner iterations (a full kernel sequence each), so the
+        # inner-iteration-equivalent rate is ~(1+iters)x the number.
+        # Not in the default SUITE (the trio of PT knobs makes a single
+        # headline number config-dependent); run with --case pt2d.
+        param = flagship_param(dtype=dtype)
+        param.control.has_PT = True
+        param.control.PT_max_iter = 5
+        param.control.PT_relative_tolerance = 1e-3
+        rate, nelem, path = _measure(param, chunk=20, bench_steps=100)
+        metric, dim = "evp2d_pt_element_steps_per_sec", "2d"
     elif case == "unstructured":
         param = flagship_param(dtype=dtype)
         param.mesh.meshing_elem_shape = 0  # unstructured -> flat SoA path
@@ -410,7 +424,7 @@ def main(argv=None):
     ap.add_argument("--case", default=None,
                     choices=["flagship", "flagship3d",
                              "flagship3d_multimat", "production",
-                             "production3d",
+                             "production3d", "pt2d",
                              "unstructured", "postremesh"],
                     help="run one case in-process; default runs the full "
                          "suite, one subprocess per case")
