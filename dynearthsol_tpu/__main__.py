@@ -214,9 +214,29 @@ def run(param, argv_echo: str = ""):
         from .gospl_driver import GoSPLDriver
         try:
             sim.gospl = GoSPLDriver(p)
+            import os as _os
+
             import numpy as _np
             top = _np.asarray(sim.ctx.surf.top_nodes)
             coord0 = _np.asarray(sim.state.coord)
+            # generate gospl_mesh.npz over the padded/perturbed DES
+            # surface extent unless one already exists (restart reuse,
+            # dynearthsol.cxx:648-681); the yml config can point GoSPL
+            # at this file
+            mesh_file = "gospl_mesh.npz"
+            if not _os.path.exists(mesh_file):
+                from .gospl_driver import generate_gospl_mesh
+                xs = coord0[top, 0]
+                ys = (coord0[top, 1] if p.sim.ndims == 3
+                      else _np.zeros_like(xs))
+                gp, gc = generate_gospl_mesh(
+                    xs, ys, p.control.gospl_mesh_resolution,
+                    p.control.gospl_mesh_perturbation,
+                    p.control.gospl_mesh_padding)
+                _np.savez(mesh_file,
+                          v=_np.column_stack(
+                              [gp, _np.zeros(len(gp))]),
+                          c=gc, z=_np.zeros(len(gp)))
             sim.gospl.initialize(p.control.surface_process_gospl_config_file,
                                  coord0[top, :-1], coord0[top, -1])
         except ImportError as e:
@@ -278,6 +298,15 @@ def run(param, argv_echo: str = ""):
                 dh_top = hook(sim, now - last_wake_time)
                 if dh_top is not None:
                     sim.apply_host_surface_dh(dh_top)
+        # terrigenous/hemipelagic deposition report every 10000 steps
+        # (bc.cxx:1446,1491,1811: is_reporting_terrigenous_info)
+        if (p.control.is_reporting_terrigenous_info
+                and p.control.surface_process_option in (1, 102)
+                and steps // 10000 > last_wake_step // 10000):
+            dh_acc = np.asarray(sim.state.dhacc)
+            print(f"  surface deposition: max accumulated dh "
+                  f"{dh_acc.max():.3e} m, min {dh_acc.min():.3e} m "
+                  f"(step {steps})")
         last_wake_step, last_wake_time = steps, now
 
         mon.write_if_due(sim)

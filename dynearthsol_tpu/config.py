@@ -72,7 +72,6 @@ class Sim:
     has_output_during_remeshing: bool = False
     is_outputting_averaged_fields: bool = True
     info_display_step_interval: int = 0  # 0 -> resolved to output interval
-    output_averaged_fields: bool = True
     earthquake_output_step_interval: int = 50
     earthquake_start_factor: float = 5.0
     earthquake_end_factor: float = 2.0
@@ -317,8 +316,6 @@ class IC:
     weakzone_standard_deviation: float = 1e3
     weakzone_gaussian_amplitude: float = 0.0
     weakzone_num_segments: int = 1
-    weakzone_segment_x: List[float] = _dlist(0.5)
-    weakzone_segment_z: List[float] = _dlist(0.5)
     weakzone_segments_xcenter: List[float] = _dlist(0.5)
     weakzone_segments_ycenter: List[float] = _dlist(0.5)
     weakzone_segments_zcenter: List[float] = _dlist(0.5)
@@ -331,8 +328,6 @@ class IC:
     weakzone_segments_y_max: List[float] = _dlist(1.0)
     weakzone_segments_depth_min: List[float] = _dlist(0.0)
     weakzone_segments_depth_max: List[float] = _dlist(1.0)
-    weakzone_segments_y_min: List[float] = _dlist(0.0)
-    weakzone_segments_y_max: List[float] = _dlist(1.0)
     continental_plate_age_in_yr: float = 1e8
     temperature_option: int = 0
     oceanic_plate_age_in_yr: float = 60e6
@@ -355,7 +350,6 @@ class IC:
     isostasy_adjustment_time_in_yr: float = 0.0
     has_body_force_adjustment: bool = False
     excess_pore_pressure: float = 0.0
-    is_using_skempton_effect: bool = False
     temperature_filename: str = ""
 
 
@@ -572,9 +566,76 @@ def _apply_entries(param: Param, entries):
     return unknowns
 
 
+# Every Param field must either be consumed outside this module or
+# appear here with a reason; tests/test_config.py audits this so no
+# option can parse cleanly and silently do nothing (the bug class that
+# hid has_body_force_adjustment until round 3 and use_mmg_init /
+# is_restarting_weakzone until round 4).  Categories:
+#   dead-in-reference: the reference parses but never reads it either —
+#     parity by deadness (verified against /root/reference file:line)
+#   cosmetic: verbosity/debug knob of a third-party mesher; our mesher
+#     has no equivalent chatter
+#   unimplemented: warned about at validate() when enabled
+KNOWN_UNCONSUMED = {
+    "control.surface_pressure_correction": "dead-in-reference",
+    "control.surf_depo_universal": "dead-in-reference",
+    "control.terrig_sediment_volume": "dead-in-reference",
+    "control.mesh_smoothing_factor": "dead-in-reference",
+    "mat.mattype_depleted_mantle": "dead-in-reference",
+    "mat.mattype_partial_melting_mantle": "dead-in-reference",
+    "mat.mattype_mor_extrusion": "dead-in-reference",
+    "mat.convert_rate_oceanic_crust": "dead-in-reference",
+    "mesh.meshing_verbosity": "cosmetic (Triangle/TetGen verbosity)",
+    "mesh.mmg_debug": "cosmetic (MMG debug chatter)",
+    "mesh.mmg_verbose": "cosmetic (MMG verbosity)",
+    "mesh.mmg_hausd_factor":
+        "unimplemented (MMG Hausdorff bound; the metric-driven remesh "
+        "optimizer controls size, not boundary Hausdorff distance)",
+    "mesh.mmg_init_coarsening_factor":
+        "unimplemented (only read with use_mmg_init, which warns)",
+    "mesh.use_mmg_init": "unimplemented (warned at validate, matching "
+                         "the reference's non-MMG build input.cxx:1212)",
+}
+
+
 def validate(param: Param) -> Param:
     """Cross-option validation, following input.cxx:969-1474."""
     mat, ctrl, sim, bc = param.mat, param.control, param.sim, param.bc
+
+    # list-length contracts enforced by the reference's get_numbers()
+    # (input.cxx:1314-1315, 1400-1403): the num_* options ARE the
+    # expected lengths of their list options
+    def _require_len(name, lst, n, also_ok=()):
+        if len(lst) != n and len(lst) not in also_ok:
+            raise ValueError(f"{name} must have {n} entries, got {len(lst)}")
+
+    _require_len("ic.layer_mattypes", param.ic.layer_mattypes,
+                 param.ic.num_mattype_layers)
+    # num-1 depths; a single-layer model keeps the (unused) default
+    _require_len("ic.mattype_layer_depths", param.ic.mattype_layer_depths,
+                 param.ic.num_mattype_layers - 1,
+                 also_ok=(1,) if param.ic.num_mattype_layers == 1 else ())
+    # periodic-vbc lists: num entries, or 1 (get_numbers optional_size=1)
+    _require_len("bc.vbc_period_x0_time_in_yr", bc.vbc_period_x0_time_in_yr,
+                 bc.num_vbc_period_x0, also_ok=(1,))
+    _require_len("bc.vbc_period_x0_ratio", bc.vbc_period_x0_ratio,
+                 bc.num_vbc_period_x0, also_ok=(1,))
+    _require_len("bc.vbc_period_x1_time_in_yr", bc.vbc_period_x1_time_in_yr,
+                 bc.num_vbc_period_x1, also_ok=(1,))
+    _require_len("bc.vbc_period_x1_ratio", bc.vbc_period_x1_ratio,
+                 bc.num_vbc_period_x1, also_ok=(1,))
+
+    # MMG initial-mesh adaptation is not implemented here; behave like
+    # the reference's non-USEMMG build, which warns and turns the option
+    # off (input.cxx:1212-1214) instead of silently running at a
+    # different resolution
+    if param.mesh.use_mmg_init:
+        import warnings
+
+        param.mesh.use_mmg_init = False
+        warnings.warn("mesh.use_mmg_init: initial-mesh MMG adaptation is "
+                      "not implemented; option turned off (matches the "
+                      "reference's non-MMG build, input.cxx:1212-1214)")
 
     # Exodus meshes are tetrahedral: the reference only supports them in
     # the 3D binary (mesh.cxx:2234); ndims is compile-time there, so cfgs

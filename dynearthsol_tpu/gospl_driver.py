@@ -28,6 +28,57 @@ def gospl_available() -> bool:
         return False
 
 
+def generate_gospl_mesh(x_coords: np.ndarray, y_coords: np.ndarray,
+                        resolution: float, perturbation: float,
+                        padding: float, seed: int = 42):
+    """Build the GoSPL surface mesh over the DES top-surface extent
+    (GoSPLDriver::generate_mesh, gospl_driver/gospl-driver.cxx:461-600):
+    the domain is padded by ``padding`` fraction per side so all DES
+    surface nodes stay interior to the GoSPL mesh, gridded at
+    ``resolution`` (auto-sized ~sqrt(n) when <= 0), interior nodes
+    randomly perturbed by ``perturbation`` of the grid spacing, then
+    Delaunay-triangulated.  Returns (points (N, 2), cells (M, 3))."""
+    x = np.asarray(x_coords, dtype=np.float64)
+    y = np.asarray(y_coords, dtype=np.float64)
+    x_min, x_max = float(x.min()), float(x.max())
+    y_min, y_max = float(y.min()), float(y.max())
+    if y_max - y_min <= 0:
+        # 2D DES surface (y == 0 everywhere): give the GoSPL strip a
+        # finite width of one grid spacing so triangulation is 2D
+        half = 0.5 * (resolution if resolution > 0
+                      else (x_max - x_min) / max(x.size - 1, 1))
+        y_min, y_max = -half, half
+    x_pad = padding * (x_max - x_min)
+    y_pad = padding * (y_max - y_min)
+    x_min -= x_pad
+    x_max += x_pad
+    y_min -= y_pad
+    y_max += y_pad
+    if resolution > 0:
+        nx = max(int((x_max - x_min) / resolution) + 1, 2)
+        ny = max(int((y_max - y_min) / resolution) + 1, 2)
+    else:
+        nx = ny = int(np.sqrt(float(x.size))) + 1
+    dx = (x_max - x_min) / (nx - 1)
+    dy = (y_max - y_min) / (ny - 1)
+    xx, yy = np.meshgrid(np.linspace(x_min, x_max, nx),
+                         np.linspace(y_min, y_max, ny))
+    xf, yf = xx.ravel(), yy.ravel()
+    if perturbation > 0:
+        rng = np.random.default_rng(seed)
+        interior = ((xf > x_min) & (xf < x_max)
+                    & (yf > y_min) & (yf < y_max))
+        xf = xf + np.where(interior, rng.uniform(-0.5, 0.5, xf.size)
+                           * dx * perturbation, 0.0)
+        yf = yf + np.where(interior, rng.uniform(-0.5, 0.5, yf.size)
+                           * dy * perturbation, 0.0)
+    pts = np.stack([xf, yf], axis=1)
+    from scipy.spatial import Delaunay
+
+    cells = Delaunay(pts).simplices.astype(np.int32)
+    return pts, cells
+
+
 class GoSPLDriver:
     """Direct-Python port of GoSPLDriver (gospl-driver.hpp).
 
@@ -48,6 +99,9 @@ class GoSPLDriver:
         self.coupling_frequency = ctrl.gospl_coupling_frequency
         self.coupling_interval = ctrl.gospl_coupling_interval_in_yr \
             * YEAR2SEC
+        # when off, no uplift (DES surface velocity) is pushed to GoSPL
+        # each coupling event (gospl-driver.hpp:59, dynearthsol.cxx:694)
+        self.velocity_coupling = ctrl.gospl_velocity_coupling
         self.step_counter = 0
         self.accumulated_dt = 0.0
         self.needs_elevation_reset = True
@@ -102,10 +156,11 @@ class GoSPLDriver:
         if self.needs_elevation_reset:
             self._set_elevation(surface_xy, surface_elev)
             self.needs_elevation_reset = False
-        # push uplift = vertical surface velocity over the interval
         gxy = self.model.mCoords[:, :2]
         _, idx = cKDTree(surface_xy).query(gxy)
-        self.model.uplift = surface_vel[idx, -1]
+        if self.velocity_coupling:
+            # push uplift = vertical surface velocity over the interval
+            self.model.uplift = surface_vel[idx, -1]
         t0 = self.model.tNow
         self.model.runProcesses(self.accumulated_dt / YEAR2SEC)
         elev_g = np.asarray(self.model.hGlobal.getArray())

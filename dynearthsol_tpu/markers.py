@@ -211,15 +211,49 @@ def create_markers(param, coord: np.ndarray, conn: np.ndarray,
     """Initial marker population (markerset.cxx:510-649).
 
     init_marker_option 1: `markers_per_element` random markers per element.
-    init_marker_option 2: regularly-spaced markers at sub-simplex
-    barycentric lattice points (approximated with a stratified random set of
-    the same count; the physics only consumes the histogram + positions).
+    init_marker_option 2: regularly-spaced markers on a centered grid of
+    spacing ``init_marker_spacing * resolution`` located into their
+    enclosing elements (regularly_spaced_markers, markerset.cxx:542-649;
+    grid points outside the mesh are skipped like the reference's
+    not-found markers).
     """
     ndims = coord.shape[1]
     npe = ndims + 1
     nelem = conn.shape[0]
     mpe = param.markers.markers_per_element
     rng = np.random.default_rng(param.markers.random_seed)
+
+    if param.markers.init_marker_option == 2:
+        from .mesh.locate import ElementLocator
+
+        # integer spacing, exactly like the reference's `const int d`
+        # truncation (markerset.cxx:544)
+        d = int(param.markers.init_marker_spacing * param.mesh.resolution)
+        d = max(d, 1)
+        lo, hi = coord.min(axis=0), coord.max(axis=0)
+        axes = []
+        for a in (0,) + ((1,) if ndims == 3 else ()) + (ndims - 1,):
+            length = hi[a] - lo[a]
+            n = int(length / d) + 1
+            a0 = lo[a] + 0.5 * (length - (n - 1) * d)
+            axes.append(a0 + d * np.arange(n))
+        # marker n -> (ix, iy, iz) with x fastest (markerset.cxx:600-603)
+        grids = np.meshgrid(*axes, indexing="ij")
+        pts = np.stack([g.reshape(-1, order="F") for g in grids], axis=1)
+        elems, eta, found = ElementLocator(
+            np.asarray(coord, np.float64), conn).locate(pts, k=20)
+        elems = elems[found].astype(np.int32)
+        eta = np.clip(eta[found], 0.0, None)
+        eta /= eta.sum(axis=1, keepdims=True)
+        pts = pts[found]
+        if param.ic.mattype_option == 0 and regattr is not None:
+            mattype = regattr[elems].astype(np.int32)
+        else:
+            mattype = _mattype_from_depth(param, pts)
+        ms = MarkerSet.empty(ndims, cap=len(elems) + 64)
+        ms.append(eta, elems, mattype, time=0.0,
+                  z=pts[:, ndims - 1], distance=pts[:, 0], slope=0.0)
+        return ms
 
     ms = MarkerSet.empty(ndims, cap=nelem * mpe + 64)
     elems = np.repeat(np.arange(nelem, dtype=np.int32), mpe)

@@ -284,4 +284,26 @@ def mesh_from_poly_2d(param) -> MeshData:
     regattr = _flood_fill_regions(
         coord, conn, [(a, b) for a, b, _ in final_edges], seeds)
     mattype = regions[regattr.astype(int), 2].astype(np.int32)
+
+    # internal (non-boundary-marked) PSLG segments: the reference drops
+    # them right after meshing when mesh.is_discarding_internal_segments
+    # (the default; discard_internal_segments, mesh.cxx:2651-2672 via
+    # :3442) and otherwise keeps them in var.segment so they persist
+    # through checkpoints.  Boundary segments are re-derived from node
+    # flags by topology.finish_topology, so only the internal ones ride
+    # the MeshData (they carry segflag 0 exactly like the reference's
+    # unmarked .poly segments).
+    if not m.is_discarding_internal_segments:
+        from ..constants import BOUND_ANY
+
+        # final_edges' third element is the source-segment index in both
+        # the refined and unrefined paths; its .poly boundary marker is
+        # flags[si]
+        internal = [(a, b) for a, b, si in final_edges
+                    if int(flags[int(si)]) & BOUND_ANY == 0]
+        if internal:
+            md = MeshData(2, coord, conn, regattr=mattype)
+            md.segment = np.asarray(internal, dtype=np.int32)
+            md.segflag = np.zeros(len(internal), dtype=np.int32)
+            return md
     return MeshData(2, coord, conn, regattr=mattype)

@@ -111,11 +111,18 @@ def build_topology(mesh: MeshData, xlength: float, ylength: float,
     bcflag[np.abs(z + zlength) < tolz] |= BOUNDZ0
     bcflag[np.abs(z - 0.0) < tolz] |= BOUNDZ1
 
-    return finish_topology(ndims, conn, bcflag)
+    # internal segments kept by the mesher (mesh.is_discarding_internal_
+    # segments = False, mesh.cxx:3442): append them to the derived
+    # boundary segments so they persist through checkpoints like the
+    # reference's var.segment does
+    return finish_topology(ndims, conn, bcflag,
+                           extra_segment=mesh.segment,
+                           extra_segflag=mesh.segflag)
 
 
-def finish_topology(ndims: int, conn: np.ndarray, bcflag: np.ndarray
-                    ) -> Topology:
+def finish_topology(ndims: int, conn: np.ndarray, bcflag: np.ndarray,
+                    extra_segment: np.ndarray = None,
+                    extra_segflag: np.ndarray = None) -> Topology:
     """Derive everything downstream of (conn, bcflag): boundary node lists,
     boundary facets, segments, and the assembly gather tables.  Shared by
     initial meshing, remeshing, and the restart path."""
@@ -161,6 +168,13 @@ def finish_topology(ndims: int, conn: np.ndarray, bcflag: np.ndarray
     segment = (np.asarray(segs, dtype=np.int32) if segs
                else np.zeros((0, ndims), dtype=np.int32))
     segflag = np.asarray(segflags, dtype=np.int32)
+    if extra_segment is not None and len(extra_segment):
+        segment = np.concatenate(
+            [segment, np.asarray(extra_segment, dtype=np.int32)])
+        segflag = np.concatenate(
+            [segflag, np.zeros(len(extra_segment), dtype=np.int32)
+             if extra_segflag is None
+             else np.asarray(extra_segflag, dtype=np.int32)])
 
     flat = conn.ravel().astype(np.int32)
     asm_perm = np.argsort(flat, kind="stable").astype(np.int32)

@@ -892,6 +892,15 @@ class Simulation:
                      "steps": _dev(r["steps"], jnp.int64),
                      "max_global_vel_mag": _dev(scal[5], dt),
                      "hydro_diff_max": _dev(1e-1, dt)})
+        if param.ic.is_restarting_weakzone:
+            # re-create the weak zone on restart (dynearthsol.cxx:386-389):
+            # plstrain is OVERWRITTEN by initial_weak_zone on the restored
+            # (deformed) geometry
+            s = State(**{**s.__dict__,
+                         "plstrain": _dev(ic_mod.initial_weak_zone(
+                             param, np.asarray(coord, dtype=np.float64),
+                             np.asarray(self.topo.connectivity)), dt)})
+
         if "old_mean_stress" in r:
             s = State(**{**s.__dict__,
                          "old_mean_stress": _dev(r["old_mean_stress"], dt)})

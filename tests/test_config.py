@@ -132,3 +132,70 @@ def test_models_registry_and_utils():
         p.bc.mantle_temperature, np.asarray(p.ic.radiogenic_heat_boundry),
         k, rh, p.ic.radiogenic_folding_depth)
     assert np.abs(T - Ta).max() < 1e-9
+
+
+def test_every_param_field_consumed_or_declared():
+    """No config option may parse cleanly and silently do nothing: every
+    Param dataclass field must be referenced somewhere outside config.py
+    (or inside config.validate, which enforces semantics like list
+    lengths), or appear in config.KNOWN_UNCONSUMED with a reason.  This
+    audit would have caught every instance of the silent-ignore bug
+    class to date (has_body_force_adjustment, use_mmg_init,
+    is_restarting_weakzone, is_discarding_internal_segments)."""
+    import dataclasses
+    import inspect
+    import pathlib
+    import re
+
+    import dynearthsol_tpu.config as cfg
+
+    pkg = pathlib.Path(cfg.__file__).parent
+    src = "".join(p.read_text() for p in pkg.rglob("*.py")
+                  if p.name != "config.py")
+    # validate() consumes fields with semantic effect (length contracts,
+    # warn-and-disable); parse plumbing and declarations do not count
+    src += inspect.getsource(cfg.validate)
+
+    missing = []
+    param = cfg.Param()
+    for sec_name, sec in vars(param).items():
+        if not dataclasses.is_dataclass(sec):
+            continue
+        for f in dataclasses.fields(sec):
+            key = f"{sec_name}.{f.name}"
+            if key in cfg.KNOWN_UNCONSUMED:
+                continue
+            if not re.search(r"\b%s\b" % re.escape(f.name), src):
+                missing.append(key)
+    assert not missing, (
+        f"Param fields parsed but never consumed and not declared in "
+        f"config.KNOWN_UNCONSUMED: {missing}")
+
+
+def test_known_unconsumed_list_is_not_stale():
+    """Fields listed as unconsumed must actually BE unconsumed — when one
+    gets implemented, it must leave the table."""
+    import dataclasses
+    import pathlib
+    import re
+
+    import dynearthsol_tpu.config as cfg
+
+    pkg = pathlib.Path(cfg.__file__).parent
+    src = "".join(p.read_text() for p in pkg.rglob("*.py")
+                  if p.name != "config.py")
+    param = cfg.Param()
+    valid = set()
+    for sec_name, sec in vars(param).items():
+        if dataclasses.is_dataclass(sec):
+            for f in dataclasses.fields(sec):
+                valid.add(f"{sec_name}.{f.name}")
+    for key in cfg.KNOWN_UNCONSUMED:
+        assert key in valid, f"KNOWN_UNCONSUMED names unknown field {key}"
+        name = key.split(".", 1)[1]
+        # use_mmg_init is consumed by validate() itself (warn+disable)
+        if key == "mesh.use_mmg_init":
+            continue
+        assert not re.search(r"\b%s\b" % re.escape(name), src), (
+            f"{key} is referenced in the package now - remove it from "
+            f"KNOWN_UNCONSUMED")

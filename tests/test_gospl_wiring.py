@@ -105,3 +105,36 @@ def test_gospl_option_11_exchange(tmp_path, monkeypatch):
     # 5 steps / frequency 2 -> 2 coupling events, 1 m erosion each
     assert coord[:, 1].max() <= -2.0 + 1e-6
     assert coord[:, 1].max() >= -3.0 - 1e-6
+
+
+def test_generate_gospl_mesh_padding_and_perturbation():
+    """generate_mesh parity (gospl-driver.cxx:461-600): padded extent,
+    resolution-controlled grid, interior-only perturbation."""
+    import numpy as np
+
+    from dynearthsol_tpu.gospl_driver import generate_gospl_mesh
+
+    xg, yg = np.meshgrid(np.linspace(0.0, 100.0, 11),
+                         np.linspace(0.0, 100.0, 11))
+    x, y = xg.ravel(), yg.ravel()
+    pts, cells = generate_gospl_mesh(x, y, resolution=10.0,
+                                     perturbation=0.0, padding=0.1)
+    # padding 10% per side -> extent [-10, 110]
+    assert abs(pts[:, 0].min() + 10.0) < 1e-9
+    assert abs(pts[:, 0].max() - 110.0) < 1e-9
+    assert cells.ndim == 2 and cells.shape[1] == 3
+    # perturbation moves only interior nodes, bounded by half a spacing
+    pts2, _ = generate_gospl_mesh(x, y, resolution=10.0,
+                                  perturbation=0.3, padding=0.1)
+    assert pts2.shape == pts.shape
+    d = np.abs(pts2 - pts)
+    assert d.max() > 0.0 and d.max() <= 0.5 * 10.0 * 0.3 + 1e-9
+    onb = (np.abs(pts[:, 0] + 10) < 1e-9) | (np.abs(pts[:, 0] - 110) < 1e-9) \
+        | (np.abs(pts[:, 1] + 10) < 1e-9) | (np.abs(pts[:, 1] - 110) < 1e-9)
+    assert d[onb].max() == 0.0
+
+    # degenerate 2D surface (y == 0): still a valid 2D mesh
+    p2d, c2d = generate_gospl_mesh(np.linspace(0, 100, 11),
+                                   np.zeros(11), resolution=10.0,
+                                   perturbation=0.0, padding=0.1)
+    assert c2d.shape[1] == 3 and np.ptp(p2d[:, 1]) > 0

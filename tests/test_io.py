@@ -316,3 +316,51 @@ def test_compare_harness(tmp_path):
                              verbose=False)
     assert n_fail > 0
     assert compare_main([pa.sim.modelname, pc.sim.modelname, "1"]) == 1
+
+
+def test_restarting_weakzone(tmp_path):
+    """ic.is_restarting_weakzone (dynearthsol.cxx:386-389): the restart
+    path re-creates the weak zone, OVERWRITING the checkpointed
+    plstrain on the restored geometry."""
+    from dynearthsol_tpu import ic as ic_mod
+
+    p1 = small_param(tmp_path, name="wz",
+                     sim={"output_step_interval": 5,
+                          "checkpoint_frame_interval": 1})
+    p1.ic.weakzone_option = 2
+    p1.ic.weakzone_plstrain = 0.5
+    sim = des.Simulation(p1)
+    out = Output(p1)
+    out.write_checkpoint(sim)
+    out.write_exact(sim)
+    sim.run_steps(5, chunk=5)
+    out.write_checkpoint(sim)
+    out.write(sim)
+
+    p2 = small_param(tmp_path, name="wz",
+                     sim={"output_step_interval": 5,
+                          "checkpoint_frame_interval": 1,
+                          "is_restarting": True,
+                          "restarting_from_frame": 1})
+    p2.sim.restarting_from_modelname = p2.sim.modelname
+    p2.ic.weakzone_option = 2
+    p2.ic.weakzone_plstrain = 0.5
+    p2.ic.is_restarting_weakzone = True
+    sim2, _ = restart(p2)
+    expect = ic_mod.initial_weak_zone(
+        p2, np.asarray(sim2.state.coord, dtype=np.float64),
+        np.asarray(sim2.topo.connectivity))
+    np.testing.assert_allclose(np.asarray(sim2.state.plstrain), expect,
+                               rtol=0, atol=1e-12)
+    # and without the flag the checkpointed plstrain survives
+    p3 = small_param(tmp_path, name="wz",
+                     sim={"output_step_interval": 5,
+                          "checkpoint_frame_interval": 1,
+                          "is_restarting": True,
+                          "restarting_from_frame": 1})
+    p3.sim.restarting_from_modelname = p3.sim.modelname
+    p3.ic.weakzone_option = 2
+    p3.ic.weakzone_plstrain = 0.5
+    sim3, _ = restart(p3)
+    np.testing.assert_array_equal(np.asarray(sim3.state.plstrain),
+                                  np.asarray(sim.state.plstrain))

@@ -160,3 +160,32 @@ def test_reference_compatible_marker_init():
     assert np.abs(ms.eta[:ms.n] - eta).max() == 0.0
     # both materials present (layered split)
     assert set(np.unique(ms.mattype[:ms.n])) == {0, 1}
+
+
+def test_regularly_spaced_markers():
+    """init_marker_option 2 (regularly_spaced_markers,
+    markerset.cxx:542-649): centered grid at init_marker_spacing *
+    resolution, located into elements; off-mesh points skipped."""
+    import dynearthsol_tpu as des
+    from dynearthsol_tpu.barycentric import bary_to_coord
+
+    p = des.param_from_dict({
+        "sim": {"ndims": 2, "max_steps": 1},
+        "mesh": {"meshing_option": 1, "meshing_elem_shape": 1,
+                 "xlength": 10.0, "zlength": 10.0, "resolution": 1.0},
+        "markers": {"init_marker_option": 2, "init_marker_spacing": 0.5,
+                    "markers_per_element": 4},
+        "mat": {"rheology_type": "elastic"},
+    })
+    sim = des.Simulation(p)
+    ms = sim.markers
+    # spacing d = int(0.5 * 1.0) -> clamped to 1; 11x11 grid inside the
+    # 10x10 box -> one marker per grid point that lands in an element
+    assert ms.n > 100
+    pts = bary_to_coord(np.asarray(sim.mesh.coord), sim.topo.connectivity,
+                        ms.elem[:ms.n], ms.eta[:ms.n])
+    # all markers inside the domain
+    assert pts[:, 0].min() >= -1e-9 and pts[:, 0].max() <= 10.0 + 1e-9
+    # regular spacing: x coordinates take ~11 distinct values
+    xs = np.unique(np.round(pts[:, 0], 6))
+    assert len(xs) <= 12

@@ -121,7 +121,8 @@ def test_resident_gate():
     sim = make_sim()
     assert pallas2d.resident_applicable(sim.param, sim.ctx)
     # time-periodic vbc profile -> targets not chunk-constant
-    simp = make_sim(bc={"vbc_period_x0_time_in_yr": [0.0, 1e3],
+    simp = make_sim(bc={"num_vbc_period_x0": 2,
+                        "vbc_period_x0_time_in_yr": [0.0, 1e3],
                         "vbc_period_x0_ratio": [1.0, 0.5]})
     assert not pallas2d.resident_applicable(simp.param, simp.ctx)
     # RSF-style global velocity scaling feeds vmax back per step

@@ -136,3 +136,55 @@ def test_dome_geotherm():
     ms = sim.markers
     frac = (ms.mattype[: ms.n] == 1).mean()
     assert 0.0 < frac < 0.9
+
+
+def test_internal_segments_kept_or_discarded(tmp_path):
+    """mesh.is_discarding_internal_segments (mesh.cxx:2651-2672 via
+    :3442): internal (unmarked) PSLG segments are dropped by default and
+    kept in the topology (segflag 0) when the option is off."""
+    poly = tmp_path / "box.poly"
+    # unit box with a horizontal internal segment at z=-0.5 splitting
+    # two regions; boundary segments carry BOUND markers (1,2,16,32)
+    poly.write_text("""\
+6 2 0 0
+0  0.0  0.0
+1  1.0  0.0
+2  1.0 -1.0
+3  0.0 -1.0
+4  0.0 -0.5
+5  1.0 -0.5
+7 1
+0  0 1  32
+1  1 5  2
+2  5 2  2
+3  2 3  16
+4  3 4  1
+5  4 0  1
+6  4 5  0
+0
+2
+0  0.5 -0.25 0 0.02
+1  0.5 -0.75 1 0.02
+""")
+    base = {
+        "sim": {"ndims": 2, "max_steps": 1},
+        "mesh": {"meshing_option": 90, "poly_filename": str(poly),
+                 "xlength": 1.0, "zlength": 1.0, "resolution": 0.1,
+                 "min_angle": 30.0},
+        "mat": {"rheology_type": "elastic", "nmat": 2,
+                "rho0": [2800.0, 3300.0]},
+    }
+    p = des.param_from_dict(base)
+    sim = des.Simulation(p)
+    assert (np.asarray(sim.topo.segflag) != 0).all()
+
+    base["mesh"]["is_discarding_internal_segments"] = False
+    p2 = des.param_from_dict(base)
+    sim2 = des.Simulation(p2)
+    segflag = np.asarray(sim2.topo.segflag)
+    segment = np.asarray(sim2.topo.segment)
+    internal = segflag == 0
+    assert internal.any()
+    # internal segment endpoints all lie on the z=-0.5 interface
+    zs = np.asarray(sim2.mesh.coord)[segment[internal].ravel(), 1]
+    assert np.abs(zs + 0.5).max() < 1e-9
