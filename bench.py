@@ -306,11 +306,20 @@ def run_case(case: str, dtype: str) -> dict:
         rate, nelem, path = _measure(param, chunk=100, bench_steps=200)
         metric, dim = "evp2d_unstructured_element_steps_per_sec", "2d"
     elif case == "postremesh":
-        # the steady state a production rift run lives in
+        # the steady state a production rift run lives in.  The
+        # production configuration uses remeshing_option 100
+        # (boundary-fitted STRUCTURED regeneration, a framework
+        # extension — remesh_impl.structured_regen_2d): the remesh
+        # returns grid topology fitted to the deformed boundaries, so
+        # the run re-enters the fused VMEM-resident Pallas path instead
+        # of living on the gather-based unstructured path forever, and
+        # repeated remeshes reuse the SAME shapes (zero recompiles).
+        # The static-unstructured path is measured by --case unstructured.
         from dynearthsol_tpu.remeshing import remesh
 
         param = flagship_param(dtype=dtype)
         param.mesh.meshing_elem_shape = 0
+        param.mesh.remeshing_option = 100
         t_init0 = time.perf_counter()
         sim = des.Simulation(param)
         init_s = time.perf_counter() - t_init0

@@ -812,6 +812,171 @@ def spr_node_to_elem(new_conn, node_field, p_ref_new=None, ndims=None):
 # the remesh orchestrator
 # ---------------------------------------------------------------------------
 
+def structured_regen_2d(param, old_coord, old_topo, dims=None):
+    """Boundary-fitted STRUCTURED regeneration (remeshing_option 100 — a
+    framework extension with no reference counterpart; the reference's
+    options re-triangulate points into unstructured meshes,
+    remeshing.cxx:1109-1363).
+
+    TPU-native rationale: a remesh that returns grid TOPOLOGY (with
+    boundary-fitted node positions) keeps the whole run on the fused
+    VMEM-resident Pallas path (ops/pallas2d.py) instead of dropping to
+    the gather-based unstructured path forever after the first remesh —
+    the structured kernels never assumed regular GEOMETRY, only regular
+    connectivity, so a deformed boundary-fitted grid is exactly as
+    valid an FEM discretization as the reference's re-triangulation.
+    As a bonus the regenerated arrays have the SAME shapes every time
+    (dims are frozen after the first remesh), so later remeshes trigger
+    zero XLA recompiles (SURVEY §7.5.2's shape-stability goal).
+
+    Builds a transfinite mesh: nx uniform columns spanning the current
+    (moved) side walls, each column's nodes linearly spaced between the
+    deformed bottom and top boundary polylines.  Returns
+    (coord, conn, bcflag, (nx, nz)) or None when the domain violates
+    the column assumptions (non-vertical walls, folded top/bottom) —
+    callers then fall back to the standard regeneration.
+    """
+    m = param.mesh
+    bc = old_topo.bcflag
+    topn = (bc & BOUNDZ1) != 0
+    botn = (bc & BOUNDZ0) != 0
+    x0n = (bc & BOUNDX0) != 0
+    x1n = (bc & BOUNDX1) != 0
+    if not (topn.any() and botn.any() and x0n.any() and x1n.any()):
+        return None
+    # side walls must have stayed vertical (all wall nodes share one x)
+    x0s = old_coord[x0n, 0]
+    x1s = old_coord[x1n, 0]
+    tol = 1e-6 * m.xlength
+    if np.ptp(x0s) > tol or np.ptp(x1s) > tol:
+        return None
+    x_min = float(x0s.mean())
+    x_max = float(x1s.mean())
+    if x_max - x_min <= 0:
+        return None
+
+    def _polyline(mask):
+        ids = np.nonzero(mask)[0]
+        order = np.argsort(old_coord[ids, 0], kind="stable")
+        xs = old_coord[ids[order], 0]
+        zs = old_coord[ids[order], 1]
+        # single-valued z(x): reject folded/overhanging boundaries
+        if np.any(np.diff(xs) < -tol):
+            return None
+        return xs, zs
+
+    top_pl = _polyline(topn)
+    bot_pl = _polyline(botn)
+    if top_pl is None or bot_pl is None:
+        return None
+
+    if dims is None:
+        res = m.resolution
+        nx = max(2, int(round((x_max - x_min) / res)) + 1)
+        nz = max(2, int(round(m.zlength / res)) + 1)
+    else:
+        nx, nz = dims
+    xs = np.linspace(x_min, x_max, nx)
+    z_top = np.interp(xs, top_pl[0], top_pl[1])
+    z_bot = np.interp(xs, bot_pl[0], bot_pl[1])
+    if np.any(z_top - z_bot <= 0):
+        return None
+    # transfinite columns: node (i, j) at raster id i*nz + j
+    frac = np.linspace(0.0, 1.0, nz)[None, :]
+    Z = z_bot[:, None] + (z_top - z_bot)[:, None] * frac
+    X = np.repeat(xs[:, None], nz, axis=1)
+    coord = np.stack([X.ravel(), Z.ravel()], axis=1)
+
+    from .ops.structured import structured_conn_2d
+
+    conn = structured_conn_2d(nx, nz)
+    bcflag = np.zeros(nx * nz, dtype=np.uint32)
+    rid = np.arange(nx * nz)
+    i_of = rid // nz
+    j_of = rid % nz
+    bcflag[i_of == 0] |= BOUNDX0
+    bcflag[i_of == nx - 1] |= BOUNDX1
+    bcflag[j_of == 0] |= BOUNDZ0
+    bcflag[j_of == nz - 1] |= BOUNDZ1
+    return coord, conn.astype(np.int32), bcflag, (nx, nz)
+
+
+def structured_regen_3d(param, old_coord, old_topo, dims=None):
+    """3D boundary-fitted structured regeneration (remeshing_option 100;
+    see structured_regen_2d): transfinite z-columns over an (x, y) grid
+    spanning the current walls, 5-tet cells in the raster pattern the
+    pallas3d/grid3d fast paths require.  Returns
+    (coord, conn, bcflag, (nx, ny, nz)) or None."""
+    m = param.mesh
+    bc = old_topo.bcflag
+    masks = {name: (bc & bit) != 0 for name, bit in
+             (("top", BOUNDZ1), ("bot", BOUNDZ0), ("x0", BOUNDX0),
+              ("x1", BOUNDX1), ("y0", BOUNDY0), ("y1", BOUNDY1))}
+    if not all(v.any() for v in masks.values()):
+        return None
+    tol = 1e-6 * m.xlength
+    for wall, axis in (("x0", 0), ("x1", 0), ("y0", 1), ("y1", 1)):
+        if np.ptp(old_coord[masks[wall], axis]) > tol:
+            return None
+    x_min = float(old_coord[masks["x0"], 0].mean())
+    x_max = float(old_coord[masks["x1"], 0].mean())
+    y_min = float(old_coord[masks["y0"], 1].mean())
+    y_max = float(old_coord[masks["y1"], 1].mean())
+    if x_max - x_min <= 0 or y_max - y_min <= 0:
+        return None
+
+    if dims is None:
+        res = m.resolution
+        nx = max(2, int(round((x_max - x_min) / res)) + 1)
+        ny = max(2, int(round((y_max - y_min) / res)) + 1)
+        nz = max(2, int(round(m.zlength / res)) + 1)
+    else:
+        nx, ny, nz = dims
+    xs = np.linspace(x_min, x_max, nx)
+    ys = np.linspace(y_min, y_max, ny)
+    XY = np.stack(np.meshgrid(xs, ys, indexing="ij"), axis=-1)
+    XYf = XY.reshape(-1, 2)
+
+    from scipy.interpolate import LinearNDInterpolator, NearestNDInterpolator
+
+    def _surface_z(mask):
+        pts = old_coord[mask, :2]
+        zs = old_coord[mask, 2]
+        lin = LinearNDInterpolator(pts, zs)
+        z = lin(XYf)
+        bad = ~np.isfinite(z)
+        if bad.any():
+            z[bad] = NearestNDInterpolator(pts, zs)(XYf[bad])
+        return z.reshape(nx, ny)
+
+    z_top = _surface_z(masks["top"])
+    z_bot = _surface_z(masks["bot"])
+    if np.any(z_top - z_bot <= 0):
+        return None
+    frac = np.linspace(0.0, 1.0, nz)[None, None, :]
+    Z = z_bot[:, :, None] + (z_top - z_bot)[:, :, None] * frac
+    X = np.broadcast_to(xs[:, None, None], (nx, ny, nz))
+    Y = np.broadcast_to(ys[None, :, None], (nx, ny, nz))
+    coord = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    from .ops.structured import structured_conn_3d
+
+    conn = structured_conn_3d(nx, ny, nz)
+    nnode = nx * ny * nz
+    rid = np.arange(nnode)
+    i_of = rid // (ny * nz)
+    j_of = (rid // nz) % ny
+    k_of = rid % nz
+    bcflag = np.zeros(nnode, dtype=np.uint32)
+    bcflag[i_of == 0] |= BOUNDX0
+    bcflag[i_of == nx - 1] |= BOUNDX1
+    bcflag[j_of == 0] |= BOUNDY0
+    bcflag[j_of == ny - 1] |= BOUNDY1
+    bcflag[k_of == 0] |= BOUNDZ0
+    bcflag[k_of == nz - 1] |= BOUNDZ1
+    return coord, conn.astype(np.int32), bcflag, (nx, ny, nz)
+
+
 def remesh_simulation(sim, bad_quality: int):
     import jax.numpy as jnp
 
@@ -824,6 +989,8 @@ def remesh_simulation(sim, bad_quality: int):
 
     param, topo = sim.param, sim.topo
     ndims = param.sim.ndims
+    old_sgrid = None if sim.ctx.sgrid is None \
+        else tuple(int(v) for v in sim.ctx.sgrid)
     s = sim.state
     old_coord = np.asarray(s.coord, dtype=np.float64)
     old_conn = topo.connectivity
@@ -916,9 +1083,55 @@ def remesh_simulation(sim, bad_quality: int):
                                               extra_interior=extra_interior)
         return generate_new_mesh_3d(param, old_coord, topo, seed)
 
+    # --- remeshing_option 100: boundary-fitted structured regeneration
+    # (framework extension; see structured_regen_2d).  Falls back to the
+    # standard regeneration whenever the domain violates the column
+    # assumptions or the fitted grid fails the quality gates.
+    new_sgrid = None
+    struct_done = False
+    if param.mesh.remeshing_option == 100:
+        dims = getattr(sim, "_struct_regen_dims", None)
+        if dims is None and sim.ctx.sgrid is not None:
+            dims = tuple(int(v) for v in sim.ctx.sgrid)
+        regen = structured_regen_2d if ndims == 2 else structured_regen_3d
+        sr = regen(param, old_coord, topo, dims)
+        if sr is not None:
+            c_s, k_s, b_s, dims_s = sr
+            v = c_s[k_s]
+            if ndims == 2:
+                ab = v[:, 1] - v[:, 0]
+                ac = v[:, 2] - v[:, 0]
+                vols_s = 0.5 * (ab[:, 0] * ac[:, 1] - ab[:, 1] * ac[:, 0])
+            else:
+                d1 = v[:, 1] - v[:, 0]
+                d2 = v[:, 2] - v[:, 0]
+                d3 = v[:, 3] - v[:, 0]
+                vols_s = np.einsum("ij,ij->i", d1,
+                                   np.cross(d2, d3)) / 6.0
+            q_s = float(_elem_quality_np(c_s, k_s, vols_s).min())
+            if ndims == 3:
+                q_s = abs(q_s) ** (1.0 / 3.0) * np.sign(q_s)
+            if (vols_s > smallest_vol).all() \
+                    and q_s >= param.mesh.min_quality:
+                new_coord, new_conn, new_bcflag = c_s, k_s, b_s
+                new_sgrid = dims_s
+                sim._struct_regen_dims = dims_s
+                struct_done = True
+                print(f"\n    structured regeneration "
+                      f"{'x'.join(str(d) for d in dims_s)} "
+                      f"(q={q_s:.3f})", end="")
+            else:
+                print(f"\n    structured regeneration rejected "
+                      f"(q={q_s:.3f}); falling back", end="")
+        else:
+            print("\n    structured regeneration not applicable; "
+                  "falling back", end="")
+
     h_scale = 1.0
     min_angle = param.mesh.min_angle
     for nloops in range(6):
+        if struct_done:
+            break
         new_coord, new_conn, new_bcflag = _regen(base_seed + nloops,
                                                  h_scale, min_angle)
         v = new_coord[new_conn]
@@ -1060,7 +1273,7 @@ def remesh_simulation(sim, bad_quality: int):
                                       coord=new_coord),
         sbc=bc_mod.StressBCSpec.from_topo(param, topo2),
         mat=mat_tables, surf=SP_mod.make_surf_info(topo2),
-        max_vbc_val=sim.ctx.max_vbc_val, sgrid=None)
+        max_vbc_val=sim.ctx.max_vbc_val, sgrid=new_sgrid)
     ctx = sim.ctx
 
     s2 = allocate_state(topo2.nnode, topo2.nelem, ndims, param.mat.nmat,
@@ -1105,7 +1318,20 @@ def remesh_simulation(sim, bad_quality: int):
     sim.state = sim._finalize_fn(with_dt=False)(ctx, s2,
                                                 _dev(dv_new, dtype))
 
-    sim._chunk_fns = {}  # shapes changed -> fresh compiles
+    # shape-stable remeshing (SURVEY §7.5.2): when the regenerated
+    # topology is bit-identical to the old one (structured regeneration
+    # with frozen dims reproduces the same connectivity/bcflag/facet
+    # tables — only coordinates and state change, and those are runtime
+    # jit arguments), keep the compiled chunk functions: the second and
+    # later remeshes then trigger ZERO XLA recompiles.
+    same_topology = (new_sgrid is not None and new_sgrid == old_sgrid
+                     and topo2.nnode == topo.nnode
+                     and topo2.nelem == topo.nelem)
+    if same_topology:
+        print("    shapes unchanged: compiled step functions kept "
+              "(no recompile)")
+    else:
+        sim._chunk_fns = {}  # shapes changed -> fresh compiles
 
 
 def remap_markers(ms, old_coord, old_conn, new_coord, new_conn, param,
