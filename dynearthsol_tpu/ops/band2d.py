@@ -817,7 +817,35 @@ def scatter_corners_tpu(slot_cols, bt: BandTables):
 
 
 # ---------------------------------------------------------------------------
-# ROUND-5 DESIGN SKETCH: VMEM-resident banded multi-step kernel
+# ROUND-5 MEASUREMENT: the VMEM-resident banded multi-step kernel was
+# prototyped and measured on the real chip (277k-tri flagship tables,
+# v5e) — and does NOT deliver the projected win.  Measured in-kernel
+# per-(gather+scatter)-sweep-pair costs:
+#   naive fori over blocks, per-block dynamic slices ... 3.8-3.9 ms
+#   matmuls only (mask/select stripped)  ............... 3.7 ms
+#   one bf16 pass instead of exact 3-pass .............. 3.2 ms
+#   8-aligned offsets (w0/8 trick) ..................... 3.5 ms
+#   megablock staging + 16x-unrolled static slices ..... 3.2 ms
+# vs 0.85 + 0.93 ms for the standalone per-call kernels on the SAME
+# tables.  Decomposition: matmul FLOPs are ~0.2 ms and HBM ~0.05 ms per
+# sweep; the floor is per-block DYNAMIC VMEM ADDRESSING — each dynamic
+# sublane/lane slice costs ~1 us of issue overhead and a sweep needs
+# ~4-5 of them per block x 544 blocks.  A 6-sweep resident step would
+# run ~10 ms (~28M elem*steps/s): WORSE than the existing 6-call flat
+# path (7.9 ms).  The per-call kernels already sit near this floor
+# (1 window slice + 2 acc slices per block, DMA-staged everything
+# else), so the unstructured gather path is addressing-bound, not
+# FLOP- or bandwidth-bound — see tools/ROOFLINE.md.
+#
+# CONSEQUENCE (round 5): the post-remesh production gap is closed
+# structurally instead — remeshing_option 100 (boundary-fitted
+# STRUCTURED regeneration, remesh_impl.structured_regen_2d/3d) returns
+# grid topology fitted to the deformed boundaries, so a production run
+# re-enters the fused VMEM-resident pallas2d path after every remesh
+# (measured: postremesh 876M elem*steps/s vs 36M on this path) with
+# shape-stable (zero-recompile) remeshes.  The banded engine remains
+# the static-unstructured-topology path.  The original design sketch is
+# kept below for the record.
 # ---------------------------------------------------------------------------
 # Measured bound (round 4): the flat step makes 6 band-engine calls per
 # step at ~0.9 ms each (gather, thermal+dvoldt asm, NMD asm, force asm,

@@ -282,3 +282,118 @@ min_viscosity = 1e19
         scale = max(np.abs(a).max(), 1e-300)
         assert a.shape == b.shape
         assert np.abs(a - b).max() / scale < 1e-8, fld
+
+
+def test_cli_multichip_checkpoint_restart_bitexact(devices8, tmp_path):
+    """The fresh-restart-cmp contract (benchmarks-cores/Makefile:146-160)
+    in the SHARDED configuration (VERDICT r4 ask #9): a checkpoint
+    written by an 8-device run must restart BIT-EXACTLY on 8 devices,
+    and restart on a single device within the single-vs-multi facet-sum
+    tolerance of the end-to-end test above."""
+    import os
+    import subprocess
+    import sys
+
+    cfg_body = """\
+[sim]
+modelname = run
+max_steps = 120
+output_step_interval = 60
+checkpoint_frame_interval = 1
+is_outputting_averaged_fields = no
+
+[mesh]
+meshing_option = 1
+meshing_elem_shape = 0
+xlength = 128e3
+ylength = 0
+zlength = 8e3
+resolution = 1e3
+quality_check_step_interval = 1000000
+
+[markers]
+markers_per_element = 4
+random_seed = 7
+
+[control]
+gravity = 10
+inertial_scaling = 1e5
+has_thermal_diffusion = yes
+damping_option = 1
+
+[bc]
+vbc_x0 = 1
+vbc_val_x0 = -1e-9
+vbc_x1 = 1
+vbc_val_x1 = 1e-9
+vbc_z0 = 0
+vbc_z1 = 0
+surface_temperature = 273
+mantle_temperature = 1600
+
+[mat]
+rheology_type = elasto-visco-plastic
+rho0 = [ 2800 ]
+bulk_modulus = [ 50e9 ]
+shear_modulus = [ 30e9 ]
+max_viscosity = 1e24
+min_viscosity = 1e19
+"""
+    restart_extra = """
+is_restarting = yes
+restarting_from_modelname = run
+restarting_from_frame = 1
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run_cli(work, cfg, n_devices):
+        extra = {"DES_N_DEVICES": "8"} if n_devices == 8 else {}
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8",
+                   JAX_ENABLE_X64="1", PYTHONPATH=repo, **extra)
+        r = subprocess.run(
+            [sys.executable, "-m", "dynearthsol_tpu", cfg],
+            cwd=work, env=env, capture_output=True, text=True,
+            timeout=1500)
+        assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+        return r.stdout
+
+    # continuous 8-device run, checkpoints at every frame
+    work = tmp_path / "cont"
+    work.mkdir()
+    (work / "case.cfg").write_text(cfg_body)
+    out = run_cli(work, "case.cfg", 8)
+    assert "Multi-chip: node-sharded halo step on 8 devices." in out
+    assert (work / "run.chkpt.000001").exists()
+
+    from dynearthsol_tpu.postproc import OutputReader
+
+    ra = OutputReader(str(work / "run"))
+    last = ra.frames[-1]
+
+    # restart from the multi-chip-written frame-1 checkpoint
+    import shutil
+    results = {}
+    for tag, ndev in (("multi", 8), ("single", 1)):
+        rw = tmp_path / f"restart_{tag}"
+        rw.mkdir()
+        for f in os.listdir(work):
+            if f.startswith("run."):
+                shutil.copy(work / f, rw / f)
+        (rw / "case.cfg").write_text(cfg_body + restart_extra)
+        run_cli(rw, "case.cfg", ndev)
+        results[tag] = OutputReader(str(rw / "run"))
+
+    for fld in ("coordinate", "velocity", "stress", "plastic strain",
+                "temperature", "strain"):
+        a = np.asarray(ra.read_field(last, fld), dtype=np.float64)
+        m = np.asarray(results["multi"].read_field(last, fld),
+                       dtype=np.float64)
+        s = np.asarray(results["single"].read_field(last, fld),
+                       dtype=np.float64)
+        # multi-written checkpoint -> multi restart: BIT-EXACT
+        np.testing.assert_array_equal(a, m, err_msg=f"multi {fld}")
+        # multi-written checkpoint -> single restart: the facet-sum FP
+        # grouping tolerance (see test_cli_multichip_end_to_end)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - s).max() / scale < 1e-8, f"single {fld}"
