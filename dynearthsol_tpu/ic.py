@@ -55,9 +55,33 @@ def ref_pressure(param, z: np.ndarray | float):
     return np.interp(np.maximum(depth, 0.0), _PREM_DEPTH, table)
 
 
-def initial_temperature(param, coord: np.ndarray) -> np.ndarray:
+def _elem0_mix(vals, emw0, harmonic=False):
+    """Element 0's marker-histogram property mixture (the reference's
+    mat.<prop>(0)); emw0 None falls back to material 0's table value."""
+    v = np.asarray(vals, dtype=np.float64)
+    if emw0 is None or v.size == 0:
+        return float(v[0])
+    w = np.asarray(emw0, dtype=np.float64)
+    v = v[: len(w)] if len(v) >= len(w) else np.resize(v, len(w))
+    if v.max() == v.min():
+        # uniform property (incl. every single-material case): return it
+        # exactly — (w*v).sum()/w.sum() would add one ulp of mix noise,
+        # which the K-amplified golden gates can see
+        return float(v[0])
+    if harmonic:
+        return float(w.sum() / (w / v).sum())
+    return float((w * v).sum() / w.sum())
+
+
+def initial_temperature(param, coord: np.ndarray,
+                        emw0: np.ndarray | None = None) -> np.ndarray:
     """Temperature options (ic.cxx:836-1025).  Implemented: 0 (half-space
-    cooling), 1 reserved, 90 (file import) reserved."""
+    cooling), 1 reserved, 90 (file import) reserved.
+
+    ``emw0``: element 0's material weights — the reference's option-0
+    diffusivity is ELEMENT 0's mixed k/rho/cp (ic.cxx:845), which on
+    multi-material configs is whatever material the renumbered element 0
+    carries (the bottom corner element after the longest-axis sort)."""
     ic, bc = param.ic, param.bc
     ndims = coord.shape[1]
     z = coord[:, ndims - 1]
@@ -69,9 +93,11 @@ def initial_temperature(param, coord: np.ndarray) -> np.ndarray:
         # Replicated exactly: the golden field gates (0.25% T difference
         # at depth otherwise) depend on it.
         age = ic.oceanic_plate_age_in_yr * YEAR2SEC
-        k0 = param.mat.therm_cond[0]
-        rho0 = param.mat.rho0[0] * (1.0 + 273.0 * param.mat.alpha[0])
-        cp0 = param.mat.heat_capacity[0]
+        k0 = _elem0_mix(param.mat.therm_cond, emw0)
+        rho0 = _elem0_mix(
+            np.asarray(param.mat.rho0)
+            * (1.0 + 273.0 * np.asarray(param.mat.alpha)), emw0)
+        cp0 = _elem0_mix(param.mat.heat_capacity, emw0)
         diffusivity = k0 / rho0 / cp0
         w = -z / np.sqrt(4 * diffusivity * age)
         return bc.surface_temperature + (
@@ -310,8 +336,14 @@ def read_external_temperature(param, coord: np.ndarray) -> np.ndarray:
     return T
 
 
-def initial_stress_state(param, coord: np.ndarray, conn: np.ndarray):
+def initial_stress_state(param, coord: np.ndarray, conn: np.ndarray,
+                         emw: np.ndarray | None = None):
     """Lithostatic stress/strain init (ic.cxx:322-362).
+
+    ``emw``: per-element material weights.  The reference's ks is
+    ELEMENT 0's harmonic bulk-modulus mixture (mat.bulkm(0),
+    ic.cxx:333) for ref_pressure_option 0, and the PER-ELEMENT mixture
+    for options 1/2 (ic.cxx:346-349).
 
     Returns (stress, stressyy, old_mean_stress, strain, compensation_pressure).
     """
@@ -327,7 +359,14 @@ def initial_stress_state(param, coord: np.ndarray, conn: np.ndarray):
 
     zcenter = coord[conn, ndims - 1].mean(axis=1)
     p = ref_pressure(param, zcenter)
-    ks = param.mat.bulk_modulus[0]  # harmonic mean of elem 0 ~ material 0
+    if param.control.ref_pressure_option in (1, 2) and emw is not None:
+        w = np.asarray(emw, dtype=np.float64)
+        km = np.asarray(param.mat.bulk_modulus,
+                        dtype=np.float64)[: w.shape[1]]
+        ks = w.sum(axis=1) / (w / km[None, :]).sum(axis=1)
+    else:
+        ks = _elem0_mix(param.mat.bulk_modulus,
+                        None if emw is None else emw[0], harmonic=True)
     stress[:, :ndims] = -p[:, None]
     strain[:, :ndims] = (-p / ks / ndims)[:, None]
     old_mean = stress[:, :ndims].sum(axis=1) / ndims

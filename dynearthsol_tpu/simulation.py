@@ -769,19 +769,12 @@ class Simulation:
         # term multiplies that ulp by the bulk modulus every step)
         volume = jit_compute_volume(coord, ctx.conn)
 
-        temperature_h = ic_mod.initial_temperature(param, self.mesh.coord)
-        self._host_bottom_temperature = temperature_h
-        temperature = _dev(temperature_h, self.dtype)
-        stress, stressyy, old_mean, strain, self.compensation_pressure = \
-            ic_mod.initial_stress_state(param, self.mesh.coord,
-                                        topo.connectivity)
-        plstrain = ic_mod.initial_weak_zone(param, self.mesh.coord,
-                                            topo.connectivity)
-        if param.control.has_hydraulic_diffusion:
-            pp0 = ic_mod.initial_hydrostatic_state(
-                param, self.mesh.coord, topo.bcflag)
-        else:
-            pp0 = None
+        # markers BEFORE the temperature/stress ICs (dynearthsol.cxx:172
+        # vs :202-203): the reference's half-space diffusivity and
+        # lithostatic bulk modulus are ELEMENT 0's marker-histogram
+        # mixtures (mat.k(0)/rho(0)/cp(0), ic.cxx:845; mat.bulkm(0),
+        # ic.cxx:333), not material 0's table values — they differ on
+        # multi-material configs whose element 0 is not material 0
         regattr = getattr(self.mesh, "regattr", None)
         if param.markers.markers_per_element > 0:
             self.markers = mk.create_markers(param, self.mesh.coord,
@@ -800,15 +793,29 @@ class Simulation:
                 ms.mattype[:n] = np.where(
                     w >= 0.5, param.mat.mattype_asthenosphere,
                     ms.mattype[:n])
-            emw = _dev(mk.emw_from_markers(self.markers, topo.nelem,
-                                           param.mat.nmat), self.dtype)
+            emw_h = mk.emw_from_markers(self.markers, topo.nelem,
+                                        param.mat.nmat)
         else:
             self.markers = None
-            emw = _dev(
-                ic_mod.initial_material_weights(param, self.mesh.coord,
-                                                topo.connectivity,
-                                                regattr=regattr),
-                self.dtype)
+            emw_h = ic_mod.initial_material_weights(
+                param, self.mesh.coord, topo.connectivity,
+                regattr=regattr)
+        emw = _dev(emw_h, self.dtype)
+
+        temperature_h = ic_mod.initial_temperature(param, self.mesh.coord,
+                                                   emw0=emw_h[0])
+        self._host_bottom_temperature = temperature_h
+        temperature = _dev(temperature_h, self.dtype)
+        stress, stressyy, old_mean, strain, self.compensation_pressure = \
+            ic_mod.initial_stress_state(param, self.mesh.coord,
+                                        topo.connectivity, emw=emw_h)
+        plstrain = ic_mod.initial_weak_zone(param, self.mesh.coord,
+                                            topo.connectivity)
+        if param.control.has_hydraulic_diffusion:
+            pp0 = ic_mod.initial_hydrostatic_state(
+                param, self.mesh.coord, topo.bcflag)
+        else:
+            pp0 = None
 
         if param.mat.rheol_type in (RH_EP_RSF, RH_EVP_RSF):
             dfc0, sv0 = ic_mod.initial_rsf_state(param, np.asarray(emw))
