@@ -339,6 +339,39 @@ def run_case(case: str, dtype: str) -> dict:
         rate = nelem * 200 / (time.perf_counter() - t0)
         path = sim.step_path
         metric, dim = "evp2d_postremesh_element_steps_per_sec", "2d"
+    elif case == "postremesh3d":
+        # 3D post-remesh steady state with remeshing_option 100: the
+        # structured regeneration keeps the 983k-tet run on the fused
+        # pallas3d kernel across remeshes (same dims, zero recompiles).
+        # Measured 2026-08-21: 385.7M elem*steps/s (11.6x), path
+        # pallas3d — post-remesh == steady-state 3D speed.  NOT in the
+        # default SUITE: the HOST remesh at 983k elems costs ~18 min on
+        # this 1-core container (SPR + ACM + marker relocate), which
+        # would blow the driver's bench budget; run with
+        # --case postremesh3d.
+        from dynearthsol_tpu.remeshing import remesh
+
+        param = flagship3d_param(dtype=dtype)
+        param.mesh.remeshing_option = 100
+        t_init0 = time.perf_counter()
+        sim = des.Simulation(param)
+        init_s = time.perf_counter() - t_init0
+        sim.run_steps(20, chunk=20)
+        t_rm0 = time.perf_counter()
+        remesh(sim, 1)
+        _measure.init_s = round(init_s, 1)
+        _measure.remesh_s = round(time.perf_counter() - t_rm0, 1)
+        nelem = sim.topo.nelem
+        import numpy as np
+
+        sim.run_steps(100, chunk=100)
+        float(np.asarray(sim.state.time))
+        t0 = time.perf_counter()
+        sim.run_steps(200, chunk=100)
+        float(np.asarray(sim.state.time))
+        rate = nelem * 200 / (time.perf_counter() - t0)
+        path = sim.step_path
+        metric, dim = "evp3d_postremesh_element_steps_per_sec", "3d"
     else:
         raise SystemExit(f"unknown case {case}")
     if slow64:
@@ -366,6 +399,9 @@ SUITE = [("flagship", "float32"), ("production3d", "float32"),
          ("postremesh", "float32"), ("flagship3d", "float32"),
          ("production", "float32"), ("flagship3d_multimat", "float32"),
          ("unstructured", "float32"), ("flagship", "float64")]
+# postremesh3d and pt2d are opt-in (--case): the former's HOST remesh
+# at 983k elems (~18 min on 1 core) would blow the suite budget, the
+# latter's PT knobs make a single headline number config-dependent
 
 
 def run_suite() -> dict:
@@ -434,7 +470,8 @@ def main(argv=None):
                     choices=["flagship", "flagship3d",
                              "flagship3d_multimat", "production",
                              "production3d", "pt2d",
-                             "unstructured", "postremesh"],
+                             "unstructured", "postremesh",
+                             "postremesh3d"],
                     help="run one case in-process; default runs the full "
                          "suite, one subprocess per case")
     ap.add_argument("--no-probe", action="store_true",
